@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's correctness gate: run each
+SparkEntry.oracleSql in DuckDB over the same parquet tables and compare
+with the Spark result parquet dumped by graft.Verify.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp cols to us precision
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        spark_df = norm(pd.read_parquet(files[0]))
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only ({len(spark_df)} rows)")
+            continue
+        try:
+            duck_df = norm(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        ok = True
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            ok = False
+        elif len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            ok = False
+        else:
+            try:
+                pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                              check_exact=True)
+            except AssertionError as e:
+                print(f"FAIL {name}: values differ\n{str(e)[:600]}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
