@@ -14,13 +14,49 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (CoreQueries.q01ScanFilterProject _),
-    "q02_groupby_agg" -> (CoreQueries.q02GroupByAgg _)
+    "q02_groupby_agg" -> (CoreQueries.q02GroupByAgg _),
+    "q03_join_agg" -> (CoreQueries.q03JoinAgg _),
+    "q04_left_join" -> (CoreQueries.q04LeftJoin _),
+    "q05_disjunctive_join" -> (CoreQueries.q05DisjunctiveJoin _),
+    "q06_asof_day_join" -> (CoreQueries.q06AsOfDayJoin _),
+    "q07_notin_anti_join" -> (CoreQueries.q07NotInAntiJoin _),
+    "q08_argmax_struct_max" -> (CoreQueries.q08ArgmaxStructMax _),
+    "q09_window_topn" -> (CoreQueries.q09WindowTopN _),
+    "q10_topk_offset" -> (CoreQueries.q10TopKOffset _),
+    "q11_json_extract" -> (CoreQueries.q11JsonExtract _),
+    "q12_day_bucket_agg" -> (CoreQueries.q12DayBucketAgg _),
+    "q13_coalesce_chain" -> (CoreQueries.q13CoalesceChain _),
+    "q14_count_scalar" -> (CoreQueries.q14CountScalar _),
+    "q15_union_discriminator" -> (CoreQueries.q15UnionDiscriminator _),
+    "q16_distinct" -> (CoreQueries.q16Distinct _),
+    "q17_isin_filter" -> (CoreQueries.q17IsInFilter _),
+    "q18_scalar_functions" -> (CoreQueries.q18ScalarFunctions _),
+    "q19_json_validity_gate" -> (CoreQueries.q19JsonValidityGate _),
+    "q20_tumbling_day_window" -> (CoreQueries.q20TumblingDayWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" -> CoreQueries.q01Sql,
-    "q02_groupby_agg" -> CoreQueries.q02Sql
+    "q02_groupby_agg" -> CoreQueries.q02Sql,
+    "q03_join_agg" -> CoreQueries.q03Sql,
+    "q04_left_join" -> CoreQueries.q04Sql,
+    "q05_disjunctive_join" -> CoreQueries.q05Sql,
+    "q06_asof_day_join" -> CoreQueries.q06Sql,
+    "q07_notin_anti_join" -> CoreQueries.q07Sql,
+    "q08_argmax_struct_max" -> CoreQueries.q08Sql,
+    "q09_window_topn" -> CoreQueries.q09Sql,
+    "q10_topk_offset" -> CoreQueries.q10Sql,
+    "q11_json_extract" -> CoreQueries.q11Sql,
+    "q12_day_bucket_agg" -> CoreQueries.q12Sql,
+    "q13_coalesce_chain" -> CoreQueries.q13Sql,
+    "q14_count_scalar" -> CoreQueries.q14Sql,
+    "q15_union_discriminator" -> CoreQueries.q15Sql,
+    "q16_distinct" -> CoreQueries.q16Sql,
+    "q17_isin_filter" -> CoreQueries.q17Sql,
+    "q18_scalar_functions" -> CoreQueries.q18Sql,
+    "q19_json_validity_gate" -> CoreQueries.q19Sql,
+    "q20_tumbling_day_window" -> CoreQueries.q20Sql
   )
 }

@@ -25,7 +25,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+
+  /**
+   * events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+   * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
+   * (legacy conf) and convert to a micros TimestampType column; integer
+   * division truncates toward the epoch, matching DuckDB's ns→us cast.
+   */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -12,12 +12,18 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+import datetime
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp cols to us precision
+    # normalize timestamp/date cols to us-precision datetime64
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.reset_index(drop=True)
 
 def main(sf_dir, out_dir):
