@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -32,7 +32,17 @@ object SparkEntry {
     "q17_isin_filter" -> (CoreQueries.q17IsInFilter _),
     "q18_scalar_functions" -> (CoreQueries.q18ScalarFunctions _),
     "q19_json_validity_gate" -> (CoreQueries.q19JsonValidityGate _),
-    "q20_tumbling_day_window" -> (CoreQueries.q20TumblingDayWindow _)
+    "q20_tumbling_day_window" -> (CoreQueries.q20TumblingDayWindow _),
+    "q21_dedup_exact" -> (ExtQueries.q21DedupExact _),
+    "q22_token_count" -> (ExtQueries.q22TokenCount _),
+    "q23_text_quality" -> (ExtQueries.q23TextQuality _),
+    "q24_lang_id" -> (ExtQueries.q24LangId _),
+    "q25_ngram_jaccard_pairs" -> (ExtQueries.q25NgramJaccardPairs _),
+    "q26_minhash_lsh" -> (ExtQueries.q26MinhashLsh _),
+    "q27_simhash" -> (ExtQueries.q27Simhash _),
+    "q28_cosine_topk" -> (ExtQueries.q28CosineTopK _),
+    "q29_lsh_ann" -> (ExtQueries.q29LshAnn _),
+    "q30_multimodal" -> (ExtQueries.q30Multimodal _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,6 +67,16 @@ object SparkEntry {
     "q17_isin_filter" -> CoreQueries.q17Sql,
     "q18_scalar_functions" -> CoreQueries.q18Sql,
     "q19_json_validity_gate" -> CoreQueries.q19Sql,
-    "q20_tumbling_day_window" -> CoreQueries.q20Sql
+    "q20_tumbling_day_window" -> CoreQueries.q20Sql,
+    "q21_dedup_exact" -> ExtQueries.q21Sql,
+    "q22_token_count" -> ExtQueries.q22Sql,
+    "q23_text_quality" -> ExtQueries.q23Sql,
+    "q24_lang_id" -> ExtQueries.q24Sql,
+    "q25_ngram_jaccard_pairs" -> ExtQueries.q25Sql,
+    // q26_minhash_lsh, q27_simhash, q29_lsh_ann: murmur3/xxhash64-based —
+    // not reproducible in DuckDB SQL; rows-only gate + ScalaTest brute-force
+    // equivalence specs.
+    "q28_cosine_topk" -> ExtQueries.q28Sql,
+    "q30_multimodal" -> ExtQueries.q30Sql
   )
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`) — north-star
+ * extension. Two paths:
+ *
+ *  - brute-force cosine top-k: exact baseline, O(N) per query, fully
+ *    codegen'd array arithmetic (no UDF);
+ *  - sign-LSH (random-hyperplane) bucketing: the scale path — probe only
+ *    buckets within small Hamming distance of the query's bucket. At 100 TB
+ *    the table is written bucketed by `signBucket`, so a query touches a
+ *    handful of partitions instead of the full corpus (an IVF-style index
+ *    expressed as partition pruning).
+ *
+ * All arithmetic is double-precision and sequential (index order), so
+ * results are deterministic across partitionings.
+ */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns (element order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe for zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2(a) * l2(b))
+
+  /**
+   * Exact brute-force top-k neighbors of `queryVec` (a literal vector).
+   * Plan shape: one scan + TakeOrderedAndProject — no shuffle of the corpus,
+   * only the k winners move.
+   */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Seq[Float], k: Int): DataFrame = {
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    embeddings
+      .withColumn("cos_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Sign-LSH bucket id: one bit per pseudo-random hyperplane. Hyperplane
+   * h_i's components are derived deterministically from murmur3(i, dim) —
+   * no RNG state to ship to executors.
+   */
+  def signBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // pseudo-hyperplane component j = hash(p, j) mapped to [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast(DoubleType) *
+            ((pmod(hash(lit(p), j), lit(1000000)).cast(DoubleType) / 1000000.0) - 0.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * ANN top-k via sign-LSH: restrict the candidate set to vectors whose
+   * bucket is within `maxHamming` bits of the query's bucket, then exact
+   * cosine on the survivors. Recall/probe tradeoff = (nPlanes, maxHamming).
+   */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Float], k: Int,
+              nPlanes: Int = 8, maxHamming: Int = 2): DataFrame = {
+    val dim = queryVec.length
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val qBucket = signBucket(q, nPlanes, dim)
+    embeddings
+      .withColumn("bucket", signBucket(col(vecCol), nPlanes, dim))
+      .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= maxHamming)
+      .withColumn("cos_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-blocked: same banding trick
+   * as Dedup — pairs sharing a sign-bucket are candidates, verified with
+   * exact cosine ≥ threshold. (Exact variant of "embedding near-dup" for
+   * corpora where text dedup misses paraphrases.)
+   */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", signBucket(col("vec"), nPlanes, dim))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

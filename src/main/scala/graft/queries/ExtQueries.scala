@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * North-star extension queries (training-data pipeline ops) over the
+ * `documents` and `embeddings` tables. Oracle-expressible ops get a DuckDB
+ * twin; the murmur3/xxhash64-based ops (MinHash, SimHash, LSH) cannot be
+ * reproduced in DuckDB SQL and are registered rows-only — their semantics
+ * are instead locked down by ScalaTest specs against brute-force references
+ * (DedupSpec, SimilaritySpec).
+ */
+object ExtQueries {
+
+  private val swList = TextAnalysis.enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** q21 — exact dedup by normalized fingerprint (hash-groupBy, 1 shuffle). */
+  def q21DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.exact(d, col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+  }
+
+  val q21Sql: String =
+    """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+      |  min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fp""".stripMargin
+
+  /** q22 — token counting: whitespace tokens + BPE-ish regex tokens. */
+  def q22TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  val q22Sql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens_ws,
+       |  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS n_tokens_bpe
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** q23 — quality scoring: length/punct/stopword signals, fixed-order
+    * double arithmetic (bit-identical across engines). */
+  def q23TextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(col("text"), "[.,!?;:]").as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text"), "[.,!?;:]").as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q23Sql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(words) = 0 THEN 0.0
+       |       ELSE CAST(len(list_intersect(words, $swList)) AS DOUBLE) / len(words) END AS stopword_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       |  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |    + (CASE WHEN len(words) = 0 THEN 0.0
+       |            ELSE CAST(len(list_intersect(words, $swList)) AS DOUBLE) / len(words) END) * 0.3
+       |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 0.2 AS quality
+       |FROM (SELECT doc_id, text,
+       |        list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q24 — language ID by stopword-marker heuristic with pinned tie order. */
+  def q24LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  val q24Sql: String = {
+    val score = TextAnalysis.langMarkers.map { case (l, m) =>
+      s"len(list_intersect(words, ${m.map(x => s"'$x'").mkString("[", ", ", "]")})) AS s_$l"
+    }.mkString(",\n       |        ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("\n       |    ")
+    s"""SELECT doc_id, lang AS lang_meta,
+       |  CASE $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |        $score
+       |      FROM (SELECT doc_id, lang,
+       |              list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q25 — word-bigram Jaccard near-dup pairs, blocked by `source`
+    * (SURVEY §7.1 step 8: the quadratic term stays inside the block). */
+  def q25NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", "source", n = 2, threshold = 0.05)
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+
+  val q25Sql: String =
+    """WITH sh AS (
+      |  SELECT source AS block, doc_id AS id,
+      |    CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+      |    END AS s
+      |  FROM (SELECT source, doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents))
+      |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05
+      |ORDER BY block, id_a, id_b""".stripMargin
+
+  /** q26 — MinHash+LSH near-dup candidates (murmur3 — not reproducible in
+    * DuckDB; rows-only gate, semantics locked by DedupSpec vs brute force). */
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 2, k = 32, bands = 16, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q27 — SimHash near-dup pairs (xxhash64-based; rows-only gate). */
+  def q27Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxDist = 14)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q28 — brute-force cosine top-k: exact ANN baseline. The query vector is
+    * row vec_id=0 of the same table, so both engines share its exact floats;
+    * all arithmetic is sequential double ops (bit-identical). */
+  def q28CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", Similarity.cosine(col("embedding"), col("qv")))
+      .select(col("vec_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q28Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  list_sum(list_transform(range(len(embedding)), i ->
+      |      CAST(embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(range(len(embedding)), i ->
+      |        CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(len(qv)), i ->
+      |        CAST(qv[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))))) AS cos_sim
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** q29 — sign-LSH bucketed ANN (the 100 TB path: probe a few buckets, not
+    * the corpus; murmur3-derived hyperplanes — rows-only gate, recall
+    * checked against q28 in SimilaritySpec). */
+  def q29LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // deterministic query vector: all-0.1 (a literal, so the bucket of the
+    // query is computable without a collect)
+    val qv = Seq.fill(64)(0.1f)
+    Similarity.lshTopK(e, "vec_id", "embedding", qv, k = 10,
+      nPlanes = 8, maxHamming = 3)
+  }
+
+  /** q30 — multimodal plumbing: binary payload + typed metadata + frame
+    * fan-out with stubbed decode. Oracle checks the engine-reproducible
+    * parts (byte length, content hash, frame count). */
+  def q30Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val withMedia = Multimodal.withFakeMedia(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val (blen, bsha) = Multimodal.mediaStats(col("media_bytes"))
+    Multimodal.frameSample(withMedia, "media_bytes", nFrames = 4)
+      .groupBy(col("doc_id"))
+      .agg(
+        first(blen).as("byte_len"),
+        first(bsha).as("content_sha"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS byte_len,
+      |  sha256(text) AS content_sha,
+      |  CAST(4 AS BIGINT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
