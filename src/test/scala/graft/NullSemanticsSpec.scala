@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+
+/** SURVEY §7.4 trap #1 — NOT IN three-valued logic vs left_anti. */
+class NullSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(Some(1L), Some(2L), None).toDF("k")
+
+  test("NOT IN over a null-free subquery = plain anti join minus null-keyed lefts") {
+    val right = Seq(2L).toDF("r")
+    val faithful = Joins.notInFaithful(left, right, col("k"), col("r"))
+      .collect().map(_.getAs[Any]("k")).toSet
+    // SQL: 1 NOT IN (2) → true; 2 → false; NULL NOT IN (2) → NULL (excluded)
+    assert(faithful === Set(1L))
+    // plain left_anti would keep the NULL-keyed row — the divergence:
+    val plain = left.join(right, col("k") === col("r"), "left_anti")
+      .collect().map(_.getAs[Any]("k")).toSet
+    assert(plain === Set(1L, null))
+  }
+
+  test("NOT IN returns zero rows when the subquery yields any NULL") {
+    val right = Seq(Some(2L), None).toDF("r")
+    val faithful = Joins.notInFaithful(left, right, col("k"), col("r"))
+    assert(faithful.count() === 0)
+  }
+
+  test("matches Spark SQL's own NOT IN on both cases") {
+    left.createOrReplaceTempView("l")
+    Seq(Some(2L), None).toDF("r").createOrReplaceTempView("r_null")
+    Seq(2L).toDF("r").createOrReplaceTempView("r_clean")
+    val sqlClean = spark.sql("SELECT k FROM l WHERE k NOT IN (SELECT r FROM r_clean)")
+      .collect().map(_.get(0)).toSet
+    val sqlNull = spark.sql("SELECT k FROM l WHERE k NOT IN (SELECT r FROM r_null)")
+    assert(Joins.notInFaithful(left, Seq(2L).toDF("r"), col("k"), col("r"))
+      .collect().map(_.get(0)).toSet === sqlClean)
+    assert(sqlNull.count() === 0)
+  }
+}
