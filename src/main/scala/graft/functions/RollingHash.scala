@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Document-fingerprinting primitive (north-star text-analysis op): a
+ * polynomial rolling hash (Rabin–Karp, base 31 over UTF-8 bytes, mod 2^64 by
+ * natural Long wraparound) as a NATIVE Catalyst expression with full
+ * whole-stage codegen — demonstrating the preferred extension tier of
+ * SURVEY §7.3 (native Expression > UDF). Equivalent work as a Scala UDF
+ * would box every row and break the codegen stage.
+ */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $input.getBytes();
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_acc = ${ev.value}_acc * 31L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Registration helpers: temp-function for a live session, plus a
+  * SparkSessionExtensions installer for `spark.sql.extensions`. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` installs the
+  * function permanently (the injection point for custom rules/strategies
+  * too, if the engine ever needs them — SURVEY §4 concludes it doesn't). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+}

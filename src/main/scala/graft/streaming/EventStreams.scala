@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.sink.KeyedPartitionSink
+
+/**
+ * Structured Streaming generalization of the reference's daily-batch
+ * contract (SURVEY §2.9): the cron-driven "query one day, delete the day's
+ * sink node, rewrite it" loop becomes an event-time windowed stream with a
+ * watermark and an idempotent `foreachBatch` upsert — same replay semantics,
+ * continuous instead of daily.
+ */
+object EventStreams {
+
+  /** events-table schema for file streams (TESTDATA.md). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of event parquet files. */
+  def readFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /**
+   * Daily tumbling-window counts with the reference's −1h shifted event time
+   * (P8) — the streaming twin of CoreQueries.q12/q20. The watermark bounds
+   * state: a day's window closes `lateness` after the day ends, exactly the
+   * window in which the reference would have re-run its batch.
+   */
+  def dailyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        window(col("ts") - expr("INTERVAL '1' HOUR"), "1 day").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user — the generalization step beyond the
+    * reference's fixed day buckets (SURVEY §7.1 step 7). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class KeyedMax(user_id: Long, max_value: Double, n_seen: Long)
+
+  /**
+   * Custom keyed state via mapGroupsWithState: the running per-key maximum —
+   * the streaming equivalent of the reference's last-writer-wins keyed
+   * upsert (S5, trends.go:712-737), where each new popularity sample updates
+   * the key's document. State is one tiny record per key, so it scales with
+   * distinct keys, not events.
+   */
+  def runningMaxPerUser(events: Dataset[Event]): Dataset[KeyedMax] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Event], state: GroupState[KeyedMax]) =>
+          val prev = state.getOption.getOrElse(KeyedMax(key, Double.MinValue, 0L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            KeyedMax(key, math.max(acc.max_value, e.value), acc.n_seen + 1)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /**
+   * Idempotent streaming sink: every micro-batch is written through the same
+   * dynamic-partition-overwrite path as the batch job, so replays of a batch
+   * (failure recovery) rewrite the affected day partitions instead of
+   * duplicating them — the exactly-once story the reference got from
+   * delete-then-insert (S6).
+   */
+  def writeDailyUpsert(daily: DataFrame, path: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    daily.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite")
+          .partitionBy("day")
+          .parquet(path)
+      }
+      .start()
+}

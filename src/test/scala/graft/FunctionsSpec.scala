@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArgMaxLongString, GraftFunctions}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash: native expression, interpreted == codegen == reference impl") {
+    GraftFunctions.register(spark)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val df = Seq("", "a", "hello world", "héllo ✓ unicode").toDF("s")
+    val got = df.selectExpr("s", "rolling_hash(s) AS h").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, h) => assert(h === ref(s), s"for '$s'") }
+    // null propagates (nullIntolerant)
+    val n = Seq[String](null).toDF("s").selectExpr("rolling_hash(s)").collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("rolling_hash survives whole-stage codegen in a grouped plan") {
+    GraftFunctions.register(spark)
+    val df = Seq(("x", "aa"), ("x", "aa"), ("y", "bb")).toDF("k", "s")
+      .selectExpr("k", "rolling_hash(s) AS h")
+      .groupBy("k", "h").count()
+    assert(df.collect().length === 2)
+  }
+
+  test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
+    val argmax = new ArgMaxLongString().toColumn
+    val data = Seq(
+      ("g1", 5L, "low"), ("g1", 9L, "win"), ("g1", 9L, "zed"), // tie at 9 → "zed"
+      ("g2", 1L, "only"))
+    val ds = data.toDF("g", "k", "p").as[(String, Long, String)]
+    val viaAggregator = ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(argmax.name("best"))
+      .collect().toMap
+    val viaStructMax = data.toDF("g", "k", "p")
+      .groupBy($"g").agg(max(struct($"k", $"p")).as("m"))
+      .select($"g", $"m.p")
+      .as[(String, String)].collect().toMap
+    assert(viaAggregator === viaStructMax)
+    assert(viaAggregator("g1") === "zed")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, ts(t), user, typ, v, "{}")
+
+  test("dailyCounts: -1h shifted tumbling day windows over a stream") {
+    val input = MemoryStream[Event]
+    val q = EventStreams.dailyCounts(input.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("daily")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:30:00", 1, "view", 1.0),  // −1h → 2023-12-31
+        ev(2, "2024-01-01 01:30:00", 1, "view", 2.0),  // −1h → 2024-01-01
+        ev(3, "2024-01-01 12:00:00", 2, "view", 3.0),
+        ev(4, "2024-01-02 02:00:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("daily").collect()
+        .map(r => (r.getAs[java.sql.Date]("day").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+      assert(rows === Set(
+        ("2023-12-31", "view", 1L),
+        ("2024-01-01", "view", 2L),
+        ("2024-01-02", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("userSessions: gap-based session windows") {
+    val input = MemoryStream[Event]
+    val q = EventStreams.userSessions(input.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 1.0), // same session
+        ev(3, "2024-01-01 11:00:00", 1, "view", 1.0), // new session
+        ev(4, "2024-01-01 10:00:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(rows.count(_._1 == 1L) === 2) // two sessions for user 1
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("runningMaxPerUser: keyed state = last-writer-wins upsert semantics") {
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningMaxPerUser(input.toDS())
+      .writeStream.format("memory").queryName("maxes")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(
+        ev(2, "2024-01-01 10:01:00", 1, "view", 3.0),  // lower — max stays 5
+        ev(3, "2024-01-01 10:02:00", 2, "view", 7.0))
+      q.processAllAvailable()
+      val latest = spark.table("maxes").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("max_value"), r.getAs[Long]("n_seen")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+      assert(latest(1L) === ((1L, 5.0, 2L)))
+      assert(latest(2L) === ((2L, 7.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("writeDailyUpsert: micro-batches land as overwritable day partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("stream-cp").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.writeDailyUpsert(
+      EventStreams.dailyCounts(input.toDF(), lateness = "1 hour"),
+      s"$dir/out", cp)
+    try {
+      input.addData(ev(1, "2024-01-01 12:00:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 13:00:00", 1, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      // update-mode batch 2 rewrote day 2024-01-01's partition: no dup rows
+      val day = out.filter($"day" === "2024-01-01").collect()
+      assert(day.map(_.getAs[Long]("n_events")).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+}
