@@ -58,14 +58,22 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
+    // Pre-distinct the shingle sets once (map-side) and carry their sizes, so
+    // the per-pair work is ONE array_intersect; |A∪B| = |A|+|B|−|A∩B| avoids
+    // materializing the union array per pair (2-3× on the quadratic stage).
     val withShingles = docs.select(
       col(blockCol).as("block"), col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-    val a = withShingles.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withShingles.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val a = withShingles.select(col("block"), col("id").as("id_a"),
+      col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = withShingles.select(col("block"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("sz").as("sz_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -108,22 +116,33 @@ object Dedup {
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val sigs = base.withColumn("sig", minhashSignature(col("sh"), k))
+    // Shingles are hashed to ints ONCE; signatures, buckets and the verify
+    // stage all work on int arrays — the candidate-generation shuffles carry
+    // only (band keys, id) and the verify joins fetch the int sets by id,
+    // so no stage ever shuffles the raw text/shingle strings.
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), n), s => hash(s))).as("ih"))
+      .withColumn("sz", size(col("ih")))
+    val sigs = base
+      .withColumn("sig", minhashSignature(col("ih"), k))
       .withColumn("band", explode(lshBands(col("sig"), k, bands)))
-      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
-    val bucketed = sigs.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+    // bucket membership → pair generation inside each bucket; the size cap
+    // drops degenerate boilerplate mega-buckets (real-pipeline practice)
+    val buckets = sigs.groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val aSide = base.select(col("id").as("id_a"), col("ih").as("ih_a"), col("sz").as("sz_a"))
+    val bSide = base.select(col("id").as("id_b"), col("ih").as("ih_b"), col("sz").as("sz_b"))
+    pairs.join(aSide, "id_a").join(bSide, "id_b")
+      .withColumn("inter", size(array_intersect(col("ih_a"), col("ih_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -135,15 +154,19 @@ object Dedup {
    * token's xxhash64 bit, then take the sign. Rotation/replacement-tolerant;
    * near-dups are pairs with small Hamming distance.
    */
-  def simhash64(text: Column): Column = {
-    val tokens = TextAnalysis.words(text)
+  def simhash64(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.words(text), t => xxhash64(t)))
+
+  /** SimHash from pre-computed 64-bit token hashes. Callers should
+    * materialize the hash array as its own column first — each token is
+    * hashed once, not once per bit. */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { i =>
-      when(aggregate(tokens, lit(0L),
-        (acc, t) => acc +
-          when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
       ) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -157,7 +180,10 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val fp = docs
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.words(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("fp"))
     val banded = fp.withColumn("band", explode(array((0 until 4).map { bi =>
         struct(lit(bi).as("band_idx"),
           shiftright(col("fp"), bi * 16).bitwiseAND(0xFFFFL).as("band_val"))
