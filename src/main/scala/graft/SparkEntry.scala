@@ -73,9 +73,11 @@ object SparkEntry {
     "q23_text_quality" -> ExtQueries.q23Sql,
     "q24_lang_id" -> ExtQueries.q24Sql,
     "q25_ngram_jaccard_pairs" -> ExtQueries.q25Sql,
-    // q26_minhash_lsh, q27_simhash, q29_lsh_ann: murmur3/xxhash64-based —
-    // not reproducible in DuckDB SQL; rows-only gate + ScalaTest brute-force
-    // equivalence specs.
+    // q26/q27 oracle = brute-force Jaccard ≥ 0.5 (the hash-based candidate
+    // stages are verified with exact Jaccard, so their OUTPUT is
+    // engine-independent even though murmur3/xxhash64 aren't SQL-expressible)
+    "q26_minhash_lsh" -> ExtQueries.q26Sql,
+    "q27_simhash" -> ExtQueries.q27Sql,
     "q28_cosine_topk" -> ExtQueries.q28Sql,
     "q30_multimodal" -> ExtQueries.q30Sql
   )

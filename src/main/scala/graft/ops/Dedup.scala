@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for the training-data pipeline (north-star
@@ -51,10 +52,11 @@ object Dedup {
       size(array_union(a, b)).cast(DoubleType)
 
   /**
-   * All-pairs n-gram Jaccard within a blocking key (e.g. `source`): the
-   * block bounds the quadratic term — at 100 TB you block on something with
-   * bounded cardinality per value (domain, shard, LSH bucket) and the
-   * self-join shuffles on the block key only.
+   * All-pairs n-gram Jaccard within a blocking key: the block bounds the
+   * quadratic term. ⚠ Only safe when the block key's per-value cardinality is
+   * bounded — a fixed-cardinality key (20 sources) makes block size grow
+   * linearly with the corpus and the work quadratic. For an unbounded corpus
+   * use `ngramJaccardPairsChunked` (size-capped blocks) or `minhashLshPairs`.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
@@ -72,6 +74,45 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Size-capped blocked n-gram Jaccard: each natural block (e.g. `source`) is
+   * split into deterministic chunks of ≤ `cap` docs (row_number over the id
+   * within the block), and the all-pairs comparison runs per chunk. Work is
+   * O(N·cap) — linear in the corpus with constant `cap` — instead of the
+   * quadratic-per-block growth of a fixed-cardinality key. Shingles are
+   * hashed to ints once, so the pair stage intersects int arrays, not
+   * strings (same Jaccard value modulo murmur3 collisions).
+   *
+   * 100 TB shape: one window shuffle on the block key to assign chunks, then
+   * a self-join keyed by (block, chunk) whose per-key row count is capped —
+   * no skew, no quadratic blowup. (Recall is per-chunk by construction: this
+   * is the "shard and compare locally" tier; cross-chunk near-dups are the
+   * job of minhashLshPairs.)
+   */
+  def ngramJaccardPairsChunked(docs: DataFrame, idCol: String, textCol: String,
+                               blockCol: String, cap: Int, n: Int,
+                               threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("nat_block")).orderBy(col("id"))
+    val withShingles = docs.select(
+      col(blockCol).cast(StringType).as("nat_block"), col(idCol).as("id"),
+      array_distinct(transform(shingles(col(textCol), n), s => hash(s))).as("ih"))
+      .withColumn("chunk", floor((row_number().over(w) - 1) / cap))
+      .withColumn("block", concat(col("nat_block"), lit("_"), col("chunk")))
+      .withColumn("sz", size(col("ih")))
+      .select(col("block"), col("id"), col("ih"), col("sz"))
+    val a = withShingles.select(col("block"), col("id").as("id_a"),
+      col("ih").as("ih_a"), col("sz").as("sz_a"))
+    val b = withShingles.select(col("block"), col("id").as("id_b"),
+      col("ih").as("ih_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ih_a"), col("ih_b"))).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -101,42 +142,23 @@ object Dedup {
     }: _*)
   }
 
-  /**
-   * MinHash+LSH near-duplicate pairs: shingle → signature → explode bands →
-   * self-join on (band_idx, band_hash) → distinct candidate pairs → verify
-   * with exact Jaccard ≥ threshold.
-   *
-   * Scale shape: the only shuffle is the band-bucket join, keyed by band
-   * hash — ~bands rows per doc, so shuffle volume is O(bands·N), never the
-   * O(N²) of all-pairs. Skewed buckets (boilerplate text) are the classic
-   * hazard; AQE skew-join handles moderate skew, and a bucket-size cap
-   * (`maxBucket`) drops degenerate mega-buckets like real pipelines do.
-   */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5,
-                      maxBucket: Int = 1000): DataFrame = {
-    // Shingles are hashed to ints ONCE; signatures, buckets and the verify
-    // stage all work on int arrays — the candidate-generation shuffles carry
-    // only (band keys, id) and the verify joins fetch the int sets by id,
-    // so no stage ever shuffles the raw text/shingle strings.
-    val base = docs.select(col(idCol).as("id"),
+  /** Docs → (id, distinct murmur3-hashed n-gram shingle set, set size).
+    * Hashing once up front means every later stage (signatures, verify
+    * joins) works on int arrays — no stage ever shuffles raw text. The
+    * Jaccard of the hashed sets equals the Jaccard of the string shingle
+    * sets modulo murmur3 collisions (negligible at 32 bits for ~100-shingle
+    * docs), which is what lets a DuckDB string-side oracle hash-match. */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
       array_distinct(transform(shingles(col(textCol), n), s => hash(s))).as("ih"))
       .withColumn("sz", size(col("ih")))
-    val sigs = base
-      .withColumn("sig", minhashSignature(col("ih"), k))
-      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
-      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
-    // bucket membership → pair generation inside each bucket; the size cap
-    // drops degenerate boilerplate mega-buckets (real-pipeline practice)
-    val buckets = sigs.groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+
+  /** Verify candidate pairs with exact Jaccard over the hashed shingle sets:
+    * |A∩B| / (|A|+|B|−|A∩B|) — one array_intersect per pair, no union array
+    * materialized. `base` is the output of [[hashedShingleSets]]. */
+  def verifyJaccardPairs(pairs: DataFrame, base: DataFrame,
+                         threshold: Double): DataFrame = {
     val aSide = base.select(col("id").as("id_a"), col("ih").as("ih_a"), col("sz").as("sz_a"))
     val bSide = base.select(col("id").as("id_b"), col("ih").as("ih_b"), col("sz").as("sz_b"))
     pairs.join(aSide, "id_a").join(bSide, "id_b")
@@ -145,6 +167,54 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * MinHash+LSH near-duplicate pairs: shingle → signature → explode bands →
+   * self-join on (band_idx, band_hash) → distinct candidate pairs → verify
+   * with exact Jaccard ≥ threshold.
+   *
+   * Banding defaults give r = k/bands = 4 rows per band: the LSH S-curve
+   * threshold is (1/bands)^(1/r) = (1/16)^¼ ≈ 0.5, so candidates cluster
+   * around the verify threshold instead of flooding it (r=2 would admit
+   * pairs down to ~0.25 similarity — a candidate explosion), while a true
+   * pair at J=0.9 is missed with probability (1−0.9⁴)¹⁶ ≈ 4e−8.
+   *
+   * Scale shape: candidate generation is a SELF-JOIN on (band_idx,
+   * band_hash) — O(bands·N) shuffle rows, never a per-bucket ids-array
+   * (collect_list would materialize maxBucket² pairs per bucket in one
+   * task); AQE splits skewed band keys. The bucket-size cap is applied as a
+   * co-partitioned count filter (same join key → no extra exchange) and
+   * drops degenerate boilerplate mega-buckets, like real pipelines do.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 1000): DataFrame = {
+    // The shingle sets and band rows each feed ≥2 downstream subplans (both
+    // self-join sides + the bucket-count filter / verify fetches). Persist
+    // the two narrow projections so shingling and the k-seed signature are
+    // computed ONCE per doc, not once per reference — at cluster scale this
+    // is the cached "signature index" stage every LSH pipeline materializes.
+    val base = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = base
+      .withColumn("sig", minhashSignature(col("ih"), k))
+      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = sigs.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+      .select(col("band_idx"), col("band_hash"))
+    val eligible = sigs.join(okBuckets, Seq("band_idx", "band_hash"))
+    val a = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardPairs(pairs, base, threshold)
   }
 
   // ------------------------------------------------------------- SimHash
@@ -173,20 +243,29 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs with band blocking: split the 64-bit fingerprint
-   * into 4×16-bit bands; pairs agreeing on ≥1 band (⇒ Hamming ≤ 48, and in
-   * practice catching all pairs with distance ≤ 3 whp) are candidates,
-   * verified by exact Hamming ≤ maxDist. Same O(bands·N) shuffle shape as
-   * MinHash-LSH.
+   * into `bands` equal bands; by pigeonhole, any pair with Hamming distance
+   * < bands agrees exactly on ≥1 band, so recall is GUARANTEED for
+   * maxDist ≤ bands−1 (the banding scheme of Manku et al.'s web-scale
+   * simhash dedup). Candidates are verified by exact Hamming ≤ maxDist.
+   * Same O(bands·N) shuffle shape as MinHash-LSH.
+   *
+   * Band-width tradeoff: 8×8-bit bands cover maxDist 7 but each band has
+   * only 256 values, so bucket sizes grow as N/256 — fine to ~10⁶ docs; at
+   * corpus scale widen the bands (16-bit ⇒ maxDist ≤ 3 guaranteed) or add
+   * a second fingerprint permutation rather than narrowing bands.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    val bandBits = 64 / bands
+    val bandMask = (1L << bandBits) - 1
     val fp = docs
       .select(col(idCol).as("id"),
         transform(TextAnalysis.words(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("fp"))
-    val banded = fp.withColumn("band", explode(array((0 until 4).map { bi =>
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both self-join sides
+    val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
         struct(lit(bi).as("band_idx"),
-          shiftright(col("fp"), bi * 16).bitwiseAND(0xFFFFL).as("band_val"))
+          shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
       }: _*)))
       .select(col("id"), col("fp"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
@@ -194,12 +273,34 @@ object Dedup {
       col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
       col("id").as("id_b"), col("fp").as("fp_b"))
+    // Hamming filter BEFORE the pair-dedup: it is row-local on the joined
+    // fingerprints, so the dropDuplicates shuffle carries only surviving
+    // pairs instead of every band collision.
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * SimHash as a CANDIDATE GENERATOR with exact n-gram Jaccard verification:
+   * pairs within Hamming ≤ maxDist of each other's 64-bit fingerprint are
+   * verified with Jaccard ≥ threshold — how production pipelines use
+   * SimHash (cheap recall stage, exact precision stage). The output contract
+   * (id_a, id_b, jaccard) is therefore engine-independent: identical to a
+   * brute-force Jaccard scan whenever the fingerprint stage has full recall,
+   * which a SQL oracle can check exactly.
+   */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 2, maxDist: Int = 7,
+                           threshold: Double = 0.5): DataFrame = {
+    require(maxDist < 8, "8-band blocking guarantees recall only for maxDist ≤ 7")
+    val base = hashedShingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both verify fetch sides
+    val pairs = simhashPairs(docs, idCol, textCol, maxDist, bands = 8)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccardPairs(pairs, base, threshold)
   }
 }

@@ -102,42 +102,84 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** q25 — word-bigram Jaccard near-dup pairs, blocked by `source`
-    * (SURVEY §7.1 step 8: the quadratic term stays inside the block). */
+  /** Shared DuckDB CTE: distinct word-bigram shingle sets per doc (the
+    * string-side twin of Dedup.hashedShingleSets — same sets, same sizes,
+    * same Jaccard values modulo murmur3 collisions). */
+  private val shingleCte: String =
+    """  SELECT doc_id AS id, source,
+      |    list_distinct(CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+      |    END) AS s
+      |  FROM (SELECT source, doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents)""".stripMargin
+
+  /** The engine-independent near-dup contract shared by q26/q27: ALL pairs
+    * with bigram-shingle Jaccard ≥ 0.5, brute-forced in SQL with a lossless
+    * size-ratio prune (J ≤ min/max ⇒ J ≥ 0.5 needs 2·min ≥ max). The Spark
+    * side reaches the same set through sub-quadratic candidate generation
+    * (MinHash-LSH for q26, SimHash for q27) + exact verification — the gate
+    * proves the candidate stage has full recall at this scale. */
+  private val nearDupPairsSql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM sz a JOIN sz b
+       |  ON a.id < b.id
+       | AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q25 — blocked n-gram Jaccard near-dup pairs with SIZE-CAPPED blocks:
+    * `source` alone has fixed cardinality (≈20 at every SF), so block size
+    * would grow linearly with the corpus and the all-pairs term
+    * quadratically; chunking each source into ≤64-doc blocks keeps the work
+    * O(N·cap) (Dedup.ngramJaccardPairsChunked). */
   def q25NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-        "doc_id", "text", "source", n = 2, threshold = 0.05)
+    Dedup.ngramJaccardPairsChunked(Tables.documents(spark, dir),
+        "doc_id", "text", "source", cap = 64, n = 2, threshold = 0.05)
       .orderBy(col("block"), col("id_a"), col("id_b"))
 
   val q25Sql: String =
-    """WITH sh AS (
-      |  SELECT source AS block, doc_id AS id,
-      |    CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
-      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
-      |    END AS s
-      |  FROM (SELECT source, doc_id,
-      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
-      |        FROM documents))
-      |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-      |FROM sh a JOIN sh b ON a.block = b.block AND a.id < b.id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05
-      |ORDER BY block, id_a, id_b""".stripMargin
+    s"""WITH sh AS (
+       |$shingleCte),
+       |chunked AS (
+       |  SELECT source || '_' ||
+       |      CAST(CAST(floor((row_number() OVER (PARTITION BY source ORDER BY id) - 1) / 64) AS BIGINT) AS VARCHAR) AS block,
+       |    id, s, len(s) AS sz
+       |  FROM sh)
+       |SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.sz + b.sz - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM chunked a JOIN chunked b ON a.block = b.block AND a.id < b.id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.sz + b.sz - len(list_intersect(a.s, b.s))) >= 0.05
+       |ORDER BY block, id_a, id_b""".stripMargin
 
-  /** q26 — MinHash+LSH near-dup candidates (murmur3 — not reproducible in
-    * DuckDB; rows-only gate, semantics locked by DedupSpec vs brute force). */
+  /** q26 — MinHash+LSH near-dup pairs, r=4 banding (k=64/bands=16 → LSH
+    * threshold ≈ 0.5), exact-Jaccard verified. Oracle = brute-force pairs
+    * ≥ 0.5 — green iff the LSH stage has full recall (miss probability at
+    * the corpus's J≥0.9 duplicate pairs ≈ 4e−8 per pair). */
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-        n = 2, k = 32, bands = 16, threshold = 0.5)
+        n = 2, k = 64, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q27 — SimHash near-dup pairs (xxhash64-based; rows-only gate). */
+  val q26Sql: String = nearDupPairsSql
+
+  /** q27 — SimHash near-dup pairs, exact-Jaccard verified (same output
+    * contract as q26, independent candidate path; 8-band blocking makes
+    * recall at Hamming ≤ 7 a pigeonhole guarantee, not a probability). */
   def q27Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        maxDist = 14)
+    Dedup.simhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 2, maxDist = 7, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  val q27Sql: String = nearDupPairsSql
 
   /** q28 — brute-force cosine top-k: exact ANN baseline. The query vector is
     * row vec_id=0 of the same table, so both engines share its exact floats;
