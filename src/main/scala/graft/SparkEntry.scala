@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -42,7 +42,10 @@ object SparkEntry {
     "q27_simhash" -> (ExtQueries.q27Simhash _),
     "q28_cosine_topk" -> (ExtQueries.q28CosineTopK _),
     "q29_lsh_ann" -> (ExtQueries.q29LshAnn _),
-    "q30_multimodal" -> (ExtQueries.q30Multimodal _)
+    "q30_multimodal" -> (ExtQueries.q30Multimodal _),
+    "q31_curated_highlights" -> (DomainQueries.q31CuratedHighlights _),
+    "q32_distinct_sources" -> (DomainQueries.q32DistinctSources _),
+    "q33_count_highlights" -> (DomainQueries.q33CountHighlights _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +82,11 @@ object SparkEntry {
     "q26_minhash_lsh" -> ExtQueries.q26Sql,
     "q27_simhash" -> ExtQueries.q27Sql,
     "q28_cosine_topk" -> ExtQueries.q28Sql,
-    "q30_multimodal" -> ExtQueries.q30Sql
+    "q30_multimodal" -> ExtQueries.q30Sql,
+    // q31-q33: the reference's REAL queries over DuckDB-reconstructible
+    // domain fixtures (DomainQueries.fixtureCte) — the fidelity gate
+    "q31_curated_highlights" -> DomainQueries.q31Sql,
+    "q32_distinct_sources" -> DomainQueries.q32Sql,
+    "q33_count_highlights" -> DomainQueries.q33Sql
   )
 }

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.DomainFixtures
+import graft.queries.HighlightQueries.Params
+
+/**
+ * The reference engine's three REAL queries (trends.go:279-334 curated,
+ * :336-392 distinct-sources, :450-529 count), oracle-gated end to end: the
+ * Spark side runs the faithful HighlightQueries builders over
+ * DomainFixtures; the DuckDB side rebuilds the same five tables from the
+ * same parquet (fixtureCte) and runs a direct transliteration of the
+ * reference SQL. This is the fidelity gate for the domain semantics —
+ * q01-q20 exercise the operators, q31-q33 exercise the reference's exact
+ * query text.
+ *
+ * Documented deviations reflected in BOTH sides identically:
+ *  - favorites chain is favorites-all-the-way-down (the reference mixes
+ *    h.total_retweets into it — trends.go:344 bug, SURVEY §7.4 #5);
+ *  - the distinct-mode argmax tiebreak is pinned to ust_status_id DESC
+ *    (the reference's ARRAY_AGG tiebreak is unspecified — SURVEY §7.4 #2);
+ *  - a deterministic total order (retweets DESC NULLS LAST, statusId) is
+ *    appended so the hash compare is stable.
+ */
+object DomainQueries {
+
+  /** One bucketed day holding ~250 statuses (DomainFixtures month trick). */
+  val SinceDate = "1996-09-01"
+
+  private def params: Params = Params(
+    sinceDate = SinceDate,
+    listId = "pub-list-3",
+    deprecatedListId = "pub-list-7",
+    includeRetweets = false,
+    limit = -1)
+
+  private def lowercase(df: DataFrame): DataFrame = df.select(
+    col("url"), col("username"), col("tweet"),
+    col("publicationDate").as("publication_date"),
+    col("json").as("json_doc"),
+    col("retweets"), col("favorites"), col("id"),
+    col("statusId").as("status_id"),
+    col("is_retweet"),
+    col("checkedAt").as("checked_at"))
+
+  /** q31 — curated highlights (trends.go:279-334), full day, no pagination. */
+  def q31CuratedHighlights(spark: SparkSession, dir: String): DataFrame =
+    lowercase(HighlightQueries.curatedHighlights(
+      DomainFixtures.tables(spark, dir), params))
+
+  /** q32 — distinct-sources highlights (trends.go:336-392). */
+  def q32DistinctSources(spark: SparkSession, dir: String): DataFrame =
+    lowercase(HighlightQueries.distinctSourcesHighlights(
+      DomainFixtures.tables(spark, dir), params))
+
+  /** q33 — both count-query modes (trends.go:450-529) with a discriminator. */
+  def q33CountHighlights(spark: SparkSession, dir: String): DataFrame = {
+    val t = DomainFixtures.tables(spark, dir)
+    HighlightQueries.countHighlights(t, params, distinctSources = false)
+      .withColumn("mode", lit("curated"))
+      .unionByName(
+        HighlightQueries.countHighlights(t, params, distinctSources = true)
+          .withColumn("mode", lit("distinct")))
+      .select(col("mode"), col("highlights"))
+      .orderBy(col("mode"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB twin of DomainFixtures — keep textually in sync with it. */
+  val fixtureCte: String =
+    """WITH weaving_status AS (
+      |  SELECT o_orderkey AS ust_id,
+      |         CAST(o_orderkey AS VARCHAR) AS ust_status_id,
+      |         'pub_' || CAST(o_custkey % 25 AS VARCHAR) AS ust_full_name,
+      |         'tweet ' || CAST(o_orderkey AS VARCHAR) AS ust_text,
+      |         date_trunc('month', o_orderdate) + to_hours(o_orderkey % 12 + 1) AS ust_created_at,
+      |         '{"id_str":"' || CAST(o_orderkey AS VARCHAR) || '","full_text":"tweet ' || CAST(o_orderkey AS VARCHAR)
+      |           || '","retweet_count":' || CAST(o_orderkey % 97 AS VARCHAR)
+      |           || ',"favorite_count":' || CAST(o_orderkey % 89 AS VARCHAR)
+      |           || ',"user":{"id_str":"' || CAST(9000 + o_custkey % 40 AS VARCHAR) || '"}'
+      |           || CASE WHEN o_orderkey % 3 = 0 THEN ',"retweeted_status_result":{"id":"x"}' ELSE '' END
+      |           || '}' AS ust_api_document
+      |  FROM orders),
+      |highlight AS (
+      |  SELECT o_orderkey AS status_id,
+      |         CAST(o_custkey % 8 AS BIGINT) AS aggregate_id,
+      |         o_custkey AS member_id,
+      |         CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderkey % 4 = 1 END AS is_retweet,
+      |         date_trunc('month', o_orderdate) + to_hours((o_orderkey * 7) % 36 + 1) AS publication_date_time,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE CAST((o_orderkey * 13) % 500 AS INTEGER) END AS total_retweets,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE CAST((o_orderkey * 17) % 400 AS INTEGER) END AS total_favorites
+      |  FROM orders WHERE o_orderkey % 4 <> 0),
+      |publishers_list AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |         'pub-list-' || CAST(n_nationkey AS VARCHAR) AS public_id,
+      |         CASE WHEN n_nationkey % 6 = 0 THEN NULL ELSE 'pub_' || CAST(n_nationkey AS VARCHAR) END AS screen_name,
+      |         CASE WHEN n_nationkey IN (12, 17) THEN TIMESTAMP '2020-01-01 00:00:00' ELSE NULL END AS deleted_at
+      |  FROM nation),
+      |status_popularity AS (
+      |  SELECT l_orderkey AS status_id,
+      |         date_trunc('month', o_orderdate) + to_hours((o_orderkey * 7) % 36 + 1) + to_hours(3 * l_linenumber - 2) AS checked_at,
+      |         CASE WHEN (l_orderkey + l_linenumber) % 9 = 0 THEN NULL ELSE CAST((l_orderkey * 5 + l_linenumber * 31) % 600 AS INTEGER) END AS total_retweets,
+      |         CASE WHEN (l_orderkey + l_linenumber) % 7 = 0 THEN NULL ELSE CAST((l_orderkey * 3 + l_linenumber * 17) % 450 AS INTEGER) END AS total_favorites
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |weaving_user AS (
+      |  SELECT c_custkey AS usr_id,
+      |         'pub_' || CAST(c_custkey % 25 AS VARCHAR) AS usr_twitter_username,
+      |         CAST(9000 + c_custkey % 40 AS VARCHAR) AS usr_twitter_id
+      |  FROM customer)""".stripMargin
+
+  private val deletedMembersSubquery: String =
+    """SELECT usr_id FROM weaving_user member, publishers_list publication_list
+      |    WHERE publication_list.deleted_at IS NOT NULL
+      |      AND member.usr_twitter_username = publication_list.screen_name
+      |      AND publication_list.screen_name IS NOT NULL""".stripMargin
+
+  val q31Sql: String = fixtureCte + "\n" +
+    s"""SELECT 'https://twitter.com/' || s.ust_full_name || '/status/' || s.ust_status_id AS url,
+       |  s.ust_full_name AS username,
+       |  s.ust_text AS tweet,
+       |  s.ust_created_at AS publication_date,
+       |  s.ust_api_document AS json_doc,
+       |  MAX(COALESCE(p.total_retweets, h.total_retweets)) AS retweets,
+       |  MAX(COALESCE(p.total_favorites, h.total_favorites)) AS favorites,
+       |  s.ust_id AS id,
+       |  s.ust_status_id AS status_id,
+       |  h.is_retweet AS is_retweet,
+       |  s.ust_created_at AS checked_at
+       |FROM highlight h
+       |INNER JOIN weaving_status s ON s.ust_id = h.status_id
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |  AND h.is_retweet = false
+       |INNER JOIN publishers_list pl ON h.aggregate_id = pl.id
+       |  AND (pl.public_id = 'pub-list-3' OR pl.public_id = 'pub-list-7')
+       |LEFT JOIN status_popularity p ON p.status_id = h.status_id
+       |  AND CAST(p.checked_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |WHERE CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |  AND h.is_retweet = false
+       |  AND h.member_id NOT IN (
+       |    $deletedMembersSubquery)
+       |GROUP BY s.ust_status_id, s.ust_full_name, s.ust_text, s.ust_created_at, s.ust_api_document, s.ust_id, h.is_retweet
+       |ORDER BY retweets DESC NULLS LAST, status_id""".stripMargin
+
+  /** The distinct-mode argmax ranking key (trends.go:338-348). */
+  private val rankK: String =
+    "COALESCE(p.total_retweets, h.total_retweets, CAST(s.ust_api_document::JSON->>'retweet_count' AS INTEGER))"
+
+  private def argmax(expr: String): String =
+    s"(ARRAY_AGG($expr ORDER BY $rankK DESC, s.ust_status_id DESC))[1]"
+
+  val q32Sql: String = fixtureCte + "\n" +
+    s"""SELECT 'https://twitter.com/' || s.ust_full_name || '/status/' || ${argmax("s.ust_status_id")} AS url,
+       |  s.ust_full_name AS username,
+       |  ${argmax("s.ust_text")} AS tweet,
+       |  ${argmax("s.ust_created_at")} AS publication_date,
+       |  ${argmax("s.ust_api_document")} AS json_doc,
+       |  MAX($rankK) AS retweets,
+       |  MAX(COALESCE(p.total_favorites, h.total_favorites, CAST(s.ust_api_document::JSON->>'favorite_count' AS INTEGER))) AS favorites,
+       |  ${argmax("s.ust_id")} AS id,
+       |  ${argmax("s.ust_status_id")} AS status_id,
+       |  ${argmax("COALESCE(h.is_retweet, s.ust_api_document::JSON->>'retweeted_status_result' IS NOT NULL, false)")} AS is_retweet,
+       |  ${argmax("s.ust_created_at")} AS checked_at
+       |FROM weaving_status s
+       |LEFT JOIN highlight h ON s.ust_id = h.status_id
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |  AND h.is_retweet = false
+       |INNER JOIN publishers_list pl ON (
+       |    h.aggregate_id = pl.id
+       |    OR (s.ust_full_name = pl.screen_name AND pl.screen_name IS NOT NULL)
+       |  ) AND (pl.public_id = 'pub-list-3' OR pl.public_id = 'pub-list-7')
+       |LEFT JOIN status_popularity p ON p.status_id = h.status_id
+       |  AND CAST(p.checked_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |WHERE CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |  AND COALESCE(h.is_retweet, s.ust_api_document::JSON->>'retweeted_status_result' IS NOT NULL, false) = false
+       |  AND CAST(s.ust_api_document::JSON->>'user'->>'id_str' AS BIGINT) NOT IN (
+       |    SELECT CAST(usr_twitter_id AS BIGINT) FROM weaving_user member, publishers_list publication_list
+       |    WHERE publication_list.deleted_at IS NOT NULL
+       |      AND member.usr_twitter_username = publication_list.screen_name
+       |      AND publication_list.screen_name IS NOT NULL)
+       |GROUP BY s.ust_full_name
+       |ORDER BY retweets DESC NULLS LAST, status_id""".stripMargin
+
+  val q33Sql: String = fixtureCte + "\n" +
+    s"""SELECT 'curated' AS mode, COUNT(*) AS highlights
+       |FROM highlight h
+       |INNER JOIN weaving_status s ON s.ust_id = h.status_id
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |INNER JOIN publishers_list pl ON h.aggregate_id = pl.id
+       |  AND (pl.public_id = 'pub-list-3' OR pl.public_id = 'pub-list-7')
+       |LEFT JOIN status_popularity p ON p.status_id = h.status_id
+       |  AND CAST(p.checked_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |WHERE CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |UNION ALL
+       |SELECT 'distinct' AS mode, COUNT(*) AS highlights
+       |FROM weaving_status s
+       |LEFT JOIN highlight h ON s.ust_id = h.status_id
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |  AND CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |LEFT JOIN publishers_list pl ON h.aggregate_id = pl.id
+       |  AND (pl.public_id = 'pub-list-3' OR pl.public_id = 'pub-list-7')
+       |LEFT JOIN status_popularity p ON p.status_id = h.status_id
+       |  AND CAST(p.checked_at - INTERVAL 1 HOUR AS DATE) = CAST(h.publication_date_time - INTERVAL 1 HOUR AS DATE)
+       |WHERE CAST(s.ust_created_at - INTERVAL 1 HOUR AS DATE) = DATE '$SinceDate'
+       |ORDER BY mode""".stripMargin
+}

@@ -111,21 +111,23 @@ object HighlightQueries {
         max(coalesce(col("p_total_retweets"), col("total_retweets")))
           .as("retweets"),
         max(coalesce(col("p_total_favorites"), col("total_favorites")))
-          .as("favorites"),
-        max(col("p_checked_at")).as("checkedAt"))
+          .as("favorites"))
 
     val projected = grouped.select(
       statusUrl(col("ust_full_name"), col("ust_status_id")).as("url"),
       col("ust_full_name").as("username"),
       col("ust_text").as("tweet"),
-      col("publication_date_time").as("publicationDate"),
+      col("ust_created_at").as("publicationDate"),
       col("ust_api_document").as("json"),
       col("retweets"),
       col("favorites"),
       col("ust_id").as("id"),
       col("ust_status_id").as("statusId"),
       col("is_retweet"),
-      col("checkedAt"))
+      // the reference emits the status CREATION time as checkedAt
+      // (`s.ust_created_at as checkedAt`, trends.go:291) — it is NOT a
+      // popularity-sample timestamp
+      col("ust_created_at").as("checkedAt"))
 
     paginate(sort(projected, p), p)
   }
@@ -147,10 +149,14 @@ object HighlightQueries {
       col("is_retweet"), col("publication_date_time"),
       col("total_retweets"), col("total_favorites"))
 
-    val base = s.join(h,
-      col("ust_id") === col("status_id") &&
-        dayBucketEquals(col("publication_date_time"), p.sinceDate),
-      "left") // J3
+    // J3 — LEFT join; when retweets are excluded the reference puts
+    // `h.is_retweet = false` INSIDE the ON clause (trends.go:356), so a
+    // status whose highlight row is retweet-flagged keeps NULL h columns
+    // (its kind then falls back to the doc heuristic) instead of dropping.
+    val hCond = col("ust_id") === col("status_id") &&
+      dayBucketEquals(col("publication_date_time"), p.sinceDate) &&
+      (if (!p.includeRetweets) col("is_retweet") === false else lit(true))
+    val base = s.join(h, hCond, "left")
 
     // F6 — retweet-kind filter on the coalesced flag
     val kindFiltered = base.filter(
@@ -192,11 +198,15 @@ object HighlightQueries {
           k.as("k"),
           col("ust_status_id").as("tiebreak"),
           col("ust_text").as("tweet"),
+          // publicationDate AND checkedAt are both the winner's creation
+          // time in the reference (trends.go:340, 348)
           col("ust_created_at").as("publicationDate"),
           col("ust_api_document").as("json"),
           col("ust_id").as("id"),
-          col("is_retweet").as("is_retweet"),
-          col("p_checked_at").as("checkedAt"))).as("best"),
+          // the reference argmaxes the COALESCED kind flag (trends.go:347),
+          // not the raw highlight column
+          isOfRetweetKind(col("is_retweet"), col("ust_api_document"))
+            .as("is_retweet"))).as("best"),
         max(retweetsChain(col("p_total_retweets"), col("total_retweets"),
           col("ust_api_document"))).as("retweets"),
         max(favoritesChain(col("p_total_favorites"), col("total_favorites"),
@@ -213,27 +223,38 @@ object HighlightQueries {
       col("best.id").as("id"),
       col("best.tiebreak").as("statusId"),
       col("best.is_retweet").as("is_retweet"),
-      col("best.checkedAt").as("checkedAt"))
+      col("best.publicationDate").as("checkedAt"))
 
     paginate(sort(projected, p), p)
   }
 
   /**
-   * The COUNT query (A4, trends.go:450-529). Faithful to the reference's
-   * quirk J6: in distinct mode the list join is LEFT (the count is NOT
-   * restricted to the list), and the popularity join never enters the count.
+   * The COUNT query (A4, trends.go:450-529), faithful to three reference
+   * quirks that make it deliberately NOT the main query's row count
+   * (SURVEY §7.4 #6):
+   *  - no retweet/kind filter in either mode (the count clause set has no
+   *    constraintOnRetweetStatus and no isOfRetweetKind predicate);
+   *  - the status_popularity LEFT JOIN is present (trends.go:494-498), so a
+   *    status with several same-day samples counts once per sample;
+   *  - distinct mode downgrades the list join to LEFT on `aggregate_id`
+   *    alone — no screen-name disjunction, rows with no matching list still
+   *    count (J6) — and applies no member exclusion.
    */
   def countHighlights(t: TrendsTables, p: Params,
                       distinctSources: Boolean): DataFrame = {
+    val pop = popularityJoined(t)
     if (!distinctSources) {
-      var h = t.highlight
+      t.highlight
         .filter(dayBucketEquals(col("publication_date_time"), p.sinceDate))
-      if (!p.includeRetweets) h = h.filter(col("is_retweet") === false)
-      h.join(t.weavingStatus,
+        .join(t.weavingStatus,
           col("ust_id") === col("status_id") &&
             dayBucketEquals(col("ust_created_at"), p.sinceDate))
         .join(broadcast(t.publishersList.filter(listMatch(p))),
           col("aggregate_id") === col("id"))
+        .join(pop,
+          col("p_status_id") === col("status_id") &&
+            col("p_day") === dayBucket(col("publication_date_time")),
+          "left")
         .agg(count(lit(1)).as("highlights"))
     } else {
       val s = t.weavingStatus
@@ -242,17 +263,12 @@ object HighlightQueries {
         col("ust_id") === col("status_id") &&
           dayBucketEquals(col("publication_date_time"), p.sinceDate),
         "left")
-      val kindFiltered = base.filter(
-        isOfRetweetKind(col("is_retweet"), col("ust_api_document"))
-          === lit(p.includeRetweets))
       val pl = t.publishersList.filter(listMatch(p))
-        .select(col("id").as("pl_id"), col("screen_name"))
-      // J6: LEFT, unlike the main query; and a plain COUNT(*) over the
-      // ungrouped tree (trends.go:492-499) — faithfully NOT equal to the
-      // per-publisher row count of the main query (SURVEY §7.4 #6).
-      kindFiltered.join(broadcast(pl),
-          col("aggregate_id") === col("pl_id") ||
-            (col("ust_full_name") === col("screen_name") && col("screen_name").isNotNull),
+        .select(col("id").as("pl_id"))
+      base.join(broadcast(pl), col("aggregate_id") === col("pl_id"), "left")
+        .join(pop,
+          col("p_status_id") === col("status_id") &&
+            col("p_day") === dayBucket(col("publication_date_time")),
           "left")
         .agg(count(lit(1)).as("highlights"))
     }

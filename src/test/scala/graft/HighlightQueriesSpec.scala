@@ -18,8 +18,13 @@ class HighlightQueriesSpec extends SparkSpec {
     val r102 = rows.head
     assert(r102.getAs[Int]("favorites") === 45) // same-day fav sample max
     assert(r102.getAs[String]("url") === "https://twitter.com/alpha/status/102")
+    // checkedAt is the status CREATION time (trends.go:291), even when a
+    // popularity sample exists (102) or none does (105)
     val r105 = rows.last
-    assert(r105.getAs[java.sql.Timestamp]("checkedAt") === null) // no sample
+    assert(r105.getAs[java.sql.Timestamp]("checkedAt") ===
+      java.sql.Timestamp.valueOf(s"${FixtureData.D} 01:00:00"))
+    assert(r102.getAs[java.sql.Timestamp]("checkedAt") ===
+      java.sql.Timestamp.valueOf(s"${FixtureData.D} 11:00:00"))
   }
 
   test("curated: includeRetweets=true means NO constraint (both kinds)") {
@@ -68,14 +73,18 @@ class HighlightQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("username")).toSeq === Seq("beta"))
   }
 
-  test("counts: curated inner tree vs distinct left tree (J6 faithfulness)") {
+  test("counts: faithful to the reference's count tree (J6 + popularity multiplication)") {
+    // curated: h1,h2,h3,h5,h7 pass (NO retweet filter in the count —
+    // trends.go:453-470), and the popularity LEFT JOIN multiplies h2 by its
+    // two same-day samples → 6 (h1 has one pulled-back sample, others none)
     val curated = HighlightQueries.countHighlights(t, base, distinctSources = false)
       .collect().head.getLong(0)
-    assert(curated === 4) // h1, h2, h5, h7 (no member exclusion in count)
+    assert(curated === 6)
+    // distinct: day-bucket statuses s1,s2,s3,s5,s6,s7,s8 (no kind filter, no
+    // member exclusion, LEFT list join keeps unmatched rows) with s2
+    // doubled by its samples → 8
     val distinct = HighlightQueries.countHighlights(t, base, distinctSources = true)
       .collect().head.getLong(0)
-    // day-bucket statuses minus retweet-kind 103: s1,s2,s5,s6,s7,s8 — LEFT
-    // list join keeps s6 with no match
-    assert(distinct === 6)
+    assert(distinct === 8)
   }
 }
