@@ -45,7 +45,8 @@ object SparkEntry {
     "q30_multimodal" -> (ExtQueries.q30Multimodal _),
     "q31_curated_highlights" -> (DomainQueries.q31CuratedHighlights _),
     "q32_distinct_sources" -> (DomainQueries.q32DistinctSources _),
-    "q33_count_highlights" -> (DomainQueries.q33CountHighlights _)
+    "q33_count_highlights" -> (DomainQueries.q33CountHighlights _),
+    "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,6 +83,10 @@ object SparkEntry {
     "q26_minhash_lsh" -> ExtQueries.q26Sql,
     "q27_simhash" -> ExtQueries.q27Sql,
     "q28_cosine_topk" -> ExtQueries.q28Sql,
+    // q29/q34: axis-sign buckets are engine-reproducible, so the oracle
+    // replicates the ANN pruning itself (q34 = same query, bucketed storage)
+    "q29_lsh_ann" -> ExtQueries.q29Sql,
+    "q34_bucketed_ann" -> ExtQueries.q29Sql,
     "q30_multimodal" -> ExtQueries.q30Sql,
     // q31-q33: the reference's REAL queries over DuckDB-reconstructible
     // domain fixtures (DomainQueries.fixtureCte) — the fidelity gate

@@ -49,6 +49,35 @@ object Similarity {
   }
 
   /**
+   * Axis-aligned sign-LSH bucket id: bit p = sign(vec[p·stride]). For
+   * cosine similarity each coordinate axis IS a valid random-hyperplane
+   * draw when the corpus is isotropic (mean-zero, no preferred axis) — the
+   * degenerate-but-legitimate member of the SRP-LSH family. Two practical
+   * properties:
+   *  - engine-reproducible: a SQL oracle can compute the identical bucket
+   *    (`embedding[j] > 0`), so the WHOLE ANN pipeline (prune + exact
+   *    re-rank) is hash-checkable, unlike the murmur3 variant below;
+   *  - storage-friendly: the bucket is a stable small int — the natural
+   *    partition key for an IVF-style bucketed table (BucketedAnn).
+   * On anisotropic real-world embeddings, apply a seeded random rotation
+   * first (or use [[signBucket]]); the probe logic is unchanged.
+   */
+  def axisSignBucket(vec: Column, nPlanes: Int, stride: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(element_at(vec, p * stride + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket of a literal query vector, computed at plan time. */
+  def axisSignBucketOf(vec: Seq[Float], nPlanes: Int, stride: Int): Long =
+    (0 until nPlanes).map(p => if (vec(p * stride) > 0) 1L << p else 0L).sum
+
+  /** All buckets within Hamming distance `maxHamming` of `center` — the
+    * probe set, enumerable at plan time for a literal query (2^nPlanes ids). */
+  def hammingBall(center: Long, nPlanes: Int, maxHamming: Int): Seq[Long] =
+    (0L until (1L << nPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ center) <= maxHamming)
+
+  /**
    * Sign-LSH bucket id: one bit per pseudo-random hyperplane. Hyperplane
    * h_i's components are derived deterministically from murmur3(i, dim) —
    * no RNG state to ship to executors.
@@ -64,6 +93,31 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /**
+   * ANN top-k via axis-sign LSH: candidates = vectors whose bucket is within
+   * `maxHamming` bits of the query's bucket (a plan-time literal IN-list —
+   * pushdown-friendly), then exact cosine re-rank of the survivors. The
+   * output contract is "exact top-k OF THE PROBED BUCKETS", which a SQL
+   * oracle reproduces bit-for-bit; recall vs the full corpus is the usual
+   * LSH probe tradeoff (nPlanes, maxHamming).
+   */
+  def axisLshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                  queryVec: Seq[Float], k: Int,
+                  nPlanes: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val dim = queryVec.length
+    val stride = dim / nPlanes
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val qBucket = axisSignBucketOf(queryVec, nPlanes, stride)
+    val ball = hammingBall(qBucket, nPlanes, maxHamming)
+    embeddings
+      .withColumn("bucket", axisSignBucket(col(vecCol), nPlanes, stride))
+      .filter(col("bucket").isin(ball: _*))
+      .withColumn("cos_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /**

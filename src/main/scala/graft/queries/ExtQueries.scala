@@ -210,17 +210,50 @@ object ExtQueries {
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  /** q29 — sign-LSH bucketed ANN (the 100 TB path: probe a few buckets, not
-    * the corpus; murmur3-derived hyperplanes — rows-only gate, recall
-    * checked against q28 in SimilaritySpec). */
-  def q29LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    // deterministic query vector: all-0.1 (a literal, so the bucket of the
-    // query is computable without a collect)
-    val qv = Seq.fill(64)(0.1f)
-    Similarity.lshTopK(e, "vec_id", "embedding", qv, k = 10,
-      nPlanes = 8, maxHamming = 3)
+  /** The q29/q34 query vector: all-0.1 (a literal, so the query's bucket is
+    * a plan-time constant — no collect). */
+  private val annQueryVec: Seq[Float] = Seq.fill(64)(0.1f)
+
+  /** q29 — axis-sign-LSH ANN: probe the Hamming-≤3 ball around the query's
+    * bucket (93/256 buckets), exact cosine re-rank. The bucket function is
+    * engine-reproducible, so the oracle replicates the SAME pruning and the
+    * result is hash-checked — the contract is "exact top-k of the probed
+    * buckets". (The murmur3-hyperplane variant stays as Similarity.lshTopK,
+    * recall-spec'd in SimilaritySpec.) */
+  def q29LshAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.axisLshTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", annQueryVec, k = 10, nPlanes = 8, maxHamming = 3)
+
+  /** Shared q29/q34 oracle: identical bucket bits, ball filter and cosine
+    * re-rank in DuckDB SQL. */
+  val q29Sql: String = {
+    val bucketBits = (0 until 8)
+      .map(p => s"(CASE WHEN embedding[${p * 8 + 1}] > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("\n      |    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketBits AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT list_transform(range(64), i -> CAST(CAST(0.1 AS FLOAT) AS DOUBLE)) AS qv)
+       |SELECT vec_id,
+       |  list_sum(list_transform(range(len(embedding)), i ->
+       |      CAST(embedding[i+1] AS DOUBLE) * qv[i+1]))
+       |  / (sqrt(list_sum(list_transform(range(len(embedding)), i ->
+       |        CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))) AS cos_sim
+       |FROM b, q
+       |WHERE bit_count(xor(bucket, 255)) <= 3
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
   }
+
+  /** q34 — the SAME ANN query over the bucket-PARTITIONED index: the
+    * Hamming ball becomes a partition-column IN-list, so the scan prunes to
+    * the probed directories (BucketedAnnSpec asserts PartitionFilters).
+    * Same oracle as q29 — only the physical plan differs. */
+  def q34BucketedAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
+      maxHamming = 3)
 
   /** q30 — multimodal plumbing: binary payload + typed metadata + frame
     * fan-out with stubbed decode. Oracle checks the engine-reproducible
