@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.CoreExprs
+import graft.sink.JdbcUpsertSink
+import graft.sources.JdbcSource
+import graft.sources.JdbcSource.JdbcConfig
+
+/** End-to-end JDBC path against an embedded Derby database (the Derby jars
+  * ship with Spark): real format("jdbc") reads with pushdown assertions and
+  * the delete-then-insert upsert sink, replayed. */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val cfg = JdbcConfig(url, "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+
+  private lazy val db: Unit = {
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE weaving_status (
+        |  ust_id BIGINT, ust_status_id VARCHAR(32), ust_full_name VARCHAR(64),
+        |  ust_text VARCHAR(256), ust_created_at TIMESTAMP,
+        |  ust_api_document VARCHAR(1024))""".stripMargin)
+    st.executeUpdate(
+      "INSERT INTO weaving_status VALUES (1, '101', 'alpha', 't1', TIMESTAMP('2023-03-10 10:00:00'), '{}')")
+    st.executeUpdate(
+      "INSERT INTO weaving_status VALUES (2, '102', 'beta', 't2', TIMESTAMP('2023-03-10 23:30:00'), '{}')")
+    // 00:30 next day buckets back INTO 2023-03-10 via the −1h shift
+    st.executeUpdate(
+      "INSERT INTO weaving_status VALUES (3, '103', 'gamma', 't3', TIMESTAMP('2023-03-11 00:30:00'), '{}')")
+    st.executeUpdate(
+      "INSERT INTO weaving_status VALUES (4, '104', 'delta', 't4', TIMESTAMP('2023-03-12 10:00:00'), '{}')")
+    st.executeUpdate(
+      """CREATE TABLE sink_docs (
+        |  id BIGINT, list_id VARCHAR(32), ingest_date VARCHAR(10),
+        |  retweets INT)""".stripMargin)
+    st.close(); conn.close()
+  }
+
+  test("JDBC read pushes the range-form day predicate to the database") {
+    db
+    val df = JdbcSource.table(spark, cfg, "weaving_status")
+      .filter(CoreExprs.dayBucketEquals(col("UST_CREATED_AT"), "2023-03-10"))
+      .select(col("UST_ID"), col("UST_FULL_NAME"))
+    // correctness: rows at 10:00 and 23:30, PLUS next-day 00:30 (−1h pulls
+    // it back); 03-12 is out
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the plan must show the predicate INSIDE the JDBC scan (PushedFilters),
+    // not as a post-scan Spark filter — dayBucketEquals' range form exists
+    // exactly for this (CoreExprs.scala)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("UST_CREATED_AT IsNotNull") ||
+      plan.contains("UST_CREATED_AT >=") ||
+      plan.contains("GreaterThanOrEqual(UST_CREATED_AT"), plan.take(1500))
+  }
+
+  test("JDBC upsert sink: replaying a scope does not duplicate rows") {
+    db
+    import spark.implicits._
+    val batch1 = Seq((1L, "L1", "2023-03-10", 5), (2L, "L1", "2023-03-10", 7))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    JdbcUpsertSink.write(batch1, url, "sink_docs",
+      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+    // replay with an updated value — the scope delete makes it last-writer-wins
+    val batch2 = Seq((1L, "L1", "2023-03-10", 50), (2L, "L1", "2023-03-10", 70))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    JdbcUpsertSink.write(batch2, url, "sink_docs",
+      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+    val back = JdbcSource.table(spark, cfg, "sink_docs").collect()
+    assert(back.length === 2)
+    assert(back.map(r => r.getAs[Int]("RETWEETS")).sorted.toSeq === Seq(50, 70))
+  }
+
+  test("other scopes survive a scoped replay (partition-truncate semantics)") {
+    db
+    import spark.implicits._
+    val other = Seq((9L, "L2", "2023-03-10", 1))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    JdbcUpsertSink.write(other, url, "sink_docs",
+      "list_id = 'L2' AND ingest_date = '2023-03-10'")
+    val l1 = Seq((1L, "L1", "2023-03-10", 99))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    JdbcUpsertSink.write(l1, url, "sink_docs",
+      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+    val back = JdbcSource.table(spark, cfg, "sink_docs")
+      .orderBy("ID").collect()
+    assert(back.map(_.getAs[Long]("ID")).toSeq === Seq(1L, 9L))
+  }
+}
