@@ -36,7 +36,10 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div` is INTEGRAL division — Column `/` would go through Double, and
+    // ns-epoch values (~1.7e18) exceed 2^53, so the rounding could move a
+    // truncated micro by ±1 vs DuckDB's exact ns→us integer cast
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -35,6 +35,19 @@ object CoreExprs {
   }
 
   /**
+   * F4 week mode, CORRECTED: the reference's `-since-last-week` emits
+   * syntactically invalid SQL (`NOW()::now - '7 DAYS::interval'`,
+   * /root/reference/trends.go:531-534 — the flag can never have worked).
+   * The intended semantics per the surrounding code is "status created
+   * within the trailing 7 days under the −1h shift":
+   * `ts − 1h > now − 7 days`, i.e. a bare-column range compare (pushdown-
+   * friendly, like dayBucketEquals). `now` is injectable for testability.
+   * Documented deviation (SURVEY §7.4 #5).
+   */
+  def withinLastWeek(ts: Column, now: Column): Column =
+    ts > now - expr("INTERVAL '7' DAY") + expr("INTERVAL '1' HOUR")
+
+  /**
    * Status URL assembly — CONCAT('https://twitter.com/', name, '/status/', id)
    * (/root/reference/trends.go:281).
    */

@@ -23,7 +23,9 @@ object HighlightQueries {
   val DeprecatedListId = "35ca09fb-2a7e-4a9e-a2f0-8989a4b68b79"
 
   /** Query parameters ≙ the reference's bound params + flags
-    * (trends.go:84-131, 422-448). */
+    * (trends.go:84-131, 422-448). `sinceLastWeek` is F4 with the CORRECTED
+    * semantics (the reference flag emits invalid SQL — trends.go:531-534);
+    * `nowOverride` freezes the week-window clock for tests. */
   final case class Params(
       sinceDate: String,
       listId: String,
@@ -32,7 +34,9 @@ object HighlightQueries {
       limit: Int = 10,
       page: Int = 0,
       sortDesc: Boolean = true,
-      excludeDeletedMembers: Boolean = true)
+      excludeDeletedMembers: Boolean = true,
+      sinceLastWeek: Boolean = false,
+      nowOverride: Option[String] = None)
 
   /** The five source tables (graft.model.Schemas). */
   final case class TrendsTables(
@@ -46,6 +50,17 @@ object HighlightQueries {
     * (F10, trends.go:302-305). */
   private def listMatch(p: Params): Column =
     col("public_id").isin(p.listId, p.deprecatedListId)
+
+  /** The week-window clock, frozen by `nowOverride` in tests. */
+  private def nowCol(p: Params): Column =
+    p.nowOverride.map(s => to_timestamp(lit(s))).getOrElse(current_timestamp())
+
+  /** The `sinceWhen()` join fragment (trends.go:531-540): week mode swaps
+    * the day alignment for the trailing-7-day window on the status's
+    * creation time; `dayCond` is the mode-specific day-alignment fallback. */
+  private def sinceWhen(p: Params, dayCond: Column): Column =
+    if (p.sinceLastWeek) withinLastWeek(col("ust_created_at"), nowCol(p))
+    else dayCond
 
   /** Deleted-member key list: comma-join weaving_user × publishers_list on
     * username = screen_name, soft-deleted lists only (J7/F9,
@@ -84,8 +99,8 @@ object HighlightQueries {
 
     var joined = h
       .join(s,
-        col("ust_id") === col("status_id") &&
-          dayBucketEquals(col("ust_created_at"), p.sinceDate)) // F3 alignment
+        col("ust_id") === col("status_id") && // F3 alignment / F4 week window
+          sinceWhen(p, dayBucketEquals(col("ust_created_at"), p.sinceDate)))
       .join(broadcast(t.publishersList.filter(listMatch(p))), // J2 small dim
         col("aggregate_id") === col("id"))
 
@@ -154,7 +169,7 @@ object HighlightQueries {
     // status whose highlight row is retweet-flagged keeps NULL h columns
     // (its kind then falls back to the doc heuristic) instead of dropping.
     val hCond = col("ust_id") === col("status_id") &&
-      dayBucketEquals(col("publication_date_time"), p.sinceDate) &&
+      sinceWhen(p, dayBucketEquals(col("publication_date_time"), p.sinceDate)) &&
       (if (!p.includeRetweets) col("is_retweet") === false else lit(true))
     val base = s.join(h, hCond, "left")
 
@@ -248,7 +263,7 @@ object HighlightQueries {
         .filter(dayBucketEquals(col("publication_date_time"), p.sinceDate))
         .join(t.weavingStatus,
           col("ust_id") === col("status_id") &&
-            dayBucketEquals(col("ust_created_at"), p.sinceDate))
+            sinceWhen(p, dayBucketEquals(col("ust_created_at"), p.sinceDate)))
         .join(broadcast(t.publishersList.filter(listMatch(p))),
           col("aggregate_id") === col("id"))
         .join(pop,
@@ -261,7 +276,7 @@ object HighlightQueries {
         .filter(dayBucketEquals(col("ust_created_at"), p.sinceDate))
       val base = s.join(t.highlight,
         col("ust_id") === col("status_id") &&
-          dayBucketEquals(col("publication_date_time"), p.sinceDate),
+          sinceWhen(p, dayBucketEquals(col("publication_date_time"), p.sinceDate)),
         "left")
       val pl = t.publishersList.filter(listMatch(p))
         .select(col("id").as("pl_id"))

@@ -38,10 +38,11 @@ object KeyedPartitionSink {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val bounded =
-        if (docs.rdd.getNumPartitions > maxWriteTasks)
-          docs.coalesce(maxWriteTasks)
-        else docs
+      // coalesce never increases partition count, so this is a pure upper
+      // bound on write tasks (≙ the reference's 100-goroutine cap, R3) and
+      // doesn't force RDD lineage materialization the way probing
+      // rdd.getNumPartitions would pre-AQE
+      val bounded = docs.coalesce(maxWriteTasks)
       bounded.write
         .mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)

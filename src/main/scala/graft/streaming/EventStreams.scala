@@ -95,11 +95,22 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Partition by the FULL group key: Update mode emits only the
+        // changed (day, event_type) groups, so overwriting day-level
+        // partitions would silently delete the day's untouched event types.
+        // With (day, event_type) partitions each overwritten directory is
+        // exactly one emitted group — true upsert granularity.
         val spark = batch.sparkSession
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite")
-          .partitionBy("day")
-          .parquet(path)
+        try {
+          batch.write.mode("overwrite")
+            .partitionBy("day", "event_type")
+            .parquet(path)
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       .start()
 }

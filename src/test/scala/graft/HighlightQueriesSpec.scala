@@ -73,6 +73,21 @@ class HighlightQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("username")).toSeq === Seq("beta"))
   }
 
+  test("week mode (F4 corrected): trailing 7-day window under a frozen clock") {
+    // now = D+2 → day-D statuses sit inside (now − 7d, now] → same rows as
+    // day mode (the WHERE day filter still pins the day, per the reference's
+    // clause structure)
+    val fresh = HighlightQueries.curatedHighlights(
+      t, base.copy(sinceLastWeek = true,
+        nowOverride = Some(s"2023-03-12 12:00:00"))).collect()
+    assert(fresh.map(_.getAs[String]("statusId")).toSeq === Seq("102", "101", "105"))
+    // now = D+30 → the join's week window excludes every day-D status
+    val stale = HighlightQueries.curatedHighlights(
+      t, base.copy(sinceLastWeek = true,
+        nowOverride = Some(s"2023-04-09 12:00:00"))).collect()
+    assert(stale.isEmpty)
+  }
+
   test("counts: faithful to the reference's count tree (J6 + popularity multiplication)") {
     // curated: h1,h2,h3,h5,h7 pass (NO retweet filter in the count —
     // trends.go:453-470), and the popularity LEFT JOIN multiplies h2 by its

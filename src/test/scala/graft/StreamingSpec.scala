@@ -86,14 +86,20 @@ class StreamingSpec extends SparkSpec {
       EventStreams.dailyCounts(input.toDF(), lateness = "1 hour"),
       s"$dir/out", cp)
     try {
-      input.addData(ev(1, "2024-01-01 12:00:00", 1, "view", 1.0))
+      input.addData(
+        ev(1, "2024-01-01 12:00:00", 1, "view", 1.0),
+        ev(5, "2024-01-01 12:30:00", 2, "click", 9.0))
       q.processAllAvailable()
+      // batch 2 updates ONLY the view group — the click group's partition
+      // must survive (update-mode batches carry just the changed groups, so
+      // partitioning must be by the full (day, event_type) key)
       input.addData(ev(2, "2024-01-01 13:00:00", 1, "view", 2.0))
       q.processAllAvailable()
       val out = spark.read.parquet(s"$dir/out")
-      // update-mode batch 2 rewrote day 2024-01-01's partition: no dup rows
       val day = out.filter($"day" === "2024-01-01").collect()
-      assert(day.map(_.getAs[Long]("n_events")).toSeq === Seq(2L))
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events"))
+        .toMap
+      assert(day === Map("view" -> 2L, "click" -> 1L))
     } finally q.stop()
   }
 }
