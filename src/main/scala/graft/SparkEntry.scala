@@ -46,7 +46,8 @@ object SparkEntry {
     "q31_curated_highlights" -> (DomainQueries.q31CuratedHighlights _),
     "q32_distinct_sources" -> (DomainQueries.q32DistinctSources _),
     "q33_count_highlights" -> (DomainQueries.q33CountHighlights _),
-    "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _)
+    "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _),
+    "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +93,7 @@ object SparkEntry {
     // domain fixtures (DomainQueries.fixtureCte) — the fidelity gate
     "q31_curated_highlights" -> DomainQueries.q31Sql,
     "q32_distinct_sources" -> DomainQueries.q32Sql,
-    "q33_count_highlights" -> DomainQueries.q33Sql
+    "q33_count_highlights" -> DomainQueries.q33Sql,
+    "q35_embedding_neardup" -> ExtQueries.q35Sql
   )
 }

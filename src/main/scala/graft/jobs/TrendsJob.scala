@@ -55,4 +55,23 @@ object TrendsJob {
       .reduce(_ union _)
     KeyedPartitionSink.write(docs, cfg.sinkPath, dryRun = cfg.dryRun)
   }
+
+  /**
+   * The north star's full JDBC lifecycle: five tables read over JDBC
+   * (≙ the reference's Postgres source, trends.go:215-223), three passes,
+   * and the delete-then-insert upsert back over JDBC (≙ the Firebase node
+   * pre-delete + keyed writes, trends.go:656-745). The replay scope is the
+   * (list, date) node — exactly what the reference deletes before a rerun.
+   */
+  def runOverJdbc(spark: org.apache.spark.sql.SparkSession,
+                  source: graft.sources.JdbcSource.JdbcConfig,
+                  cfg: Config, sinkUrl: String, sinkTable: String): Unit = {
+    val t = graft.sources.JdbcSource.trendsTables(spark, source)
+    val docs = activePasses(cfg.distinctSourcesOnly)
+      .map { case (st, ds, rt) => runPass(t, cfg, st, ds, rt) }
+      .reduce(_ union _)
+    if (cfg.dryRun) { docs.explain("formatted"); return }
+    graft.sink.JdbcUpsertSink.write(docs, sinkUrl, sinkTable,
+      s"list_id = '${cfg.params.listId}' AND ingest_date = '${cfg.params.sinceDate}'")
+  }
 }

@@ -141,6 +141,29 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-dup pairs blocked by the AXIS sign bucket — the
+   * engine-reproducible variant of [[cosineNearDupPairs]]: the block, the
+   * candidate set and the cosine verify are all SQL-expressible, so the
+   * whole operator is oracle-checkable (contract = "pairs ≥ threshold that
+   * share a bucket"). Fewer planes ⇒ bigger blocks ⇒ higher recall at more
+   * comparisons; same O(N²/2^nPlanes) shape as any single-table LSH block.
+   */
+  def axisCosineNearDupPairs(embeddings: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double,
+                             nPlanes: Int, stride: Int): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", axisSignBucket(col("vec"), nPlanes, stride))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, LSH-blocked: same banding trick
    * as Dedup — pairs sharing a sign-bucket are candidates, verified with
    * exact cosine ≥ threshold. (Exact variant of "embedding near-dup" for

@@ -255,6 +255,35 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q35 — embedding-cosine near-dup pairs, axis-bucket blocked (4 planes →
+    * 16 blocks): the paraphrase-catching dedup tier text shingles miss.
+    * Contract = "same-bucket pairs with cosine ≥ 0.35" — block, candidates
+    * and verify all replicated by the oracle. */
+  def q35EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.axisCosineNearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.35, nPlanes = 4, stride = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q35Sql: String = {
+    val bucketBits = (0 until 4)
+      .map(p => s"(CASE WHEN embedding[${p * 16 + 1}] > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    val dot = """list_sum(list_transform(range(len(a.embedding)), i ->
+                |      CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))""".stripMargin
+    val na = """sqrt(list_sum(list_transform(range(len(a.embedding)), i ->
+               |      CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))""".stripMargin
+    val nb = """sqrt(list_sum(list_transform(range(len(b.embedding)), i ->
+               |      CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $bucketBits AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  $dot / ($na * $nb) AS cos_sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $dot / ($na * $nb) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q30 — multimodal plumbing: binary payload + typed metadata + frame
     * fan-out with stubbed decode. Oracle checks the engine-reproducible
     * parts (byte length, content hash, frame count). */

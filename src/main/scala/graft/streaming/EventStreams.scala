@@ -113,4 +113,32 @@ object EventStreams {
         }
       }
       .start()
+
+  /**
+   * The north star's "Structured Streaming + JDBC" sink: each micro-batch
+   * upserts into a relational table through JdbcUpsertSink's
+   * delete-then-insert, scoped to exactly the (day, event_type) groups the
+   * batch carries. The group-key collect is driver-side and bounded by the
+   * number of UPDATED groups per batch (not rows) — the standard foreachBatch
+   * scoping idiom. Replays of a failed batch rewrite the same scopes, so the
+   * sink stays exactly-once per group.
+   */
+  def writeDailyUpsertJdbc(daily: DataFrame, url: String, table: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    daily.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val keys = b.select(col("day"), col("event_type")).distinct().collect()
+          if (keys.nonEmpty) {
+            val scope = keys.map { r =>
+              s"(day = '${r.get(0)}' AND event_type = '${r.getString(1)}')"
+            }.mkString(" OR ")
+            graft.sink.JdbcUpsertSink.write(b, url, table, scope)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
 }
