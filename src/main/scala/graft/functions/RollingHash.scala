@@ -56,21 +56,29 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Registration helpers: temp-function for a live session, plus a
+/** Registration helpers: temp-functions for a live session, plus a
   * SparkSessionExtensions installer for `spark.sql.extensions`. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` installs the
   * function permanently (the injection point for custom rules/strategies
   * too, if the engine ever needs them — SURVEY §4 concludes it doesn't). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native dot product over two numeric array columns (the ANN hot path —
+ * q28/q29/q34/q35 evaluate it 1-3× per corpus row).
+ *
+ * The builtin formulation `aggregate(zip_with(a, b, (x, y) => x*y), 0d, +)`
+ * is codegen'd but materializes the zipped intermediate ARRAY per row and
+ * walks it through two higher-order function frames; this expression is one
+ * fused primitive loop over the two ArrayData buffers — no allocation, full
+ * whole-stage codegen (SURVEY §7.3's preferred extension tier, like
+ * RollingHash).
+ *
+ * Semantics are IDENTICAL to the builtin chain (FunctionsSpec proves it):
+ * products accumulated left-to-right in index order (same doubles), NULL if
+ * either array is NULL, contains a NULL element, or lengths differ (zip_with
+ * pads with NULL → the aggregate sum is NULL).
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires two array<float|double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = xa.numElements()
+    if (n != xb.numElements()) return null
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      val va = if (ta == FloatType) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val vb = if (tb == FloatType) xb.getFloat(i).toDouble else xb.getDouble(i)
+      acc += va * vb
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, t: DataType, i: String): String =
+        if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $acc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ${get(a, elemType(left).get, i)} * ${get(b, elemType(right).get, i)};
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -21,8 +21,19 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns (element order). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<float/double> columns (element order) — the
+    * native fused-loop expression (graft.functions.DotProduct), resolved
+    * through the session function registry; registration is idempotent.
+    * The equivalent builtin chain is kept below for the equivalence spec. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
+
+  /** The builtin-only formulation (allocates the zipped array per row) —
+    * retained as the semantic reference for FunctionsSpec. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

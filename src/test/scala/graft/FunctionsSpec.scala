@@ -28,6 +28,34 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().length === 2)
   }
 
+  test("vec_dot: native fused loop == builtin aggregate(zip_with) chain") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L)
+      .map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val pairs = vecs.crossJoin(
+      vecs.select(col("id").as("id2"), col("v").as("w")))
+    val both = pairs.select(
+      graft.ops.Similarity.dot(col("v"), col("w")).as("native"),
+      graft.ops.Similarity.dotBuiltin(col("v"), col("w")).as("builtin"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))) // bit-identical
+    }
+    // null semantics: null array, null element, length mismatch → NULL
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), null.asInstanceOf[Seq[Float]]),
+      (Seq(1.0f, 2.0f), Seq(3.0f))
+    ).toDF("a", "b")
+      .select(graft.ops.Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    val nullElem = spark.sql(
+      "SELECT vec_dot(array(1.0D, NULL), array(1.0D, 2.0D)) AS d").collect()
+    assert(nullElem.head.isNullAt(0))
+  }
+
   test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
     val argmax = new ArgMaxLongString().toColumn
     val data = Seq(
