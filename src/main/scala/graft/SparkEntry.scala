@@ -47,7 +47,8 @@ object SparkEntry {
     "q32_distinct_sources" -> (DomainQueries.q32DistinctSources _),
     "q33_count_highlights" -> (DomainQueries.q33CountHighlights _),
     "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _),
-    "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _)
+    "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _),
+    "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +95,7 @@ object SparkEntry {
     "q31_curated_highlights" -> DomainQueries.q31Sql,
     "q32_distinct_sources" -> DomainQueries.q32Sql,
     "q33_count_highlights" -> DomainQueries.q33Sql,
-    "q35_embedding_neardup" -> ExtQueries.q35Sql
+    "q35_embedding_neardup" -> ExtQueries.q35Sql,
+    "q36_ppm_decode" -> ExtQueries.q36Sql
   )
 }

@@ -10,12 +10,17 @@ import org.apache.spark.sql.types._
  * exactly like a production lakehouse layout (bytes + sidecar metadata, one
  * row per asset; huge assets would hold a storage URI instead).
  *
- * The actual codec work (JPEG decode, resampling, frame extraction) needs
- * native libraries that are NOT in this container, so the decode kernels are
- * STUBS — `decodeStub`/`frameSample` produce deterministic fake outputs from
- * the real bytes. Everything around them (schema, batching, partitioning,
- * the shape of the exchange) is real Spark and is what matters at 100 TB:
- * per-row codegen'd byte ops, no driver collect, explode for frame fan-out.
+ * Two tiers:
+ *  - REAL codec tier (PPM): binary NetPBM needs no native library, so
+ *    `withPpmMedia`/`decodePpmStats` do a genuine byte-level encode →
+ *    decode → resize → re-decode round trip (typed mapPartitions — one
+ *    codec context per partition), oracle-checked analytically (q36).
+ *  - STUB tier: JPEG/audio/video codecs are NOT in this container, so
+ *    `decodeStub`/`resizeStub` produce deterministic fake outputs from the
+ *    real bytes, keeping the production signatures and batch shapes.
+ * Everything around the kernels (schema, batching, partitioning, explode
+ * fan-out, no driver collect) is real Spark — the part that matters at
+ * 100 TB.
  */
 object Multimodal {
 
@@ -61,6 +66,79 @@ object Multimodal {
    */
   def resizeStub(bytes: Column, maxBytes: Int): Column =
     substring(bytes, 1, maxBytes)
+
+  // ------------------------------------------------ real decode tier (PPM)
+
+  /** Synthetic image geometry for the real-decode tier. */
+  val ImgW = 16; val ImgH = 12
+  val ThumbW = 4; val ThumbH = 3
+
+  /** Deterministic pixel functions of (id, x, y) — the oracle recomputes the
+    * decoded statistics from these analytically (ExtQueries.q36Sql), which
+    * is what makes a BYTE-level codec round-trip hash-checkable. */
+  @inline def pxR(id: Long, x: Int, y: Int): Int = ((id + 7L * x + 13L * y) % 256).toInt
+  @inline def pxG(id: Long, x: Int, y: Int): Int = ((3L * id + 5L * x + y) % 256).toInt
+  @inline def pxB(id: Long, x: Int, y: Int): Int = ((5L * id + x + 11L * y) % 256).toInt
+
+  /** Rows of (id) → (id, real binary PPM payload). mapPartitions = the
+    * one-codec-context-per-partition shape a real encoder would use; this IS
+    * the genuine per-partition imperative logic the RDD/typed tier is for. */
+  def withPpmMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rgb = new Array[Byte](ImgW * ImgH * 3)
+          var y = 0
+          while (y < ImgH) {
+            var x = 0
+            while (x < ImgW) {
+              val o = (y * ImgW + x) * 3
+              rgb(o) = pxR(id, x, y).toByte
+              rgb(o + 1) = pxG(id, x, y).toByte
+              rgb(o + 2) = pxB(id, x, y).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Ppm.encode(ImgW, ImgH, rgb))
+        }
+      }
+      .toDF(idCol, "media_ppm")
+  }
+
+  /** Typed result of the decode → stats → resize → re-decode pipeline. */
+  final case class PpmStats(doc_id: Long, width: Int, height: Int,
+                            mean_r: Double, mean_g: Double, mean_b: Double,
+                            thumb_width: Int, thumb_height: Int,
+                            thumb_mean_r: Double)
+
+  /**
+   * REAL decode kernel: parse the PPM header + pixels, compute per-channel
+   * means, nearest-neighbor resize, re-encode, decode the thumbnail again
+   * and take its red mean — a full byte-level round trip through the wire
+   * format, batched per partition (no UDF boxing per value: one typed
+   * mapPartitions pass).
+   */
+  def decodePpmStats(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    withMedia.select(col("doc_id").cast(LongType), col("media_ppm"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, rgb) = Ppm.decode(bytes)
+          val (mr, mg, mb) = Ppm.channelMeans(rgb)
+          val thumbBytes = Ppm.encode(ThumbW, ThumbH,
+            Ppm.resizeNearest(w, h, rgb, ThumbW, ThumbH))
+          val (tw, th, trgb) = Ppm.decode(thumbBytes)
+          val (tmr, _, _) = Ppm.channelMeans(trgb)
+          PpmStats(id, w, h, mr, mg, mb, tw, th, tmr)
+        }
+      }
+      .toDF()
+  }
 
   /**
    * Frame sampling for video-ish payloads: fan one asset row out to

@@ -307,4 +307,35 @@ object ExtQueries {
       |  CAST(4 AS BIGINT) AS n_frames
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** q36 — REAL image decode tier: deterministic 16×12 RGB images encoded
+    * as genuine binary PPM, then decoded, channel-averaged, nearest-neighbor
+    * resized to 4×3, re-encoded and decoded again (Multimodal.decodePpmStats).
+    * The oracle recomputes every decoded statistic analytically from the
+    * pixel functions — a hash mismatch means the byte-level codec round trip
+    * broke. */
+  def q36PpmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    Multimodal.decodePpmStats(Multimodal.withPpmMedia(docs, "doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q36Sql: String = {
+    def mean(px: String, w: Int, h: Int, sx: Int, sy: Int): String =
+      s"""CAST(list_sum(flatten(list_transform(range($h), y ->
+         |      list_transform(range($w), x -> CAST(($px) % 256 AS DOUBLE))))) AS DOUBLE)
+         |    / ${w * h}""".stripMargin
+    val r = "doc_id + 7*($SX*x) + 13*($SY*y)"
+    def sub(expr: String, sx: Int, sy: Int) =
+      expr.replace("$SX", sx.toString).replace("$SY", sy.toString)
+    s"""SELECT doc_id,
+       |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       |  ${mean(sub(r, 1, 1), 16, 12, 1, 1)} AS mean_r,
+       |  ${mean(sub("3*doc_id + 5*($SX*x) + ($SY*y)", 1, 1), 16, 12, 1, 1)} AS mean_g,
+       |  ${mean(sub("5*doc_id + ($SX*x) + 11*($SY*y)", 1, 1), 16, 12, 1, 1)} AS mean_b,
+       |  CAST(4 AS INTEGER) AS thumb_width, CAST(3 AS INTEGER) AS thumb_height,
+       |  ${mean(sub(r, 4, 4), 4, 3, 4, 4)} AS thumb_mean_r
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
 }
