@@ -242,20 +242,26 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * SimHash near-dup pairs with band blocking: split the 64-bit fingerprint
-   * into `bands` equal bands; by pigeonhole, any pair with Hamming distance
-   * < bands agrees exactly on ≥1 band, so recall is GUARANTEED for
-   * maxDist ≤ bands−1 (the banding scheme of Manku et al.'s web-scale
-   * simhash dedup). Candidates are verified by exact Hamming ≤ maxDist.
-   * Same O(bands·N) shuffle shape as MinHash-LSH.
+   * SimHash near-dup pairs with (multi-probe) band blocking: split the
+   * 64-bit fingerprint into `bands` equal bands; by pigeonhole, any pair
+   * with Hamming distance < bands agrees exactly on ≥1 band (the banding
+   * scheme of Manku et al.'s web-scale simhash dedup). With `probeBits = 1`
+   * one side additionally probes every 1-bit variant of each band, which
+   * extends the guarantee: a pair at Hamming ≤ 2·bands−1 must have a band
+   * with ≤1 differing bit, and the probe that flips it collides. Candidates
+   * are verified by exact Hamming ≤ maxDist.
    *
-   * Band-width tradeoff: 8×8-bit bands cover maxDist 7 but each band has
-   * only 256 values, so bucket sizes grow as N/256 — fine to ~10⁶ docs; at
-   * corpus scale widen the bands (16-bit ⇒ maxDist ≤ 3 guaranteed) or add
-   * a second fingerprint permutation rather than narrowing bands.
+   * Shuffle shape: O(bands·N) rows on the plain side and
+   * O(bands·bandBits·N) on the probe side — still linear in the corpus; the
+   * probe factor buys the recall bound. Guarantee summary:
+   * maxDist ≤ (probeBits+1)·bands − 1 ⇒ full recall.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+                   maxDist: Int = 3, bands: Int = 4,
+                   probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits ∈ {0, 1}")
+    require(maxDist < (probeBits + 1) * bands,
+      s"recall is only guaranteed for maxDist ≤ ${(probeBits + 1) * bands - 1}")
     val bandBits = 64 / bands
     val bandMask = (1L << bandBits) - 1
     val fp = docs
@@ -269,9 +275,16 @@ object Dedup {
       }: _*)))
       .select(col("id"), col("fp"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    // probe side: the band value itself plus (for probeBits=1) each 1-bit
+    // flip — XOR is symmetric, so probing one join side suffices
+    val probed =
+      if (probeBits == 0) banded
+      else banded.withColumn("band_val",
+        explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+          .map(m => col("band_val").bitwiseXOR(m)): _*)))
     val a = banded.select(col("band_idx"), col("band_val"),
       col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band_idx"), col("band_val"),
+    val b = probed.select(col("band_idx"), col("band_val"),
       col("id").as("id_b"), col("fp").as("fp_b"))
     // Hamming filter BEFORE the pair-dedup: it is row-local on the joined
     // fingerprints, so the dropDuplicates shuffle carries only surviving
@@ -294,13 +307,45 @@ object Dedup {
    * which a SQL oracle can check exactly.
    */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 2, maxDist: Int = 7,
+                           n: Int = 2, maxDist: Int = 15,
                            threshold: Double = 0.5): DataFrame = {
-    require(maxDist < 8, "8-band blocking guarantees recall only for maxDist ≤ 7")
+    val bands = 8; val probeBits = 1
+    require(maxDist < (probeBits + 1) * bands,
+      s"recall guaranteed only for maxDist ≤ ${(probeBits + 1) * bands - 1}")
+    val bandBits = 64 / bands
+    val bandMask = (1L << bandBits) - 1
     val base = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both verify fetch sides
-    val pairs = simhashPairs(docs, idCol, textCol, maxDist, bands = 8)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds fp + both verify sides
+    // Fingerprint over the SAME n-gram feature set the verify stage uses
+    // (reusing the cached shingle hashes): aligned features keep true-pair
+    // Hamming low, and the far more diverse n-gram distribution keeps the
+    // 8-bit band buckets near-uniform — word-level fingerprints concentrate
+    // common-word statistics into hot buckets that the probe factor then
+    // amplifies quadratically.
+    val fp = base.select(col("id"),
+      simhashFromHashes(transform(col("ih"), h => xxhash64(h))).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
+        struct(lit(bi).as("band_idx"),
+          shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
+      }: _*)))
+      .select(col("id"), col("fp"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    // 1-bit multi-probe on one side: full recall guaranteed to Hamming ≤ 15
+    // (pigeonhole: ≤15 flips over 8 bands ⇒ some band has ≤1), which holds
+    // the corpus's true-pair tail (J≥0.8 pairs top out at h≈13) with room
+    val probed = banded.withColumn("band_val",
+      explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+        .map(m => col("band_val").bitwiseXOR(m)): _*)))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = probed.select(col("band_idx"), col("band_val"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     verifyJaccardPairs(pairs, base, threshold)
   }
 }

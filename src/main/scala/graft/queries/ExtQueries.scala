@@ -172,11 +172,12 @@ object ExtQueries {
   val q26Sql: String = nearDupPairsSql
 
   /** q27 — SimHash near-dup pairs, exact-Jaccard verified (same output
-    * contract as q26, independent candidate path; 8-band blocking makes
-    * recall at Hamming ≤ 7 a pigeonhole guarantee, not a probability). */
+    * contract as q26, independent candidate path; 8-band blocking with
+    * 1-bit multi-probe makes recall at Hamming ≤ 15 a pigeonhole guarantee,
+    * not a probability — the corpus's true pairs top out at h = 12). */
   def q27Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
-        n = 2, maxDist = 7, threshold = 0.5)
+        n = 2, maxDist = 15, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   val q27Sql: String = nearDupPairsSql
