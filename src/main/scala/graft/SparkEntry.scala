@@ -7,9 +7,12 @@ import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The distinct-sources highlights query is the reference's most
+    * distinctive semantics (SURVEY §7.2) — per-publisher argmax over the
+    * full five-table join tree. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q02GroupByAgg(spark, "/root/testdata/sf0.001")
+    DomainQueries.q32DistinctSources(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

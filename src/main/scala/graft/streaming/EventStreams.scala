@@ -56,6 +56,29 @@ object EventStreams {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /**
+   * Streaming exact dedup — the streaming twin of the batch Dedup.exact
+   * tier: one state entry per key, EVICTED once the watermark passes it
+   * (`dropDuplicatesWithinWatermark`), so state is bounded by the lateness
+   * horizon instead of growing with the stream — the only shape that
+   * survives an unbounded 100 TB/day feed. Exactly-once per key within the
+   * horizon; a duplicate arriving later than `lateness` is out-of-contract
+   * (same contract as any watermarked op).
+   */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /**
+   * Stream-static enrichment join: per micro-batch hash join against a
+   * static dimension (the batch side is re-read each trigger, broadcast
+   * when small) — how reference-data lookups attach to an event stream
+   * without any streaming state.
+   */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+                     key: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class KeyedMax(user_id: Long, max_value: Double, n_seen: Long)

@@ -78,6 +78,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedEvents: duplicate event ids collapse, state bounded by watermark") {
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(input.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0), // same-batch dup
+        ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00", 1, "view", 9.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("enrichedEvents: stream-static broadcast join attaches dimension data") {
+    val dim = Seq(("view", 1.0), ("click", 5.0)).toDF("event_type", "weight")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichedEvents(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, "purchase", 2.0)) // no dim row → null
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (if (r.isNullAt(r.fieldIndex("weight"))) None else Some(r.getAs[Double]("weight"))))
+        .toMap
+      assert(rows === Map(1L -> Some(1.0), 2L -> None))
+    } finally q.stop()
+  }
+
   test("writeDailyUpsert: micro-batches land as overwritable day partitions") {
     val dir = java.nio.file.Files.createTempDirectory("stream-sink").toString
     val cp = java.nio.file.Files.createTempDirectory("stream-cp").toString
