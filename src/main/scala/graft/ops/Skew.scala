@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation utilities — the manual path for hot keys beyond what AQE's
+ * skew-join splitting handles (AQE splits oversized SHUFFLE partitions, but
+ * a single hot GROUP BY key still lands on one reducer, and a broadcast-side
+ * explosion needs the salting rewrite).
+ *
+ * Both transforms are semantics-preserving (SkewSpec proves equality against
+ * the unsalted plans); they only change the exchange topology:
+ *
+ *  - [[saltedAggregate]]: two-phase aggregation — partials on (key, salt)
+ *    spread a hot key over `buckets` reducers, then a cheap merge on the key
+ *    (the generalization of Spark's own partial aggregation to algebraic
+ *    merges the planner can't infer).
+ *  - [[saltedJoin]]: the hot LEFT side gets a random salt, the small RIGHT
+ *    side is replicated `buckets`× with every salt value, and the join key
+ *    becomes (key, salt) — a hot key's rows now hash to `buckets` different
+ *    reducers.
+ */
+object Skew {
+
+  /** Aggregation spec: the stage-1 partial over raw rows and the stage-2
+    * merge over the named partial column. */
+  final case class TwoPhase(partial: Column, merge: String => Column)
+
+  /** sum → sum-of-sums. */
+  def sumOf(c: Column): TwoPhase = TwoPhase(sum(c), n => sum(col(n)))
+  /** count → sum-of-counts. */
+  def countAll: TwoPhase = TwoPhase(count(lit(1)), n => sum(col(n)))
+  /** max → max-of-maxes. */
+  def maxOf(c: Column): TwoPhase = TwoPhase(max(c), n => max(col(n)))
+  /** min → min-of-mins. */
+  def minOf(c: Column): TwoPhase = TwoPhase(min(c), n => min(col(n)))
+
+  /**
+   * Two-phase skew-proof aggregation: `aggs` maps output column name →
+   * TwoPhase spec. The salt assignment is arbitrary row→bucket (algebraic
+   * merges make the result independent of it), so a hash of a per-row
+   * surrogate id suffices.
+   */
+  def saltedAggregate(df: DataFrame, key: Column, buckets: Int,
+                      aggs: Map[String, TwoPhase]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val stage1 = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(aggs.head._2.partial.as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
+    stage1.groupBy(col("__key"))
+      .agg(aggs.head._2.merge(aggs.head._1).as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.merge(n).as(n) }.toSeq: _*)
+      .withColumnRenamed("__key", "key")
+  }
+
+  /**
+   * Salted equi-join for a skewed left side: right side replicated with all
+   * `buckets` salt values (keep it small — replication multiplies it), left
+   * side salted randomly; inner/left semantics preserved.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt_l",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val replicatedRight = right.withColumn("__salt_r",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLeft.join(replicatedRight,
+        leftKey === rightKey && col("__salt_l") === col("__salt_r"),
+        joinType)
+      .drop("__salt_l", "__salt_r")
+  }
+}
