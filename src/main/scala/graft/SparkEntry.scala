@@ -51,7 +51,8 @@ object SparkEntry {
     "q33_count_highlights" -> (DomainQueries.q33CountHighlights _),
     "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _),
     "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _),
-    "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _)
+    "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _),
+    "q37_curation_pipeline" -> (ExtQueries.q37Curation _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,6 +100,7 @@ object SparkEntry {
     "q32_distinct_sources" -> DomainQueries.q32Sql,
     "q33_count_highlights" -> DomainQueries.q33Sql,
     "q35_embedding_neardup" -> ExtQueries.q35Sql,
-    "q36_ppm_decode" -> ExtQueries.q36Sql
+    "q36_ppm_decode" -> ExtQueries.q36Sql,
+    "q37_curation_pipeline" -> ExtQueries.q37Sql
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /**
  * North-star extension queries (training-data pipeline ops) over the
@@ -308,6 +308,68 @@ object ExtQueries {
       |  CAST(4 AS BIGINT) AS n_frames
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** q37 — the composed corpus-curation pipeline (Curation.curate):
+    * lang/quality gate → exact dedup (keep min id) → MinHash-LSH near-dup
+    * removal. The oracle recomposes the same stages from the q21/q23/q24/q26
+    * SQL building blocks — the end-to-end flow the individual ops exist for. */
+  def q37Curation(spark: SparkSession, dir: String): DataFrame =
+    Curation.curate(Tables.documents(spark, dir), "doc_id", "text",
+        minQuality = 0.5, nearDupThreshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  val q37Sql: String = {
+    val score = TextAnalysis.langMarkers.map { case (l, m) =>
+      s"len(list_intersect(words, ${m.map(x => s"'$x'").mkString("[", ", ", "]")})) AS s_$l"
+    }.mkString(",\n       |          ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("\n       |      ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    CASE $cases
+       |      ELSE 'und' END AS lang_pred,
+       |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |      + (CASE WHEN len(words) = 0 THEN 0.0
+       |              ELSE CAST(len(list_intersect(words, $swList)) AS DOUBLE) / len(words) END) * 0.3
+       |      + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |               ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END) * 0.2 AS quality
+       |  FROM (SELECT doc_id, text, words,
+       |          $score
+       |        FROM wt)),
+       |gated AS (
+       |  SELECT doc_id, text, lang_pred, quality FROM scored
+       |  WHERE lang_pred <> 'und' AND quality >= 0.5),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+       |        FROM gated)
+       |  GROUP BY fp),
+       |dd AS (
+       |  SELECT g.doc_id, g.text, g.lang_pred, g.quality
+       |  FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+       |sh AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+       |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+       |    END) AS s
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |        FROM dd)),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |losers AS (
+       |  SELECT DISTINCT b.id AS doc_id
+       |  FROM sz a JOIN sz b ON a.id < b.id AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5)
+       |SELECT d.doc_id, d.lang_pred, d.quality
+       |FROM dd d LEFT JOIN losers l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** q36 — REAL image decode tier: deterministic 16×12 RGB images encoded
     * as genuine binary PPM, then decoded, channel-averaged, nearest-neighbor
