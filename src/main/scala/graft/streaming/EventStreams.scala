@@ -79,6 +79,31 @@ object EventStreams {
                      key: String = "event_type"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /**
+   * Watermarked stream-stream interval join: pair each left event with the
+   * right-stream events of the same user that happened within `within`
+   * AFTER it (attribution-style correlation). Both sides carry watermarks
+   * and the join condition bounds the time range in BOTH directions, so
+   * Spark can size and EVICT the join state — the unbounded-state trap of
+   * naive stream-stream joins is structurally avoided.
+   */
+  def correlatedEvents(left: DataFrame, right: DataFrame,
+                       within: String = "1 hour",
+                       lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class KeyedMax(user_id: Long, max_value: Double, n_seen: Long)

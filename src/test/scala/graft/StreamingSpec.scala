@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlatedEvents: stream-stream interval join pairs events in the window") {
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.correlatedEvents(views.toDF(), clicks.toDF(),
+        within = "30 minutes", lateness = "1 hour")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:00:00", 2, "view", 1.0))
+      clicks.addData(
+        ev(10, "2024-01-01 10:10:00", 1, "click", 1.0), // within 30m of view 1
+        ev(11, "2024-01-01 11:00:00", 1, "click", 1.0), // outside the window
+        ev(12, "2024-01-01 10:05:00", 3, "click", 1.0)) // other user
+      q.processAllAvailable()
+      val pairs = spark.table("correlated").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+      assert(pairs.toSet === Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("writeDailyUpsert: micro-batches land as overwritable day partitions") {
     val dir = java.nio.file.Files.createTempDirectory("stream-sink").toString
     val cp = java.nio.file.Files.createTempDirectory("stream-cp").toString
