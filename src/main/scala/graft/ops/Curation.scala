@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * The composed corpus-curation pipeline — what the individual
@@ -36,8 +37,11 @@ object Curation {
       id, col(textCol),
       TextAnalysis.langId(col(textCol)).as("lang_pred"),
       TextAnalysis.qualityScore(col(textCol), "[.,!?;:]").as("quality"))
+    // gated feeds three subplans (exact-dedup keepers, the LSH base, the
+    // final anti-join) — persist so the signal pass runs once
     val gated = scored
       .filter(col("lang_pred") =!= "und" && col("quality") >= minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // 3. exact dedup — keep min id per fingerprint
     val keepers = gated
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
