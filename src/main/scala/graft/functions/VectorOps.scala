@@ -85,3 +85,84 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Fused 64-bit SimHash over an array of 64-bit feature hashes: per bit,
+ * sum +1/−1 across elements, bit set iff the sum is positive.
+ *
+ * The builtin formulation evaluates 64 SEPARATE `aggregate()` higher-order
+ * lambdas per row (one pass over the array per bit); this is one primitive
+ * loop accumulating all 64 counters — same result on null-free arrays
+ * (FunctionsSpec proves bit-equality), NULL if the array or any element is
+ * NULL.
+ */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val bad = ctx.freshName("bad")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counts = new int[64];
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  long $h = $arr.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  long $fp = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($counts[$b] > 0) $fp |= 1L << $b;
+         |  }
+         |  ${ev.value} = $fp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

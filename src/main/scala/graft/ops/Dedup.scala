@@ -227,10 +227,18 @@ object Dedup {
   def simhash64(text: Column): Column =
     simhashFromHashes(transform(TextAnalysis.words(text), t => xxhash64(t)))
 
-  /** SimHash from pre-computed 64-bit token hashes. Callers should
-    * materialize the hash array as its own column first — each token is
-    * hashed once, not once per bit. */
-  def simhashFromHashes(hashes: Column): Column =
+  /** SimHash from pre-computed 64-bit token hashes — the native fused
+    * expression (graft.functions.SimHash64): one loop accumulating all 64
+    * bit counters, instead of 64 separate `aggregate()` passes per row. */
+  def simhashFromHashes(hashes: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("simhash64", hashes)
+  }
+
+  /** The builtin-only formulation — retained as the semantic reference for
+    * FunctionsSpec' bit-equality proof. */
+  def simhashFromHashesBuiltin(hashes: Column): Column =
     (0 until 64).map { i =>
       when(aggregate(hashes, lit(0L),
         (acc, h) => acc +

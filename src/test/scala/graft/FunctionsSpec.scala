@@ -56,6 +56,22 @@ class FunctionsSpec extends SparkSpec {
     assert(nullElem.head.isNullAt(0))
   }
 
+  test("simhash64: native fused loop == builtin 64-aggregate chain") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong()))
+    val df = rows.toDF("hs")
+    val both = df.select(
+      graft.ops.Dedup.simhashFromHashes(col("hs")).as("native"),
+      graft.ops.Dedup.simhashFromHashesBuiltin(col("hs")).as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empty array: all counters 0 → no bits set, both formulations
+    val empty = spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>)) d")
+      .collect()
+    assert(empty.head.getLong(0) === 0L)
+  }
+
   test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
     val argmax = new ArgMaxLongString().toColumn
     val data = Seq(
