@@ -66,6 +66,9 @@ object GraftFunctions {
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }
 

@@ -166,3 +166,81 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/**
+ * Fused MinHash signature over an array of int feature hashes: k seeded
+ * minima in ONE pass over the array (inner loop over seeds), replacing the
+ * builtin `transform(sequence(0,k−1), seed → array_min(transform(ih, s →
+ * hash(s, seed))))` which materializes k transformed arrays per row.
+ *
+ * Bit-compatible with the builtin: Spark's `hash(s, seed)` chains murmur3
+ * as h = hashInt(seed_arg, hashInt(s, 42)), reproduced here with the same
+ * Murmur3_x86_32 primitives (FunctionsSpec proves equality). NULL on a
+ * NULL/empty array or NULL element.
+ */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<int>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val base = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashInt(arr.getInt(i), 42)
+      var j = 0
+      while (j < k) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      val bad = ctx.freshName("bad")
+      val m3 = "org.apache.spark.unsafe.hash.Murmur3_x86_32"
+      s"""
+         |int $n = $arr.numElements();
+         |boolean $bad = $n == 0;
+         |int[] $mins = new int[$k];
+         |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($arr.isNullAt($i)) { $bad = true; break; }
+         |  int $base = $m3.hashInt($arr.getInt($i), 42);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    int $h = $m3.hashInt($j, $base);
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

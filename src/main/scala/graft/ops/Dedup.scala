@@ -122,11 +122,20 @@ object Dedup {
   // --------------------------------------------------------- MinHash+LSH
 
   /**
-   * MinHash signature: k seeded murmur3 min-hashes over the shingle set.
-   * Per-row `transform`/`array_min` — computed map-side, no shuffle. The
+   * MinHash signature: k seeded murmur3 min-hashes over the shingle set —
+   * the native fused expression (graft.functions.MinHashSig): one pass over
+   * the hashes with an inner seed loop, computed map-side, no shuffle. The
    * seed enters as a second hash input, giving k independent hash families.
    */
-  def minhashSignature(sh: Column, k: Int): Column =
+  def minhashSignature(sh: Column, k: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_sig", sh, lit(k))
+  }
+
+  /** The builtin-only formulation (k transformed arrays per row) — retained
+    * as the semantic reference for FunctionsSpec's bit-equality proof. */
+  def minhashSignatureBuiltin(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(sh, s => hash(s, seed))))
 

@@ -72,6 +72,20 @@ class FunctionsSpec extends SparkSpec {
     assert(empty.head.getLong(0) === 0L)
   }
 
+  test("minhash_sig: native fused loop == builtin transform/array_min chain") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 30).map(_ => Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt()))
+    val df = rows.toDF("ih")
+    val both = df.select(
+      graft.ops.Dedup.minhashSignature(col("ih"), 16).as("native"),
+      graft.ops.Dedup.minhashSignatureBuiltin(col("ih"), 16).as("builtin"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](0).toSeq === r.getSeq[Int](1).toSeq)
+    }
+  }
+
   test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
     val argmax = new ArgMaxLongString().toColumn
     val data = Seq(
