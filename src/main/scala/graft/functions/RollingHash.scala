@@ -69,6 +69,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -94,5 +97,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
   }
 }

@@ -244,3 +244,70 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/**
+ * |A ∩ B| for two SORTED-DISTINCT int arrays: a two-pointer merge count —
+ * no hashing, no boxing, no output array. `size(array_intersect(a, b))`
+ * builds a hash set AND materializes the common-elements array per pair;
+ * this is the inner loop of every pair-verify stage (n-gram Jaccard,
+ * LSH/SimHash verification), so the engine sorts each doc's hashed shingle
+ * set ONCE (Dedup.hashedShingleSets) and pays a linear merge per pair.
+ * Precondition: both arrays sorted ascending with distinct elements (what
+ * sort_array(array_distinct(...)) produces); NULL on a NULL element.
+ */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two array<int> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (na, nb) = (xa.numElements(), xb.numElements())
+    var (i, j, n) = (0, 0, 0)
+    while (i < na && j < nb) {
+      if (xa.isNullAt(i) || xb.isNullAt(j)) return null
+      val (va, vb) = (xa.getInt(i), xb.getInt(j))
+      if (va == vb) { n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $i = 0; int $j = 0; int $n = 0;
+         |boolean $bad = false;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }
+         |  int $va = $a.getInt($i);
+         |  int $vb = $b.getInt($j);
+         |  if ($va == $vb) { $n++; $i++; $j++; }
+         |  else if ($va < $vb) { $i++; } else { $j++; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $n; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}

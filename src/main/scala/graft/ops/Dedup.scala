@@ -101,7 +101,8 @@ object Dedup {
     val w = Window.partitionBy(col("nat_block")).orderBy(col("id"))
     val withShingles = docs.select(
       col(blockCol).cast(StringType).as("nat_block"), col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), n), s => hash(s))).as("ih"))
+      sort_array(array_distinct(transform(shingles(col(textCol), n), s => hash(s))))
+        .as("ih"))
       .withColumn("chunk", floor((row_number().over(w) - 1) / cap))
       .withColumn("block", concat(col("nat_block"), lit("_"), col("chunk")))
       .withColumn("sz", size(col("ih")))
@@ -112,11 +113,20 @@ object Dedup {
       col("ih").as("ih_b"), col("sz").as("sz_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("ih_a"), col("ih_b"))).cast(DoubleType))
+      .withColumn("inter", intersectSize(col("ih_a"), col("ih_b")).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** |A∩B| of two SORTED-DISTINCT int arrays — the native two-pointer
+    * merge count (graft.functions.SortedIntersectSize);
+    * ≡ size(array_intersect(a, b)) on such inputs. */
+  def intersectSize(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("sorted_intersect_size", a, b)
   }
 
   // --------------------------------------------------------- MinHash+LSH
@@ -160,7 +170,8 @@ object Dedup {
   def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String,
                         n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), n), s => hash(s))).as("ih"))
+      sort_array(array_distinct(transform(shingles(col(textCol), n), s => hash(s))))
+        .as("ih"))
       .withColumn("sz", size(col("ih")))
 
   /** Verify candidate pairs with exact Jaccard over the hashed shingle sets:
@@ -171,7 +182,7 @@ object Dedup {
     val aSide = base.select(col("id").as("id_a"), col("ih").as("ih_a"), col("sz").as("sz_a"))
     val bSide = base.select(col("id").as("id_b"), col("ih").as("ih_b"), col("sz").as("sz_b"))
     pairs.join(aSide, "id_a").join(bSide, "id_b")
-      .withColumn("inter", size(array_intersect(col("ih_a"), col("ih_b"))).cast(DoubleType))
+      .withColumn("inter", intersectSize(col("ih_a"), col("ih_b")).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -86,6 +86,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size: merge count == size(array_intersect) on sorted-distinct input") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    // small value range forces overlaps; inputs normalized like the engine's
+    // hashed shingle sets (distinct + sorted)
+    val rows = (0 until 50).map(_ => (
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(20)).distinct.sorted,
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(20)).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      graft.ops.Dedup.intersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
     val argmax = new ArgMaxLongString().toColumn
     val data = Seq(
