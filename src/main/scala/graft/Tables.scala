@@ -9,14 +9,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * predicate pushdown, column pruning and (on a partitioned layout) partition
  * pruning. At 100 TB the same call reads a partitioned/bucketed table — the
  * query builders below do not care.
+ *
+ * Under-parallel scans: parquet splits at ROW-GROUP granularity, and the
+ * testdata tables are single-row-group files, so a bare scan yields ONE
+ * input partition — every map-side stage (JSON parsing, shingling, minhash
+ * signatures) would run on 1 of 32 cores until the first shuffle. [[spread]]
+ * guards against that: iff the scan's split count is below the session's
+ * default parallelism it inserts a round-robin repartition (Catalyst still
+ * pushes filters/pruning through Repartition to the scan, so the exchange
+ * carries only surviving rows). On a real cluster a 100 TB table has
+ * thousands of splits and the guard never fires — this is purely the
+ * "small file, big machine" escape hatch.
  */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Repartition `df` to the session parallelism iff its scan is
+    * under-parallel (fewer splits than cores — the single-row-group case). */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -37,13 +37,15 @@ object CoreQueries {
       .filter(col("l_shipdate") < lit("1996-01-01").cast(TimestampType))
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+      // l_quantity is needed to pin a total order the oracle can reproduce
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   val q01Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity >= 45
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   /**
    * q02 — multi-key hash aggregate (A1/A2; SURVEY §2.5), TPC-H Q1 flavor.
