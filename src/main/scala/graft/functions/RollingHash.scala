@@ -59,19 +59,23 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 /** Registration helpers: temp-functions for a live session, plus a
   * SparkSessionExtensions installer for `spark.sql.extensions`. */
 object GraftFunctions {
+  /** Idempotent: a session built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` (or one this
+    * method already visited) is left untouched, so repeated calls from
+    * operator code neither re-register nor warn. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String,
+               builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("rolling_hash", exprs => RollingHash(exprs.head))
+    ensure("vec_dot", exprs => DotProduct(exprs.head, exprs(1)))
+    ensure("simhash64", exprs => SimHash64(exprs.head))
+    ensure("minhash_sig", exprs => MinHashSig(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
+    ensure("sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs.head, exprs(1)))
   }
 }
 

@@ -1,6 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,7 +18,11 @@ import org.apache.spark.sql.functions._
  * At cluster scale the index build is a one-off job (one shuffle-free pass
  * adding the bucket column + a partitioned write) and queries are
  * O(corpus / 2^nPlanes · |ball|) scans. Locally the index is cached under
- * java.io.tmpdir keyed by the source dir, built on first use.
+ * java.io.tmpdir, keyed by a CONTENT fingerprint of the source files
+ * (names, sizes, mtimes): a changed source gets a fresh key, so a stale
+ * index is never served, and two dirs can only share an index if their
+ * contents are byte-date-identical. Concurrent first builds race safely —
+ * each builds into a private temp dir and the first atomic rename wins.
  */
 object BucketedAnn {
 
@@ -24,29 +30,65 @@ object BucketedAnn {
   val Dim = 64
   val Stride: Int = Dim / NPlanes
 
-  /** Deterministic local cache path for a source dir's index. */
-  def indexPath(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_ann_index_$key"
+  /** 128-bit hex fingerprint of the source table's file listing
+    * (name:size:mtime per file) — the index cache key. */
+  private def sourceFingerprint(dir: String): String = {
+    val src = Paths.get(dir, "embeddings.parquet")
+    val files: Seq[Path] =
+      if (Files.isDirectory(src))
+        Files.list(src).iterator().asScala.toSeq.sortBy(_.toString)
+      else Seq(src)
+    val sig = files.map { p =>
+      s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .take(16).map(b => f"$b%02x").mkString
   }
+
+  /** Deterministic local cache path for a source dir's index. */
+  def indexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ann_index_${sourceFingerprint(dir)}"
 
   /** Build (once) the bucket-partitioned copy of `embeddings`. */
   def ensureIndex(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir)
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      val tmp = s"$path.build-${ProcessHandle.current().pid()}-${System.nanoTime()}"
       graft.Tables.embeddings(spark, dir)
         .withColumn("sign_bucket",
           Similarity.axisSignBucket(col("embedding"), NPlanes, Stride).cast("int"))
+        // co-locate each bucket before the partitioned write: ONE file per
+        // bucket directory instead of one per (task × bucket) — a probe
+        // then opens |ball| files, not |ball| × writer-parallelism
+        .repartition(col("sign_bucket"))
         .write.mode("overwrite")
         .partitionBy("sign_bucket")
-        .parquet(path)
+        .parquet(tmp)
+      try Files.move(Paths.get(tmp), Paths.get(path),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // a concurrent builder won the rename — use theirs, drop ours
+        deleteRecursively(Paths.get(tmp))
+      }
     }
     path
   }
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
   /** The DataFrame over the bucketed index (sign_bucket is a partition col). */
   def indexed(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(ensureIndex(spark, dir))
+
+  /** The Hamming-ball probe set for a literal query vector. */
+  private def probeBall(queryVec: Seq[Float], maxHamming: Int): Seq[Int] = {
+    val qBucket = Similarity.axisSignBucketOf(queryVec, NPlanes, Stride)
+    Similarity.hammingBall(qBucket, NPlanes, maxHamming).map(_.toInt)
+  }
 
   /**
    * ANN top-k over the bucketed index: the Hamming-ball probe becomes a
@@ -57,13 +99,28 @@ object BucketedAnn {
   def annTopK(spark: SparkSession, dir: String, queryVec: Seq[Float], k: Int,
               maxHamming: Int = 3): DataFrame = {
     val q = array(queryVec.map(v => lit(v.toDouble)): _*)
-    val qBucket = Similarity.axisSignBucketOf(queryVec, NPlanes, Stride)
-    val ball = Similarity.hammingBall(qBucket, NPlanes, maxHamming).map(_.toInt)
+    val ball = probeBall(queryVec, maxHamming)
     indexed(spark, dir)
       .filter(col("sign_bucket").isin(ball: _*))
       .withColumn("cos_sim", Similarity.cosine(col("embedding"), q))
       .select(col("vec_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /**
+   * Probe-cost diagnostics for [[annTopK]] — the observability a production
+   * ANN needs to reason about its recall/cost tradeoff: how many buckets the
+   * Hamming ball expands to and how many candidate rows the pruned scan
+   * actually feeds the exact re-rank.
+   */
+  def annProbeStats(spark: SparkSession, dir: String, queryVec: Seq[Float],
+                    maxHamming: Int = 3): DataFrame = {
+    val ball = probeBall(queryVec, maxHamming)
+    indexed(spark, dir)
+      .filter(col("sign_bucket").isin(ball: _*))
+      .agg(count(lit(1)).as("n_candidates"))
+      .select(lit(ball.size).cast("long").as("n_buckets_probed"),
+        col("n_candidates"))
   }
 }

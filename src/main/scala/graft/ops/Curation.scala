@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * The composed corpus-curation pipeline — what the individual
@@ -25,7 +24,8 @@ import org.apache.spark.storage.StorageLevel
 object Curation {
 
   /**
-   * Returns the curated corpus: (doc_id, lang_pred, quality) of survivors.
+   * Returns the curated corpus: (doc_id, lang_pred, quality) of survivors,
+   * pinned in cache (caller owns the `unpersist()` — CacheScope contract).
    * `minQuality` gates step 2; `nearDupThreshold` feeds the LSH verify.
    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
@@ -37,22 +37,27 @@ object Curation {
       id, col(textCol),
       TextAnalysis.langId(col(textCol)).as("lang_pred"),
       TextAnalysis.qualityScore(col(textCol), "[.,!?;:]").as("quality"))
-    // gated feeds three subplans (exact-dedup keepers, the LSH base, the
-    // final anti-join) — persist so the signal pass runs once
     val gated = scored
       .filter(col("lang_pred") =!= "und" && col("quality") >= minQuality)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // 3. exact dedup — keep min id per fingerprint
     val keepers = gated
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(id).as(idCol))
       .select(idCol)
     val deduped = gated.join(keepers, Seq(idCol), "left_semi")
-    // 4. near-dup removal over the exact-deduped survivors
-    val losers = Dedup.minhashLshPairs(deduped, idCol, textCol,
+    // gated feeds three subplans (exact-dedup keepers, the LSH base, the
+    // final anti-join) and deduped feeds two — stage both so the signal
+    // pass and the semi-join run once, released after the result is pinned
+    CacheScope.withStages(gated, deduped) {
+      // 4. near-dup removal over the exact-deduped survivors; the LSH
+      // result arrives pinned — release it once the survivors are pinned
+      val pairs = Dedup.minhashLshPairs(deduped, idCol, textCol,
         n = 2, threshold = nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
-    deduped.join(losers, Seq(idCol), "left_anti")
-      .select(id, col("lang_pred"), col("quality"))
+      try {
+        val losers = pairs.select(col("id_b").as(idCol)).distinct()
+        CacheScope.pin(deduped.join(losers, Seq(idCol), "left_anti")
+          .select(id, col("lang_pred"), col("quality")))
+      } finally pairs.unpersist(blocking = false)
+    }
   }
 }

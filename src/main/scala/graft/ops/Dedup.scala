@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for the training-data pipeline (north-star
@@ -212,29 +211,30 @@ object Dedup {
                       threshold: Double = 0.5,
                       maxBucket: Int = 1000): DataFrame = {
     // The shingle sets and band rows each feed ≥2 downstream subplans (both
-    // self-join sides + the bucket-count filter / verify fetches). Persist
-    // the two narrow projections so shingling and the k-seed signature are
-    // computed ONCE per doc, not once per reference — at cluster scale this
-    // is the cached "signature index" stage every LSH pipeline materializes.
+    // self-join sides + the bucket-count filter / verify fetches), so they
+    // are cached for the duration of the computation — the "signature
+    // index" stage every LSH pipeline materializes — and released once the
+    // (small) verified-pair result is pinned. Caller owns the result's
+    // unpersist().
     val base = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = base
       .withColumn("sig", minhashSignature(col("ih"), k))
       .withColumn("band", explode(lshBands(col("sig"), k, bands)))
       .select(col("id"), col("band.band_idx"), col("band.band_hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val okBuckets = sigs.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .select(col("band_idx"), col("band_hash"))
-    val eligible = sigs.join(okBuckets, Seq("band_idx", "band_hash"))
-    val a = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    val b = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccardPairs(pairs, base, threshold)
+    CacheScope.withStages(base, sigs) {
+      val okBuckets = sigs.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n").between(2, maxBucket))
+        .select(col("band_idx"), col("band_hash"))
+      val eligible = sigs.join(okBuckets, Seq("band_idx", "band_hash"))
+      val a = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      val b = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      CacheScope.pin(verifyJaccardPairs(pairs, base, threshold))
+    }
   }
 
   // ------------------------------------------------------------- SimHash
@@ -296,33 +296,34 @@ object Dedup {
       .select(col(idCol).as("id"),
         transform(TextAnalysis.words(col(textCol)), t => xxhash64(t)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both self-join sides
-    val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
-        struct(lit(bi).as("band_idx"),
-          shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
-      }: _*)))
-      .select(col("id"), col("fp"),
-        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-    // probe side: the band value itself plus (for probeBits=1) each 1-bit
-    // flip — XOR is symmetric, so probing one join side suffices
-    val probed =
-      if (probeBits == 0) banded
-      else banded.withColumn("band_val",
-        explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
-          .map(m => col("band_val").bitwiseXOR(m)): _*)))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = probed.select(col("band_idx"), col("band_val"),
-      col("id").as("id_b"), col("fp").as("fp_b"))
-    // Hamming filter BEFORE the pair-dedup: it is row-local on the joined
-    // fingerprints, so the dropDuplicates shuffle carries only surviving
-    // pairs instead of every band collision.
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    CacheScope.withStages(fp) { // feeds both self-join sides
+      val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band_idx"),
+            shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
+        }: _*)))
+        .select(col("id"), col("fp"),
+          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      // probe side: the band value itself plus (for probeBits=1) each 1-bit
+      // flip — XOR is symmetric, so probing one join side suffices
+      val probed =
+        if (probeBits == 0) banded
+        else banded.withColumn("band_val",
+          explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+            .map(m => col("band_val").bitwiseXOR(m)): _*)))
+      val a = banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = probed.select(col("band_idx"), col("band_val"),
+        col("id").as("id_b"), col("fp").as("fp_b"))
+      // Hamming filter BEFORE the pair-dedup: it is row-local on the joined
+      // fingerprints, so the dropDuplicates shuffle carries only surviving
+      // pairs instead of every band collision.
+      CacheScope.pin(a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+        .filter(col("hamming") <= maxDist)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .dropDuplicates("id_a", "id_b"))
+    }
   }
 
   /**
@@ -343,7 +344,6 @@ object Dedup {
     val bandBits = 64 / bands
     val bandMask = (1L << bandBits) - 1
     val base = hashedShingleSets(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds fp + both verify sides
     // Fingerprint over the SAME n-gram feature set the verify stage uses
     // (reusing the cached shingle hashes): aligned features keep true-pair
     // Hamming low, and the far more diverse n-gram distribution keeps the
@@ -352,28 +352,29 @@ object Dedup {
     // amplifies quadratically.
     val fp = base.select(col("id"),
       simhashFromHashes(transform(col("ih"), h => xxhash64(h))).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
-        struct(lit(bi).as("band_idx"),
-          shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
-      }: _*)))
-      .select(col("id"), col("fp"),
-        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-    // 1-bit multi-probe on one side: full recall guaranteed to Hamming ≤ 15
-    // (pigeonhole: ≤15 flips over 8 bands ⇒ some band has ≤1), which holds
-    // the corpus's true-pair tail (J≥0.8 pairs top out at h≈13) with room
-    val probed = banded.withColumn("band_val",
-      explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
-        .map(m => col("band_val").bitwiseXOR(m)): _*)))
-    val a = banded.select(col("band_idx"), col("band_val"),
-      col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = probed.select(col("band_idx"), col("band_val"),
-      col("id").as("id_b"), col("fp").as("fp_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    verifyJaccardPairs(pairs, base, threshold)
+    CacheScope.withStages(base, fp) { // base feeds fp + both verify sides
+      val banded = fp.withColumn("band", explode(array((0 until bands).map { bi =>
+          struct(lit(bi).as("band_idx"),
+            shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask).as("band_val"))
+        }: _*)))
+        .select(col("id"), col("fp"),
+          col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      // 1-bit multi-probe on one side: full recall guaranteed to Hamming ≤ 15
+      // (pigeonhole: ≤15 flips over 8 bands ⇒ some band has ≤1), which holds
+      // the corpus's true-pair tail (J≥0.8 pairs top out at h≈13) with room
+      val probed = banded.withColumn("band_val",
+        explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
+          .map(m => col("band_val").bitwiseXOR(m)): _*)))
+      val a = banded.select(col("band_idx"), col("band_val"),
+        col("id").as("id_a"), col("fp").as("fp_a"))
+      val b = probed.select(col("band_idx"), col("band_val"),
+        col("id").as("id_b"), col("fp").as("fp_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      CacheScope.pin(verifyJaccardPairs(pairs, base, threshold))
+    }
   }
 }

@@ -132,6 +132,25 @@ object Similarity {
   }
 
   /**
+   * Probe-cost diagnostics for [[axisLshTopK]]: buckets the Hamming ball
+   * expands to, and candidate rows the bucket filter feeds the exact
+   * re-rank — the recall/cost observability a production ANN surfaces.
+   */
+  def axisLshProbeStats(embeddings: DataFrame, vecCol: String,
+                        queryVec: Seq[Float],
+                        nPlanes: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val stride = queryVec.length / nPlanes
+    val qBucket = axisSignBucketOf(queryVec, nPlanes, stride)
+    val ball = hammingBall(qBucket, nPlanes, maxHamming)
+    embeddings
+      .withColumn("bucket", axisSignBucket(col(vecCol), nPlanes, stride))
+      .filter(col("bucket").isin(ball: _*))
+      .agg(count(lit(1)).as("n_candidates"))
+      .select(lit(ball.size).cast(LongType).as("n_buckets_probed"),
+        col("n_candidates"))
+  }
+
+  /**
    * ANN top-k via sign-LSH: restrict the candidate set to vectors whose
    * bucket is within `maxHamming` bits of the query's bucket, then exact
    * cosine on the survivors. Recall/probe tradeoff = (nPlanes, maxHamming).

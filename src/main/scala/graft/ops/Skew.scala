@@ -40,19 +40,25 @@ object Skew {
    * Two-phase skew-proof aggregation: `aggs` maps output column name →
    * TwoPhase spec. The salt assignment is arbitrary row→bucket (algebraic
    * merges make the result independent of it), so a hash of a per-row
-   * surrogate id suffices.
+   * surrogate id suffices. The group key keeps the caller's column name
+   * (or the `keyName` alias for expression keys), so the salted plan is a
+   * drop-in schema-identical replacement for `df.groupBy(key).agg(...)`.
    */
   def saltedAggregate(df: DataFrame, key: Column, buckets: Int,
-                      aggs: Map[String, TwoPhase]): DataFrame = {
+                      aggs: Map[String, TwoPhase],
+                      keyName: String = ""): DataFrame = {
+    // resolve the output key name: explicit > the key expression's own name
+    val outKey =
+      if (keyName.nonEmpty) keyName
+      else df.select(key).schema.head.name
     val salted = df.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(buckets)))
-    val stage1 = salted.groupBy(key.as("__key"), col("__salt"))
+    val stage1 = salted.groupBy(key.as(outKey), col("__salt"))
       .agg(aggs.head._2.partial.as(aggs.head._1),
         aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
-    stage1.groupBy(col("__key"))
+    stage1.groupBy(col(outKey))
       .agg(aggs.head._2.merge(aggs.head._1).as(aggs.head._1),
         aggs.tail.map { case (n, a) => a.merge(n).as(n) }.toSeq: _*)
-      .withColumnRenamed("__key", "key")
   }
 
   /**

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.DomainFixtures
+import graft.ops.CacheScope
 import graft.queries.HighlightQueries.Params
 
 /**
@@ -55,16 +56,21 @@ object DomainQueries {
     lowercase(HighlightQueries.distinctSourcesHighlights(
       DomainFixtures.tables(spark, dir), params))
 
-  /** q33 — both count-query modes (trends.go:450-529) with a discriminator. */
+  /** q33 — both count-query modes (trends.go:450-529) with a discriminator.
+    * The union's two trees each join the derived popularity table (the
+    * 600k-row lineitem⋈orders — the expensive fixture), so it is staged
+    * once via CacheScope instead of evaluated per mode; the 2-row result
+    * comes back pinned (caller owns the unpersist). */
   def q33CountHighlights(spark: SparkSession, dir: String): DataFrame = {
     val t = DomainFixtures.tables(spark, dir)
-    HighlightQueries.countHighlights(t, params, distinctSources = false)
+    val both = HighlightQueries.countHighlights(t, params, distinctSources = false)
       .withColumn("mode", lit("curated"))
       .unionByName(
         HighlightQueries.countHighlights(t, params, distinctSources = true)
           .withColumn("mode", lit("distinct")))
       .select(col("mode"), col("highlights"))
       .orderBy(col("mode"))
+    CacheScope.withStages(t.statusPopularity)(CacheScope.pin(both))
   }
 
   // ------------------------------------------------------------- oracles

@@ -41,4 +41,23 @@ class BucketedAnnSpec extends SparkSpec {
   test("axis bucket of the all-positive query is all bits set") {
     assert(Similarity.axisSignBucketOf(qv, 8, 8) === 255L)
   }
+
+  test("annProbeStats reports the ball size and the pruned candidate count") {
+    import org.apache.spark.sql.functions.col
+    val stats = BucketedAnn.annProbeStats(spark, dir, qv, maxHamming = 3)
+      .collect().head
+    assert(stats.getLong(0) === 93L) // |Hamming-3 ball| over 8 planes
+    // candidate count == rows of the probed buckets, recomputed independently
+    val ball = Similarity.hammingBall(255L, 8, 3).map(_.toInt)
+    val expected = spark.read.parquet(BucketedAnn.indexPath(dir))
+      .filter(col("sign_bucket").isin(ball: _*)).count()
+    assert(stats.getLong(1) === expected)
+    assert(stats.getLong(1) < Tables.embeddings(spark, dir).count(),
+      "probe did not prune anything")
+    // the unbucketed variant sees the same probe cost
+    val direct = Similarity.axisLshProbeStats(
+      Tables.embeddings(spark, dir), "embedding", qv).collect().head
+    assert((direct.getLong(0), direct.getLong(1)) ===
+      (stats.getLong(0), stats.getLong(1)))
+  }
 }

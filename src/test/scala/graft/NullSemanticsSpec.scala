@@ -28,6 +28,30 @@ class NullSemanticsSpec extends SparkSpec {
     assert(faithful.count() === 0)
   }
 
+  test("notInFaithfulBig == notInFaithful == SQL across null/empty right sides") {
+    val lefts = Seq(Some(1L), Some(2L), None).toDF("k")
+    val rights = Map(
+      "clean" -> Seq(Some(2L), Some(5L)).toDF("r"),
+      "with-null" -> Seq(Some(2L), None).toDF("r"),
+      "all-null" -> Seq(Option.empty[Long]).toDF("r"),
+      "empty" -> Seq.empty[Option[Long]].toDF("r"))
+    lefts.createOrReplaceTempView("nin_l")
+    for ((tag, right) <- rights) {
+      right.createOrReplaceTempView("nin_r")
+      val sql = spark.sql(
+        "SELECT k FROM nin_l WHERE k NOT IN (SELECT r FROM nin_r)")
+        .collect().map(_.getAs[Any](0)).toSet
+      val small = Joins.notInFaithful(lefts, right, col("k"), col("r"))
+        .collect().map(_.getAs[Any](0)).toSet
+      val big = Joins.notInFaithfulBig(lefts, right, col("k"), col("r"))
+        .collect().map(_.getAs[Any](0)).toSet
+      assert(small === sql, s"notInFaithful vs SQL on $tag")
+      assert(big === sql, s"notInFaithfulBig vs SQL on $tag")
+      assert(Joins.notInFaithfulBig(lefts, right, col("k"), col("r"))
+        .columns.toSeq === lefts.columns.toSeq, s"schema on $tag")
+    }
+  }
+
   test("matches Spark SQL's own NOT IN on both cases") {
     left.createOrReplaceTempView("l")
     Seq(Some(2L), None).toDF("r").createOrReplaceTempView("r_null")

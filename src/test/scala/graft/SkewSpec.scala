@@ -16,16 +16,29 @@ class SkewSpec extends SparkSpec {
       ($"id" % 97).cast("double").as("v"))
 
   test("saltedAggregate == plain groupBy for sum/count/max/min on skewed keys") {
-    val plain = skewed.groupBy($"k").agg(
-        sum($"v").as("s"), count(lit(1)).as("c"), max($"v").as("mx"), min($"v").as("mn"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toMap
-    val salted = Skew.saltedAggregate(skewed, $"k", buckets = 8, Map(
-        "s" -> Skew.sumOf($"v"), "c" -> Skew.countAll,
-        "mx" -> Skew.maxOf($"v"), "mn" -> Skew.minOf($"v")))
-      .collect().map(r => r.getAs[String]("key") -> (r.getAs[Double]("s"),
-        r.getAs[Long]("c"), r.getAs[Double]("mx"), r.getAs[Double]("mn"))).toMap
+    val plainDf = skewed.groupBy($"k").agg(
+      sum($"v").as("s"), count(lit(1)).as("c"), max($"v").as("mx"), min($"v").as("mn"))
+    val saltedDf = Skew.saltedAggregate(skewed, $"k", buckets = 8, Map(
+      "s" -> Skew.sumOf($"v"), "c" -> Skew.countAll,
+      "mx" -> Skew.maxOf($"v"), "mn" -> Skew.minOf($"v")))
+    // drop-in contract: the caller's key column name survives the salting
+    // (names + types; the re-aggregated count is nullable-typed where the
+    // single-phase count is not — a value-level non-difference, every group
+    // has ≥1 partial)
+    assert(saltedDf.schema.map(f => (f.name, f.dataType)) ===
+      plainDf.schema.map(f => (f.name, f.dataType)))
+    val plain = plainDf.collect().map(r => r.getString(0) -> (r.getDouble(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val salted = saltedDf.collect().map(r => r.getAs[String]("k") ->
+      (r.getAs[Double]("s"), r.getAs[Long]("c"),
+        r.getAs[Double]("mx"), r.getAs[Double]("mn"))).toMap
     assert(salted === plain)
+  }
+
+  test("saltedAggregate names an expression key via keyName") {
+    val out = Skew.saltedAggregate(skewed, upper($"k"), buckets = 4,
+      Map("c" -> Skew.countAll), keyName = "k_upper")
+    assert(out.columns.toSeq === Seq("k_upper", "c"))
   }
 
   test("saltedJoin == plain join on skewed keys (inner and left)") {
