@@ -92,9 +92,12 @@ case class DotProduct(left: Expression, right: Expression)
  *
  * The builtin formulation evaluates 64 SEPARATE `aggregate()` higher-order
  * lambdas per row (one pass over the array per bit); this is one primitive
- * loop accumulating all 64 counters — same result on null-free arrays
- * (FunctionsSpec proves bit-equality), NULL if the array or any element is
- * NULL.
+ * loop accumulating all 64 counters — same result on NULL-FREE arrays
+ * (FunctionsSpec proves bit-equality; every engine call site hashes
+ * non-null tokens, so its inputs qualify). Deliberate divergence on a NULL
+ * element: this expression propagates NULL, where the builtin chain
+ * accidentally yields an all-zero fingerprint (each NULL bit-sum fails its
+ * `> 0` test) — spec-locked in FunctionsSpec.
  */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -173,10 +176,13 @@ case class SimHash64(child: Expression)
  * builtin `transform(sequence(0,k−1), seed → array_min(transform(ih, s →
  * hash(s, seed))))` which materializes k transformed arrays per row.
  *
- * Bit-compatible with the builtin: Spark's `hash(s, seed)` chains murmur3
- * as h = hashInt(seed_arg, hashInt(s, 42)), reproduced here with the same
- * Murmur3_x86_32 primitives (FunctionsSpec proves equality). NULL on a
- * NULL/empty array or NULL element.
+ * Bit-compatible with the builtin on NON-EMPTY NULL-FREE arrays: Spark's
+ * `hash(s, seed)` chains murmur3 as h = hashInt(seed_arg, hashInt(s, 42)),
+ * reproduced here with the same Murmur3_x86_32 primitives (FunctionsSpec
+ * proves equality; the engine feeds it sort_array(array_distinct(...)) of
+ * non-null hashes, so its inputs qualify). Deliberate divergence at the
+ * edges: NULL on a NULL/empty array or NULL element, where the builtin
+ * yields k NULL entries for an empty input — spec-locked in FunctionsSpec.
  */
 case class MinHashSig(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

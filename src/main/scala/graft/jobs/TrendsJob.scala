@@ -72,6 +72,7 @@ object TrendsJob {
       .reduce(_ union _)
     if (cfg.dryRun) { docs.explain("formatted"); return }
     graft.sink.JdbcUpsertSink.write(docs, sinkUrl, sinkTable,
-      s"list_id = '${cfg.params.listId}' AND ingest_date = '${cfg.params.sinceDate}'")
+      Seq(Seq("list_id" -> cfg.params.listId,
+        "ingest_date" -> cfg.params.sinceDate)))
   }
 }

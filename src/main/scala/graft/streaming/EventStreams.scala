@@ -181,10 +181,12 @@ object EventStreams {
         try {
           val keys = b.select(col("day"), col("event_type")).distinct().collect()
           if (keys.nonEmpty) {
-            val scope = keys.map { r =>
-              s"(day = '${r.get(0)}' AND event_type = '${r.getString(1)}')"
-            }.mkString(" OR ")
-            graft.sink.JdbcUpsertSink.write(b, url, table, scope)
+            // scope VALUES ride as bound placeholders (a quoted or hostile
+            // event_type is data, not SQL)
+            val scopes = keys.map { r =>
+              Seq("day" -> r.get(0), "event_type" -> r.get(1))
+            }.toSeq
+            graft.sink.JdbcUpsertSink.write(b, url, table, scopes)
           }
         } finally { b.unpersist(); () }
       }

@@ -70,6 +70,15 @@ class FunctionsSpec extends SparkSpec {
     val empty = spark.sql("SELECT simhash64(CAST(array() AS ARRAY<BIGINT>)) d")
       .collect()
     assert(empty.head.getLong(0) === 0L)
+    // DOCUMENTED DIVERGENCE on a NULL element: the native propagates NULL,
+    // the builtin chain accidentally yields an all-zero fingerprint (the
+    // NULL sums fail every `> 0` test) — callers pre-filter nulls
+    val nulls = Seq(Seq(Option(1L), Option.empty[Long])).toDF("hs").select(
+      graft.ops.Dedup.simhashFromHashes(col("hs")).as("native"),
+      graft.ops.Dedup.simhashFromHashesBuiltin(col("hs")).as("builtin"))
+      .collect().head
+    assert(nulls.isNullAt(0))
+    assert(nulls.getLong(1) === 0L)
   }
 
   test("minhash_sig: native fused loop == builtin transform/array_min chain") {
@@ -84,6 +93,16 @@ class FunctionsSpec extends SparkSpec {
     both.foreach { r =>
       assert(r.getSeq[Int](0).toSeq === r.getSeq[Int](1).toSeq)
     }
+    // DOCUMENTED DIVERGENCE on an empty array: the native yields NULL (no
+    // minima exist), the builtin yields k NULL entries (array_min of an
+    // empty transform) — callers guarantee ≥1 shingle per doc
+    val empty = spark.sql(
+      """SELECT minhash_sig(CAST(array() AS ARRAY<INT>), 4) AS n""").collect()
+    assert(empty.head.isNullAt(0))
+    val emptyBuiltin = Seq(Seq.empty[Int]).toDF("ih")
+      .select(graft.ops.Dedup.minhashSignatureBuiltin(col("ih"), 4).as("b"))
+      .collect().head
+    assert(emptyBuiltin.getSeq[Any](0).forall(_ == null))
   }
 
   test("sorted_intersect_size: merge count == size(array_intersect) on sorted-distinct input") {

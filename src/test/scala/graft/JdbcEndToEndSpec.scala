@@ -70,7 +70,7 @@ class JdbcEndToEndSpec extends SparkSpec {
     st.close(); conn.close()
     val t = FixtureData.tables(spark)
     def put(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-      graft.sink.JdbcUpsertSink.write(df, url, name, scopeWhere = "1 = 1")
+      graft.sink.JdbcUpsertSink.write(df, url, name, scopes = Seq(Nil))
     put(t.weavingStatus, "weaving_status")
     put(t.highlight, "highlight")
     put(t.publishersList, "publishers_list")

@@ -65,12 +65,12 @@ class JdbcSpec extends SparkSpec {
     val batch1 = Seq((1L, "L1", "2023-03-10", 5), (2L, "L1", "2023-03-10", 7))
       .toDF("id", "list_id", "ingest_date", "retweets")
     JdbcUpsertSink.write(batch1, url, "sink_docs",
-      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+      Seq(Seq("list_id" -> "L1", "ingest_date" -> "2023-03-10")))
     // replay with an updated value — the scope delete makes it last-writer-wins
     val batch2 = Seq((1L, "L1", "2023-03-10", 50), (2L, "L1", "2023-03-10", 70))
       .toDF("id", "list_id", "ingest_date", "retweets")
     JdbcUpsertSink.write(batch2, url, "sink_docs",
-      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+      Seq(Seq("list_id" -> "L1", "ingest_date" -> "2023-03-10")))
     val back = JdbcSource.table(spark, cfg, "sink_docs").collect()
     assert(back.length === 2)
     assert(back.map(r => r.getAs[Int]("RETWEETS")).sorted.toSeq === Seq(50, 70))
@@ -82,13 +82,48 @@ class JdbcSpec extends SparkSpec {
     val other = Seq((9L, "L2", "2023-03-10", 1))
       .toDF("id", "list_id", "ingest_date", "retweets")
     JdbcUpsertSink.write(other, url, "sink_docs",
-      "list_id = 'L2' AND ingest_date = '2023-03-10'")
+      Seq(Seq("list_id" -> "L2", "ingest_date" -> "2023-03-10")))
     val l1 = Seq((1L, "L1", "2023-03-10", 99))
       .toDF("id", "list_id", "ingest_date", "retweets")
     JdbcUpsertSink.write(l1, url, "sink_docs",
-      "list_id = 'L1' AND ingest_date = '2023-03-10'")
+      Seq(Seq("list_id" -> "L1", "ingest_date" -> "2023-03-10")))
     val back = JdbcSource.table(spark, cfg, "sink_docs")
       .orderBy("ID").collect()
     assert(back.map(_.getAs[Long]("ID")).toSeq === Seq(1L, 9L))
+  }
+
+  test("scope values with quotes round-trip as data, not SQL") {
+    db
+    import spark.implicits._
+    val evil = "L'; DELETE FROM sink_docs; --"
+    val rows = Seq((100L, evil, "2023-04-01", 3))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    // twice: the replay's scoped DELETE must bind the quoted value cleanly
+    // (the old interpolated WHERE threw a Derby syntax error here) and
+    // must not touch other scopes
+    JdbcUpsertSink.write(rows, url, "sink_docs",
+      Seq(Seq("list_id" -> evil, "ingest_date" -> "2023-04-01")))
+    JdbcUpsertSink.write(rows, url, "sink_docs",
+      Seq(Seq("list_id" -> evil, "ingest_date" -> "2023-04-01")))
+    val back = JdbcSource.table(spark, cfg, "sink_docs")
+      .where($"ID" === 100L).collect()
+    assert(back.length === 1)
+    assert(back.head.getAs[String]("LIST_ID") === evil)
+  }
+
+  test("keyCols makes the insert stage idempotent at row granularity") {
+    db
+    import spark.implicits._
+    val rows = Seq((200L, "L9", "2023-05-01", 1), (201L, "L9", "2023-05-01", 2))
+      .toDF("id", "list_id", "ingest_date", "retweets")
+    // no scope delete at all — only the in-transaction delete-by-key runs,
+    // so a replayed task (same rows again) converges instead of duplicating
+    JdbcUpsertSink.write(rows, url, "sink_docs", scopes = Nil,
+      keyCols = Seq("id"))
+    JdbcUpsertSink.write(rows, url, "sink_docs", scopes = Nil,
+      keyCols = Seq("id"))
+    val back = JdbcSource.table(spark, cfg, "sink_docs")
+      .where($"ID" >= 200L).collect()
+    assert(back.map(_.getAs[Long]("ID")).sorted.toSeq === Seq(200L, 201L))
   }
 }
