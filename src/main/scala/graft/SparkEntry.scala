@@ -52,7 +52,8 @@ object SparkEntry {
     "q34_bucketed_ann" -> (ExtQueries.q34BucketedAnn _),
     "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _),
     "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _),
-    "q37_curation_pipeline" -> (ExtQueries.q37Curation _)
+    "q37_curation_pipeline" -> (ExtQueries.q37Curation _),
+    "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,6 +102,8 @@ object SparkEntry {
     "q33_count_highlights" -> DomainQueries.q33Sql,
     "q35_embedding_neardup" -> ExtQueries.q35Sql,
     "q36_ppm_decode" -> ExtQueries.q36Sql,
-    "q37_curation_pipeline" -> ExtQueries.q37Sql
+    "q37_curation_pipeline" -> ExtQueries.q37Sql,
+    // q38: the ANN probe METRICS themselves, oracle-recomputed
+    "q38_ann_probe_stats" -> ExtQueries.q38Sql
   )
 }

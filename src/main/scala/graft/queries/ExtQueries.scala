@@ -256,6 +256,32 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q38 — the ANN probe-cost diagnostics as an oracle-gated query: the
+    * Hamming-ball fan-out and the partition-pruned candidate count. The
+    * axis-sign bucket is SQL-reproducible, so even the engine's
+    * OBSERVABILITY numbers are hash-checked against an independent
+    * recomputation of the pruning. */
+  def q38AnnProbeStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BucketedAnn.annProbeStats(spark, dir, annQueryVec,
+        maxHamming = 3)
+      .orderBy(col("n_buckets_probed"))
+
+  val q38Sql: String = {
+    val bucketBits = (0 until 8)
+      .map(p => s"(CASE WHEN embedding[${p * 8 + 1}] > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT $bucketBits AS bucket FROM embeddings),
+       |ball AS (
+       |  SELECT COUNT(*) AS n_buckets_probed FROM range(256) t(i)
+       |  WHERE bit_count(xor(CAST(i AS BIGINT), 255)) <= 3)
+       |SELECT n_buckets_probed,
+       |  (SELECT COUNT(*) FROM b WHERE bit_count(xor(bucket, 255)) <= 3)
+       |    AS n_candidates
+       |FROM ball
+       |ORDER BY n_buckets_probed""".stripMargin
+  }
+
   /** q35 — embedding-cosine near-dup pairs, axis-bucket blocked (4 planes →
     * 16 blocks): the paraphrase-catching dedup tier text shingles miss.
     * Contract = "same-bucket pairs with cosine ≥ 0.35" — block, candidates

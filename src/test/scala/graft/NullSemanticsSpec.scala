@@ -52,6 +52,24 @@ class NullSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("property: big and small NOT-IN variants agree on random nullable draws") {
+    val rnd = new scala.util.Random(23)
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[Any, Int] =
+      df.collect().map(r => if (r.isNullAt(0)) (null: Any) else r.getLong(0))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    for (iter <- 0 until 30) {
+      val l = Seq.fill(20)(
+        if (rnd.nextInt(5) == 0) Option.empty[Long] else Some(rnd.nextInt(8).toLong))
+        .toDF("k")
+      val r = Seq.fill(rnd.nextInt(6))(
+        if (rnd.nextInt(6) == 0) Option.empty[Long] else Some(rnd.nextInt(8).toLong))
+        .toDF("r")
+      val small = multiset(Joins.notInFaithful(l, r, col("k"), col("r")))
+      val big = multiset(Joins.notInFaithfulBig(l, r, col("k"), col("r")))
+      assert(big === small, s"draw $iter diverged")
+    }
+  }
+
   test("matches Spark SQL's own NOT IN on both cases") {
     left.createOrReplaceTempView("l")
     Seq(Some(2L), None).toDF("r").createOrReplaceTempView("r_null")
