@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.sink.KeyedPartitionSink
@@ -128,6 +129,45 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /**
+   * The same running per-key maximum on `transformWithState` — Spark 4's
+   * successor to mapGroupsWithState: typed named state slots
+   * (Value/List/MapState) with per-state TTL, event/processing-time timers,
+   * and the RocksDB state store underneath (incremental checkpoints — the
+   * tier a long-lived keyed stream over 100 TB of events needs; the old API
+   * keeps whole-state snapshots). Requires
+   * `spark.sql.streaming.stateStore.providerClass =
+   * ...state.RocksDBStateStoreProvider`; StreamingSpec proves
+   * output-equivalence with [[runningMaxPerUser]] on the same input.
+   */
+  def runningMaxPerUserTws(events: Dataset[Event]): Dataset[KeyedMax] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningMaxProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One KeyedMax ValueState per key (no TTL — the keyed document lives as
+    * long as the reference's Firebase node would). */
+  class RunningMaxProcessor extends StatefulProcessor[Long, Event, KeyedMax] {
+    @transient private var state: ValueState[KeyedMax] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedMax]("max",
+        Encoders.product[KeyedMax], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[KeyedMax] = {
+      val prev =
+        if (state.exists()) state.get()
+        else KeyedMax(key, Double.MinValue, 0L)
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        KeyedMax(key, math.max(acc.max_value, e.value), acc.n_seen + 1)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
   }
 
   /**

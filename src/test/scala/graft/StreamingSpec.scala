@@ -78,6 +78,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningMaxPerUserTws: transformWithState twin matches mapGroupsWithState") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStreams.runningMaxPerUserTws(input.toDS())
+        .writeStream.format("memory").queryName("maxes_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(ev(1, "2024-01-01 10:00:00", 1, "view", 5.0))
+        q.processAllAvailable()
+        input.addData(
+          ev(2, "2024-01-01 10:01:00", 1, "view", 3.0), // lower — max stays 5
+          ev(3, "2024-01-01 10:02:00", 2, "view", 7.0))
+        q.processAllAvailable()
+        // same input sequence as the mapGroupsWithState test — same state
+        val latest = spark.table("maxes_tws").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("max_value"),
+            r.getAs[Long]("n_seen")))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._3) }
+        assert(latest(1L) === ((1L, 5.0, 2L)))
+        assert(latest(2L) === ((2L, 7.0, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dedupedEvents: duplicate event ids collapse, state bounded by watermark") {
     val input = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(input.toDF(), lateness = "1 hour")
