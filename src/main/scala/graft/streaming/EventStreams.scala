@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.sink.KeyedPartitionSink
@@ -167,6 +168,74 @@ object EventStreams {
       }
       state.update(next)
       Iterator.single(next)
+    }
+  }
+
+  final case class UserSession(user_id: Long,
+                               session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp,
+                               n_events: Long)
+  // not `private`: the generated encoder class must be able to reference it
+  // (a private case class forces SafeProjection into interpreter fallback)
+  final case class SessionAgg(start: Long, end: Long, n: Long)
+
+  /**
+   * Event-time session detection on the FULL transformWithState surface —
+   * state slot + event-time TIMERS: each key accumulates its open session
+   * in a ValueState and keeps exactly one timer armed at (session end +
+   * gap); when the watermark passes it, [[SessionProcessor.handleExpiredTimer]]
+   * emits the closed session and clears the state. Compared to the
+   * session_window aggregation ([[userSessions]]) this shape also supports
+   * side effects and per-key logic at close time — the streaming twin of a
+   * keyed sink flush. State per key is one 24-byte record + one timer,
+   * independent of event volume.
+   */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                    lateness: String = "1 hour"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Open-session accumulator with a single re-armed event-time timer. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var sess: ValueState[SessionAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAgg]("sess",
+        Encoders.product[SessionAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserSession] = {
+      var lo = Long.MaxValue; var hi = Long.MinValue; var n = 0L
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        lo = math.min(lo, t); hi = math.max(hi, t); n += 1
+      }
+      if (n > 0) {
+        val next =
+          if (sess.exists()) {
+            val c = sess.get()
+            SessionAgg(math.min(c.start, lo), math.max(c.end, hi), c.n + n)
+          } else SessionAgg(lo, hi, n)
+        sess.update(next)
+        // one active timer per key: re-arm at the new session end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(next.end + gapMs)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val c = sess.get()
+        sess.clear()
+        Iterator.single(UserSession(key,
+          new java.sql.Timestamp(c.start), new java.sql.Timestamp(c.end), c.n))
+      }
     }
   }
 

@@ -109,6 +109,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeTws: event-time timer closes the session after the gap") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStreams.sessionizeTws(input.toDS(),
+          gapMs = 10 * 60 * 1000L, lateness = "0 seconds")
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+          ev(2, "2024-01-01 10:05:00", 1, "view", 1.0))
+        q.processAllAvailable()
+        assert(spark.table("sessions_tws").isEmpty, "session closed too early")
+        // user 2's 11:00 event pushes the watermark past 10:15 — user 1's
+        // timer fires and emits the closed session; user 2 stays open
+        input.addData(ev(3, "2024-01-01 11:00:00", 2, "view", 1.0))
+        q.processAllAvailable()
+        val out = spark.table("sessions_tws").collect()
+          .map(r => (r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").toString,
+            r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events")))
+        assert(out.toSeq === Seq(
+          (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dedupedEvents: duplicate event ids collapse, state bounded by watermark") {
     val input = MemoryStream[Event]
     val q = EventStreams.dedupedEvents(input.toDF(), lateness = "1 hour")
