@@ -53,7 +53,8 @@ object SparkEntry {
     "q35_embedding_neardup" -> (ExtQueries.q35EmbeddingNearDup _),
     "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _),
     "q37_curation_pipeline" -> (ExtQueries.q37Curation _),
-    "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _)
+    "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _),
+    "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +105,8 @@ object SparkEntry {
     "q36_ppm_decode" -> ExtQueries.q36Sql,
     "q37_curation_pipeline" -> ExtQueries.q37Sql,
     // q38: the ANN probe METRICS themselves, oracle-recomputed
-    "q38_ann_probe_stats" -> ExtQueries.q38Sql
+    "q38_ann_probe_stats" -> ExtQueries.q38Sql,
+    // q39: incremental-ingest LSH vs brute-force cross-half Jaccard
+    "q39_incremental_dedup" -> ExtQueries.q39Sql
   )
 }

@@ -237,6 +237,72 @@ object Dedup {
     }
   }
 
+  // --------------------------------------------- incremental MinHash+LSH
+
+  /** The corpus-side LSH artifacts for incremental dedup: the exploded band
+    * table and the hashed shingle sets (verification payload). In
+    * production both are stored parquet tables — bucketed by
+    * (band_idx, band_hash) and id respectively — written once per corpus
+    * build and read by every ingest. */
+  final case class MinhashIndex(bands: DataFrame, base: DataFrame)
+
+  /** Build the corpus signature index: one map-side pass over the corpus
+    * (shingle → signature → bands), no shuffle. */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64,
+                        bands: Int = 16): MinhashIndex = {
+    val base = hashedShingleSets(corpus, idCol, textCol, n)
+    val bandRows = base
+      .withColumn("sig", minhashSignature(col("ih"), k))
+      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
+      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
+    MinhashIndex(bandRows, base)
+  }
+
+  /**
+   * Near-dup pairs of a NEW ingest batch against an indexed corpus — the
+   * production shape at 100 TB: the corpus is LSHed ONCE into a stored
+   * [[MinhashIndex]]; each ingest computes signatures for ITS OWN docs only
+   * and joins the stored band table, so per-ingest work is O(batch), never
+   * O(corpus). Candidates verify with exact Jaccard against the stored
+   * shingle sets. Output: (new_id, corpus_id, jaccard) with jaccard ≥
+   * threshold; batch-INTERNAL pairs are [[minhashLshPairs]] on the batch
+   * alone. Same banding defaults ⇒ same S-curve recall as the one-shot op.
+   * Result arrives pinned (caller owns the unpersist).
+   */
+  def minhashLshPairsIncremental(newDocs: DataFrame, index: MinhashIndex,
+                                 idCol: String, textCol: String,
+                                 n: Int = 3, k: Int = 64, bands: Int = 16,
+                                 threshold: Double = 0.5): DataFrame = {
+    val newBase = hashedShingleSets(newDocs, idCol, textCol, n)
+    val newBands = newBase
+      .withColumn("sig", minhashSignature(col("ih"), k))
+      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
+      .select(col("id").as("new_id"),
+        col("band.band_idx"), col("band.band_hash"))
+    // only the BATCH side is staged — the index is the stored artifact the
+    // session reads, not something an ingest should re-cache
+    CacheScope.withStages(newBase) {
+      val pairs = newBands
+        .join(index.bands.withColumnRenamed("id", "corpus_id"),
+          Seq("band_idx", "band_hash"))
+        .filter(col("new_id") =!= col("corpus_id")) // tolerate re-ingest
+        .select(col("new_id"), col("corpus_id"))
+        .dropDuplicates("new_id", "corpus_id")
+      val a = newBase.select(col("id").as("new_id"),
+        col("ih").as("ih_a"), col("sz").as("sz_a"))
+      val b = index.base.select(col("id").as("corpus_id"),
+        col("ih").as("ih_b"), col("sz").as("sz_b"))
+      CacheScope.pin(pairs.join(a, "new_id").join(b, "corpus_id")
+        .withColumn("inter",
+          intersectSize(col("ih_a"), col("ih_b")).cast(DoubleType))
+        .withColumn("jaccard",
+          col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("corpus_id"), col("jaccard")))
+    }
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /**

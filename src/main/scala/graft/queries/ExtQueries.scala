@@ -256,6 +256,35 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q39 — INCREMENTAL dedup: docs with doc_id % 10 = 0 play the ingest
+    * batch, the rest the indexed corpus; the batch LSHes only itself and
+    * joins the corpus's stored band table (O(batch) per ingest). Oracle =
+    * brute-force cross-half Jaccard ≥ 0.5, so green proves the incremental
+    * candidate path loses no recall vs the one-shot op. */
+  def q39IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text", n = 2)
+    Dedup.minhashLshPairsIncremental(batch, idx, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q39Sql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh)
+       |SELECT a.id AS new_id, b.id AS corpus_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM sz a JOIN sz b
+       |  ON a.id % 10 = 0 AND b.id % 10 <> 0
+       | AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** q38 — the ANN probe-cost diagnostics as an oracle-gated query: the
     * Hamming-ball fan-out and the partition-pruned candidate count. The
     * axis-sign bucket is SQL-reproducible, so even the engine's

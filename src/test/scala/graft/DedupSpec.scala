@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute) // full recall at this scale, no false positives post-verify
   }
 
+  test("incremental LSH == one-shot LSH restricted to cross-split pairs") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text", n = 2)
+    val incRes = Dedup.minhashLshPairsIncremental(batch, idx, "doc_id", "text",
+      n = 2, threshold = 0.5)
+    val inc = incRes
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    incRes.unpersist(blocking = true)
+    val fullRes = Dedup.minhashLshPairs(d, "doc_id", "text",
+      n = 2, threshold = 0.5)
+    val crossAll: Set[(Long, Long)] = fullRes
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cross = crossAll
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+    fullRes.unpersist(blocking = true)
+    assert(inc === cross)
+    assert(inc.nonEmpty) // the split must actually exercise the path
+  }
+
   test("SimHash: identical texts at distance 0, near-dups close, distinct far") {
     val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
