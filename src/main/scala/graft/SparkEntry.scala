@@ -54,7 +54,8 @@ object SparkEntry {
     "q36_ppm_decode" -> (ExtQueries.q36PpmDecode _),
     "q37_curation_pipeline" -> (ExtQueries.q37Curation _),
     "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _),
-    "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _)
+    "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _),
+    "q40_curation_stats" -> (ExtQueries.q40CurationStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,6 +108,8 @@ object SparkEntry {
     // q38: the ANN probe METRICS themselves, oracle-recomputed
     "q38_ann_probe_stats" -> ExtQueries.q38Sql,
     // q39: incremental-ingest LSH vs brute-force cross-half Jaccard
-    "q39_incremental_dedup" -> ExtQueries.q39Sql
+    "q39_incremental_dedup" -> ExtQueries.q39Sql,
+    // q40: the curation pipeline's per-stage drop counts, recomputed
+    "q40_curation_stats" -> ExtQueries.q40Sql
   )
 }

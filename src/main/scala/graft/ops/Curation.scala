@@ -30,7 +30,21 @@ object Curation {
    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
-             nearDupThreshold: Double = 0.5): DataFrame = {
+             nearDupThreshold: Double = 0.5): DataFrame =
+    curateWithStats(docs, idCol, textCol, minQuality, nearDupThreshold)._1
+
+  /**
+   * [[curate]] plus per-stage observability: the second frame is one row
+   * of survivor counts (n_input, n_gated, n_exact_deduped, n_survivors) —
+   * "no silent caps": every drop the pipeline makes is a number an
+   * operator can chart and alert on. The counts come from the staged
+   * frames the pipeline materializes anyway, so they are near-free.
+   */
+  def curateWithStats(docs: DataFrame, idCol: String, textCol: String,
+                      minQuality: Double = 0.5,
+                      nearDupThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val id = col(idCol)
     // 1-2. signal + gate
     val scored = docs.select(
@@ -55,8 +69,15 @@ object Curation {
         n = 2, threshold = nearDupThreshold)
       try {
         val losers = pairs.select(col("id_b").as(idCol)).distinct()
-        CacheScope.pin(deduped.join(losers, Seq(idCol), "left_anti")
-          .select(id, col("lang_pred"), col("quality")))
+        val result = CacheScope.pin(
+          deduped.join(losers, Seq(idCol), "left_anti")
+            .select(id, col("lang_pred"), col("quality")))
+        // counts read warm caches (gated/deduped staged, result pinned);
+        // docs.count() is a metadata-only parquet row count
+        val stats = Seq((docs.count(), gated.count(), deduped.count(),
+            result.count()))
+          .toDF("n_input", "n_gated", "n_exact_deduped", "n_survivors")
+        (result, stats)
       } finally pairs.unpersist(blocking = false)
     }
   }

@@ -373,7 +373,9 @@ object ExtQueries {
         minQuality = 0.5, nearDupThreshold = 0.5)
       .orderBy(col("doc_id"))
 
-  val q37Sql: String = {
+  /** The shared curation WITH-chain (through `losers`) — q37 selects the
+    * survivors from it, q40 selects the per-stage counts. */
+  private val curationCte: String = {
     val score = TextAnalysis.langMarkers.map { case (l, m) =>
       s"len(list_intersect(words, ${m.map(x => s"'$x'").mkString("[", ", ", "]")})) AS s_$l"
     }.mkString(",\n       |          ")
@@ -419,12 +421,32 @@ object ExtQueries {
        |  SELECT DISTINCT b.id AS doc_id
        |  FROM sz a JOIN sz b ON a.id < b.id AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5)
-       |SELECT d.doc_id, d.lang_pred, d.quality
-       |FROM dd d LEFT JOIN losers l ON d.doc_id = l.doc_id
-       |WHERE l.doc_id IS NULL
-       |ORDER BY d.doc_id""".stripMargin
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5)""".stripMargin
   }
+
+  val q37Sql: String = curationCte + "\n" +
+    """SELECT d.doc_id, d.lang_pred, d.quality
+      |FROM dd d LEFT JOIN losers l ON d.doc_id = l.doc_id
+      |WHERE l.doc_id IS NULL
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q40 — the curation pipeline's OBSERVABILITY: per-stage survivor counts
+    * (input → gate → exact dedup → near-dup removal), oracle-recomputed
+    * from the same SQL stage chain — "no silent caps": every drop the
+    * pipeline makes is a number an operator can watch. */
+  def q40CurationStats(spark: SparkSession, dir: String): DataFrame =
+    Curation.curateWithStats(Tables.documents(spark, dir), "doc_id", "text",
+        minQuality = 0.5, nearDupThreshold = 0.5)
+      ._2.orderBy(col("n_input"))
+
+  val q40Sql: String = curationCte + "\n" +
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_input,
+      |  (SELECT COUNT(*) FROM gated) AS n_gated,
+      |  (SELECT COUNT(*) FROM dd) AS n_exact_deduped,
+      |  (SELECT COUNT(*) FROM dd d LEFT JOIN losers l ON d.doc_id = l.doc_id
+      |   WHERE l.doc_id IS NULL) AS n_survivors
+      |ORDER BY n_input""".stripMargin
 
   /** q36 — REAL image decode tier: deterministic 16×12 RGB images encoded
     * as genuine binary PPM, then decoded, channel-averaged, nearest-neighbor
