@@ -55,7 +55,8 @@ object SparkEntry {
     "q37_curation_pipeline" -> (ExtQueries.q37Curation _),
     "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _),
     "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _),
-    "q40_curation_stats" -> (ExtQueries.q40CurationStats _)
+    "q40_curation_stats" -> (ExtQueries.q40CurationStats _),
+    "q41_quota_sample" -> (ExtQueries.q41QuotaSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,6 +111,8 @@ object SparkEntry {
     // q39: incremental-ingest LSH vs brute-force cross-half Jaccard
     "q39_incremental_dedup" -> ExtQueries.q39Sql,
     // q40: the curation pipeline's per-stage drop counts, recomputed
-    "q40_curation_stats" -> ExtQueries.q40Sql
+    "q40_curation_stats" -> ExtQueries.q40Sql,
+    // q41: the deterministic mixture itself (Knuth-scramble order)
+    "q41_quota_sample" -> ExtQueries.q41Sql
   )
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / data-mixing operators: constructing a training
+ * mixture means taking a REPRODUCIBLE quota per source (stratum) — "20 k
+ * docs of code, 5 k of forums" — not a Bernoulli coin flip that changes
+ * between runs and engines.
+ *
+ * The pseudo-random order is a Knuth multiplicative scramble of the id —
+ * plain integer arithmetic, so any engine (and the DuckDB oracle)
+ * reproduces the exact same sample; no RNG state, no engine-specific hash.
+ *
+ * Scale shape: one shuffle on the stratum key + a per-stratum window sort.
+ * With caps ≪ stratum sizes, pre-prune first: keep rows with
+ * scramble < (cap/n)·S·margin (one cheap aggregate for n per stratum),
+ * then run the exact window on the survivors — the sort input shrinks from
+ * the corpus to ~margin·cap rows per stratum. [[quotaSamplePruned]]
+ * implements that and falls back to the exact path for any stratum the
+ * margin starved (checked with one count — correctness never depends on
+ * the margin).
+ */
+object Sampling {
+
+  private val Scale = 1L << 32
+
+  /** Knuth multiplicative scramble onto [0, 2^32) — the shared
+    * pseudo-random order. */
+  def scramble(id: Column): Column = pmod(id * lit(2654435761L), lit(Scale))
+
+  /** At most `cap` rows per stratum, chosen by ascending scramble(id)
+    * (id tiebreak): the exact, engine-reproducible mixture. */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+                  cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(scramble(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Per-stratum quotas (absent stratum → dropped): the weighted-mixture
+    * form; quotas ride a broadcast join, selection rule identical to
+    * [[quotaSample]]. */
+  def mixture(df: DataFrame, stratumCol: String, idCol: String,
+              quotas: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = quotas.toSeq.toDF(stratumCol, "__cap")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(scramble(col(idCol)), col(idCol))
+    df.join(broadcast(q), Seq(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__rn", "__cap")
+  }
+
+  /**
+   * The 100 TB path: pre-prune by a scramble threshold before the window,
+   * so the per-stratum sort sees ~margin·cap rows instead of the stratum.
+   * A post-check counts each stratum's pruned sample; any stratum the
+   * margin starved (fewer than min(cap, n) survivors) is re-sampled
+   * exactly — the result EQUALS [[quotaSample]] always, the margin only
+   * decides how much work the fast path saves.
+   */
+  def quotaSamplePruned(df: DataFrame, stratumCol: String, idCol: String,
+                        cap: Int, margin: Double = 4.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    val pruned = df.join(broadcast(sizes), Seq(stratumCol))
+      .filter(scramble(col(idCol)) <
+        least(lit(Scale.toDouble),
+          lit(margin * cap * Scale) / col("__n")).cast("long"))
+      .drop("__n")
+    val sampled = quotaSample(pruned, stratumCol, idCol, cap)
+    // starvation check: strata where the prune kept fewer than the quota
+    // (or the whole stratum, if smaller) need the exact path
+    val got = sampled.groupBy(col(stratumCol)).agg(count(lit(1)).as("__got"))
+    val starved = sizes.join(got, Seq(stratumCol), "left")
+      .filter(coalesce(col("__got"), lit(0L)) <
+        least(col("__n"), lit(cap.toLong)))
+      .select(col(stratumCol))
+    val starvedKeys = starved.collect().map(_.get(0)).toSeq // #strata-bounded
+    if (starvedKeys.isEmpty) sampled
+    else {
+      val redo = quotaSample(
+        df.filter(col(stratumCol).isin(starvedKeys: _*)),
+        stratumCol, idCol, cap)
+      sampled.filter(!col(stratumCol).isin(starvedKeys: _*))
+        .unionByName(redo)
+    }
+  }
+}

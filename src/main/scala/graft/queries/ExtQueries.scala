@@ -256,6 +256,25 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q41 — deterministic quota sampling ("data mixing"): at most 20 docs
+    * per source, chosen by the Knuth-scramble order — integer arithmetic
+    * both engines reproduce exactly, so the MIXTURE itself is hash-gated
+    * (a Bernoulli sample never could be). */
+  def q41QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quotaSample(
+        Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+        "source", "doc_id", cap = 20)
+      .orderBy(col("source"), col("doc_id"))
+
+  val q41Sql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM r WHERE rn <= 20
+      |ORDER BY source, doc_id""".stripMargin
+
   /** q39 — INCREMENTAL dedup: docs with doc_id % 10 = 0 play the ingest
     * batch, the rest the indexed corpus; the batch LSHes only itself and
     * joins the corpus's stored band table (O(batch) per ingest). Oracle =
