@@ -56,7 +56,8 @@ object SparkEntry {
     "q38_ann_probe_stats" -> (ExtQueries.q38AnnProbeStats _),
     "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _),
     "q40_curation_stats" -> (ExtQueries.q40CurationStats _),
-    "q41_quota_sample" -> (ExtQueries.q41QuotaSample _)
+    "q41_quota_sample" -> (ExtQueries.q41QuotaSample _),
+    "q42_asof_join" -> (ExtQueries.q42AsofJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +114,8 @@ object SparkEntry {
     // q40: the curation pipeline's per-stage drop counts, recomputed
     "q40_curation_stats" -> ExtQueries.q40Sql,
     // q41: the deterministic mixture itself (Knuth-scramble order)
-    "q41_quota_sample" -> ExtQueries.q41Sql
+    "q41_quota_sample" -> ExtQueries.q41Sql,
+    // q42: as-of join vs DuckDB's native ASOF LEFT JOIN
+    "q42_asof_join" -> ExtQueries.q42Sql
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join helpers encoding SQL semantics Spark's bare join API doesn't. */
@@ -50,5 +51,43 @@ object Joins {
         (col("__nin_n") === 0 || leftKey.isNotNull))
       .drop("__nin_n", "__nin_nulls")
       .join(keys, leftKey === col("__nin_k"), "left_anti")
+  }
+
+  /**
+   * General AS-OF join — each left row picks up the payload of the LATEST
+   * right row with the same key and right.time ≤ left.time (inclusive),
+   * NULL payload if none — WITHOUT an inequality join: both sides are
+   * tagged and unioned, and one window pass per key carries the last-seen
+   * right payload forward (right sorts before left on time ties, giving
+   * the ≤ semantics). Plan shape: ONE shuffle on the key + a linear
+   * per-key scan — at 100 TB this is the difference between a sort-merge
+   * pass and the range-join row explosion a naive `l.time >= r.time` join
+   * plans. Right rows are first collapsed to one per (key, time)
+   * (lexicographic-max payload — deterministic, engine-reproducible).
+   * Output: every left column + `<prefix><payloadCol>` columns.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val rightOne = right.groupBy(col(keyCol), col(timeCol))
+      .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
+    val pType = rightOne.schema("__p").dataType
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      leftCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(pType).as("__p"): _*)
+    val rTagged = rightOne.select(
+      leftCols.map {
+        case c if c == keyCol || c == timeCol => col(c)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(0).as("__side") :+ col("__p"): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col("__last").getField(p).as(prefix + p)): _*)
   }
 }

@@ -256,6 +256,33 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q42 — GENERAL as-of join (union + one window pass, no inequality
+    * join): each view event picks up the value of the user's latest
+    * purchase at or before it. Oracle = DuckDB's native ASOF LEFT JOIN on
+    * the same (us-truncated) timestamps — an independent implementation of
+    * the semantics, not a transliteration of ours. */
+  def q42AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.ops.Joins.asofJoin(views, purchases, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q42Sql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT v.event_id, v.user_id, p.value AS asof_value
+      |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+      |ORDER BY v.event_id""".stripMargin
+
   /** q41 — deterministic quota sampling ("data mixing"): at most 20 docs
     * per source, chosen by the Knuth-scramble order — integer arithmetic
     * both engines reproduce exactly, so the MIXTURE itself is hash-gated
