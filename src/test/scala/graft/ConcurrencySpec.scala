@@ -43,7 +43,8 @@ class ConcurrencySpec extends SparkSpec {
         Future(collectAndRelease(run26())),
         Future(collectAndRelease(run27())),
         Future(collectAndRelease(run37())))),
-      5.minutes)
+      20.minutes) // generous: under a fully parallel suite the three
+                  // pipelines contend for all cores and 5 min has flaked
     assert(results(0) === seq26, "q26 under concurrency")
     assert(results(1) === seq27, "q27 under concurrency")
     assert(results(2) === seq37, "q37 under concurrency")
