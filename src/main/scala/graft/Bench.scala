@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -11,25 +13,71 @@ import org.apache.spark.sql.SparkSession
  * Measurement policy:
  *  - JVM/codegen warmup runs every query once on the smallest SF; warmup
  *    FAILURES ARE LOGGED (a silently-failed warmup once shifted a one-off
- *    index build into a measured query).
+ *    index build into a measured query). `SPARK_GRAFT_BENCH_WARMUP=0`
+ *    skips warmup entirely (for time-boxed driver windows).
  *  - The bucketed-ANN index is a one-off materialized artifact (built once,
  *    amortized over every probe, like any IVF index): it is built, timed
  *    and verified BEFORE measurement, and reported on stderr — q34 measures
  *    the steady-state probe only.
- *  - Each query is timed over two passes and the MIN is reported: local[32]
- *    wall times jitter under co-tenant machine load (r2's tail queries
- *    showed 5-10× one-off inflation unreproducible in isolation), and the
- *    steady-state number is the one that scales. Both passes do full work —
- *    the cache is cleared between passes, so pass 2 repeats every shuffle
- *    and scan (only OS page cache and JIT state carry over).
+ *  - Each query is timed over `SPARK_GRAFT_BENCH_PASSES` passes (default 2)
+ *    and the MIN is reported: local[32] wall times jitter under co-tenant
+ *    machine load (r2's tail queries showed 5-10× one-off inflation
+ *    unreproducible in isolation), and the steady-state number is the one
+ *    that scales. Every pass does full work — the cache is cleared between
+ *    passes, so each pass repeats every shuffle and scan (only OS page
+ *    cache and JIT state carry over).
  *  - spark.catalog.clearCache() after every pass: measurement isolation —
  *    no query reads blocks another query cached (operator-pinned results
  *    included).
+ *
+ * Artifact durability: the JSON artifact (SPARK_GRAFT_BENCH_OUT) is
+ * REWRITTEN after every timed query with the results so far and
+ * `"partial": true` (false once complete), via write-temp-then-atomic-move
+ * so a kill mid-write leaves the previous complete artifact, not a torn
+ * file. A SIGKILL at ANY point mid-bench therefore leaves a parseable JSON
+ * with every query that finished — r3 lost its whole bench artifact to an
+ * all-or-nothing write that survived the driver's timeout by 0.2 s.
+ * Per-query timings also stream to stderr as they complete.
  */
 object Bench {
+
+  /** The one-line JSON contract (+ the `partial` durability flag). Pure
+    * function of the results-so-far — spec'd parseable at every prefix. */
+  def resultsJson(results: Seq[(String, Double)], sfDir: String,
+                  partial: Boolean): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","partial":$partial}"""
+  }
+
+  /** Atomically replace `out` with `json` (temp file + ATOMIC_MOVE, falling
+    * back to REPLACE_EXISTING where atomic moves are unsupported): readers
+    * never observe a torn artifact, and a kill mid-flush keeps the previous
+    * complete one. */
+  def flush(out: String, json: String): Unit = {
+    val target = Paths.get(out)
+    val tmp = Paths.get(out + s".tmp-${ProcessHandle.current().pid()}")
+    Files.writeString(tmp, json + "\n")
+    try Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def envFlag(name: String, default: Boolean): Boolean =
+    sys.env.get(name).map(v => !(v == "0" || v.equalsIgnoreCase("false")))
+      .getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val doWarmup = envFlag("SPARK_GRAFT_BENCH_WARMUP", default = true)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,18 +88,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] WARMUP FAILED $name: $e")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // an empty-but-parseable artifact exists from the first moment
+    try flush(out, resultsJson(Nil, sfDir, partial = true))
+    catch { case e: Throwable => System.err.println(s"[bench] flush $out failed: $e") }
+
+    if (doWarmup) {
+      ordered.foreach { case (name, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED $name: $e")
+        }
       }
-    }
-    spark.catalog.clearCache()
+      spark.catalog.clearCache()
+    } else System.err.println("[bench] warmup skipped (SPARK_GRAFT_BENCH_WARMUP)")
 
     val tIdx = System.nanoTime()
     try {
       val path = graft.ops.BucketedAnn.ensureIndex(spark, sfDir)
-      require(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")),
+      require(Files.exists(Paths.get(path, "_SUCCESS")),
         s"index build left no _SUCCESS at $path")
       System.err.println(
         f"[bench] ANN index ready at $path (${(System.nanoTime() - tIdx) / 1e9}%.1f s build+verify)")
@@ -59,8 +114,9 @@ object Bench {
       System.err.println(s"[bench] ANN INDEX BUILD FAILED (q34 will pay the build inline): $e")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    ordered.foreach { case (name, fn) =>
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -70,19 +126,18 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      results += name -> times.min
+      System.err.println(f"[bench] $name ${times.min}%.3f s (passes: ${times.map(t => f"$t%.2f").mkString(",")})")
+      try flush(out, resultsJson(results.toSeq, sfDir, partial = true))
+      catch { case e: Throwable => System.err.println(s"[bench] flush $out failed: $e") }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    val json = resultsJson(results.toSeq, sfDir, partial = false)
     println(json)
-    // stdout arrives wrapped in sbt [info] decoration — also write the bare
-    // JSON line to a file so the driver can machine-parse it
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // stdout arrives wrapped in sbt [info] decoration — the bare JSON line
+    // in the file is what the driver machine-parses
+    try flush(out, json)
+    catch { case e: Throwable => System.err.println(s"[bench] flush $out failed: $e") }
     spark.stop()
   }
 }

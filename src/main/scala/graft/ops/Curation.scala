@@ -72,9 +72,14 @@ object Curation {
         val result = CacheScope.pin(
           deduped.join(losers, Seq(idCol), "left_anti")
             .select(id, col("lang_pred"), col("quality")))
-        // counts read warm caches (gated/deduped staged, result pinned);
-        // docs.count() is a metadata-only parquet row count
-        val stats = Seq((docs.count(), gated.count(), deduped.count(),
+        // counts read warm caches (gated/deduped staged, result pinned).
+        // n_input counts the input PRE-exchange: callers hand us a
+        // deliberately repartitioned ("spread") frame, and a row count is
+        // invariant under partitioning — stripping the Repartition makes
+        // this a column-pruned scan-only pass instead of scan + shuffle
+        val nInput =
+          org.apache.spark.sql.graft.PlanOps.withoutRepartition(docs).count()
+        val stats = Seq((nInput, gated.count(), deduped.count(),
             result.count()))
           .toDF("n_input", "n_gated", "n_exact_deduped", "n_survivors")
         (result, stats)

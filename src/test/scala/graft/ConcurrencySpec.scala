@@ -38,6 +38,7 @@ class ConcurrencySpec extends SparkSpec {
     val seq37 = collectAndRelease(run37())
 
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    val t0 = System.nanoTime()
     val results = Await.result(
       Future.sequence(Seq(
         Future(collectAndRelease(run26())),
@@ -45,6 +46,14 @@ class ConcurrencySpec extends SparkSpec {
         Future(collectAndRelease(run37())))),
       20.minutes) // generous: under a fully parallel suite the three
                   // pipelines contend for all cores and 5 min has flaked
+    // the generous timeout can mask a large regression — surface the
+    // actual wall time so a slowdown is visible in the test log even
+    // when the suite still passes
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    info(f"concurrent q26+q27+q37 wall time: $elapsed%.1f s")
+    if (elapsed > 300)
+      info(s"WARNING: concurrent pipelines took ${elapsed.toInt} s — " +
+        "5x the historical idle-host time; investigate before raising the timeout again")
     assert(results(0) === seq26, "q26 under concurrency")
     assert(results(1) === seq27, "q27 under concurrency")
     assert(results(2) === seq37, "q37 under concurrency")
