@@ -57,7 +57,8 @@ object SparkEntry {
     "q39_incremental_dedup" -> (ExtQueries.q39IncrementalDedup _),
     "q40_curation_stats" -> (ExtQueries.q40CurationStats _),
     "q41_quota_sample" -> (ExtQueries.q41QuotaSample _),
-    "q42_asof_join" -> (ExtQueries.q42AsofJoin _)
+    "q42_asof_join" -> (ExtQueries.q42AsofJoin _),
+    "q43_dedup_clusters" -> (ExtQueries.q43DedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,6 +117,8 @@ object SparkEntry {
     // q41: the deterministic mixture itself (Knuth-scramble order)
     "q41_quota_sample" -> ExtQueries.q41Sql,
     // q42: as-of join vs DuckDB's native ASOF LEFT JOIN
-    "q42_asof_join" -> ExtQueries.q42Sql
+    "q42_asof_join" -> ExtQueries.q42Sql,
+    // q43: label-propagation components vs a recursive-CTE closure
+    "q43_dedup_clusters" -> ExtQueries.q43Sql
   )
 }

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
  *      quality score per doc;
  *   2. gate: drop unidentifiable-language and low-quality docs;
  *   3. exact dedup: keep the min-id doc per normalized fingerprint;
- *   4. near-dup removal: MinHash-LSH verified pairs (Jaccard ≥ threshold),
- *      drop the higher id of each pair ("keep first" — deterministic, and
- *      the usual practice when exact transitive clustering is not worth a
- *      connected-components pass).
+ *   4. near-dup removal: MinHash-LSH verified pairs (Jaccard ≥ threshold).
+ *      Default mode drops the higher id of each PAIR ("keep first" —
+ *      deterministic, cheap); `transitive = true` instead closes over the
+ *      pair graph (Cluster.connectedComponents) and keeps exactly the
+ *      min-id doc of each duplicate CLUSTER — for a doc C similar to both
+ *      A and B (A≁B), pair mode keeps {A, B}, transitive mode keeps {A}.
  *
  * Scale shape: one shuffle for the exact-dedup groupBy, the LSH pipeline's
  * banded self-join for near-dups, one anti-join to subtract the losers —
@@ -30,8 +32,11 @@ object Curation {
    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5,
-             nearDupThreshold: Double = 0.5): DataFrame =
-    curateWithStats(docs, idCol, textCol, minQuality, nearDupThreshold)._1
+             nearDupThreshold: Double = 0.5,
+             transitive: Boolean = false,
+             lshBands: Int = 16): DataFrame =
+    curateWithStats(docs, idCol, textCol, minQuality, nearDupThreshold,
+      transitive, lshBands)._1
 
   /**
    * [[curate]] plus per-stage observability: the second frame is one row
@@ -42,7 +47,9 @@ object Curation {
    */
   def curateWithStats(docs: DataFrame, idCol: String, textCol: String,
                       minQuality: Double = 0.5,
-                      nearDupThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+                      nearDupThreshold: Double = 0.5,
+                      transitive: Boolean = false,
+                      lshBands: Int = 16): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val id = col(idCol)
@@ -66,9 +73,20 @@ object Curation {
       // 4. near-dup removal over the exact-deduped survivors; the LSH
       // result arrives pinned — release it once the survivors are pinned
       val pairs = Dedup.minhashLshPairs(deduped, idCol, textCol,
-        n = 2, threshold = nearDupThreshold)
+        n = 2, bands = lshBands, threshold = nearDupThreshold)
       try {
-        val losers = pairs.select(col("id_b").as(idCol)).distinct()
+        // transitive mode: close over the pair graph and drop every doc
+        // that is not the min of its component; cc arrives pinned and is
+        // released once the survivors are pinned (the losers anti-join
+        // below reads its warm blocks)
+        val cc = if (transitive)
+          Some(Cluster.connectedComponents(pairs, "id_a", "id_b"))
+        else None
+        val losers = cc match {
+          case Some(c) => c.filter(col("node") =!= col("component"))
+            .select(col("node").as(idCol))
+          case None => pairs.select(col("id_b").as(idCol)).distinct()
+        }
         val result = CacheScope.pin(
           deduped.join(losers, Seq(idCol), "left_anti")
             .select(id, col("lang_pred"), col("quality")))
@@ -82,6 +100,7 @@ object Curation {
         val stats = Seq((nInput, gated.count(), deduped.count(),
             result.count()))
           .toDF("n_input", "n_gated", "n_exact_deduped", "n_survivors")
+        cc.foreach(_.unpersist(blocking = false))
         (result, stats)
       } finally pairs.unpersist(blocking = false)
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /**
  * North-star extension queries (training-data pipeline ops) over the
@@ -330,6 +330,45 @@ object ExtQueries {
        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |    / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
        |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** q43 — transitive near-dup CLUSTERS: connected components over the
+    * verified MinHash-LSH pair graph (iterative min-label propagation with
+    * pointer jumping — hash joins + groupBy per round, no driver loop over
+    * rows), component = min doc_id. Oracle = a DuckDB recursive CTE
+    * computing the transitive closure of the same brute-force pair list —
+    * an independent implementation of reachability, not a transliteration. */
+  def q43DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 2, threshold = 0.5)
+    try Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+    finally pairs.unpersist(blocking = false)
+  }
+
+  val q43Sql: String =
+    s"""WITH RECURSIVE sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sz a JOIN sz b
+       |    ON a.id < b.id
+       |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, dst AS r FROM edges
+       |  UNION
+       |  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON rr.r = e.src)
+       |SELECT node AS doc_id, least(node, min(r)) AS component
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
 
   /** q38 — the ANN probe-cost diagnostics as an oracle-gated query: the
     * Hamming-ball fan-out and the partition-pruned candidate count. The
