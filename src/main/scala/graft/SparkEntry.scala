@@ -58,7 +58,8 @@ object SparkEntry {
     "q40_curation_stats" -> (ExtQueries.q40CurationStats _),
     "q41_quota_sample" -> (ExtQueries.q41QuotaSample _),
     "q42_asof_join" -> (ExtQueries.q42AsofJoin _),
-    "q43_dedup_clusters" -> (ExtQueries.q43DedupClusters _)
+    "q43_dedup_clusters" -> (ExtQueries.q43DedupClusters _),
+    "q44_rotated_ann" -> (ExtQueries.q44RotatedAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +120,8 @@ object SparkEntry {
     // q42: as-of join vs DuckDB's native ASOF LEFT JOIN
     "q42_asof_join" -> ExtQueries.q42Sql,
     // q43: label-propagation components vs a recursive-CTE closure
-    "q43_dedup_clusters" -> ExtQueries.q43Sql
+    "q43_dedup_clusters" -> ExtQueries.q43Sql,
+    // q44: seeded-rotation ANN vs the same literal matrix in SQL
+    "q44_rotated_ann" -> ExtQueries.q44Sql
   )
 }

@@ -50,14 +50,14 @@ object BucketedAnn {
   def indexPath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_ann_index_${sourceFingerprint(dir)}"
 
-  /** Build (once) the bucket-partitioned copy of `embeddings`. */
-  def ensureIndex(spark: SparkSession, dir: String): String = {
-    val path = indexPath(dir)
+  /** Build (once) a bucket-partitioned copy of `embeddings` at `path`,
+    * bucketed by `bucket` (any plan-time sign-LSH expression). */
+  private def buildIndex(spark: SparkSession, dir: String, path: String,
+                         bucket: org.apache.spark.sql.Column): String = {
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       val tmp = s"$path.build-${ProcessHandle.current().pid()}-${System.nanoTime()}"
       graft.Tables.embeddings(spark, dir)
-        .withColumn("sign_bucket",
-          Similarity.axisSignBucket(col("embedding"), NPlanes, Stride).cast("int"))
+        .withColumn("sign_bucket", bucket.cast("int"))
         // co-locate each bucket before the partitioned write: ONE file per
         // bucket directory instead of one per (task × bucket) — a probe
         // then opens |ball| files, not |ball| × writer-parallelism
@@ -73,6 +73,53 @@ object BucketedAnn {
       }
     }
     path
+  }
+
+  /** Build (once) the axis-sign bucket-partitioned copy of `embeddings`. */
+  def ensureIndex(spark: SparkSession, dir: String): String =
+    buildIndex(spark, dir, indexPath(dir),
+      Similarity.axisSignBucket(col("embedding"), NPlanes, Stride))
+
+  // --- seeded-rotation variant --------------------------------------------
+
+  /** Default rotation seed — part of the index identity (path + probes). */
+  val RotSeed = 20260813L
+
+  /** Cache path of the ROTATED index: same content fingerprint, distinct
+    * namespace per seed (a rotated and an axis index never alias). */
+  def rotIndexPath(dir: String, seed: Long = RotSeed): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ann_rot_${seed}_${sourceFingerprint(dir)}"
+
+  /** Build (once) the seeded-rotation bucket-partitioned index — the
+    * anisotropy-proof stored path: bucket bits mix every dimension through
+    * the seeded projection (Similarity.seededPlanes), so skewed real-world
+    * embeddings still spread across 2^NPlanes directories. */
+  def ensureRotIndex(spark: SparkSession, dir: String,
+                     seed: Long = RotSeed): String =
+    buildIndex(spark, dir, rotIndexPath(dir, seed),
+      Similarity.rotSignBucket(col("embedding"),
+        Similarity.seededPlanes(seed, NPlanes, Dim)))
+
+  /**
+   * ANN top-k over the ROTATED bucketed index: identical result to
+   * Similarity.rotLshTopK (same buckets, same exact re-rank) — but the
+   * Hamming-ball probe is a partition-column IN-list over the stored
+   * rotated buckets, so the scan prunes to the probed directories.
+   */
+  def rotAnnTopK(spark: SparkSession, dir: String, queryVec: Seq[Float],
+                 k: Int, maxHamming: Int = 3,
+                 seed: Long = RotSeed): DataFrame = {
+    val planes = Similarity.seededPlanes(seed, NPlanes, Dim)
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val ball = Similarity.hammingBall(
+      Similarity.rotSignBucketOf(queryVec, planes), NPlanes, maxHamming)
+      .map(_.toInt)
+    spark.read.parquet(ensureRotIndex(spark, dir, seed))
+      .filter(col("sign_bucket").isin(ball: _*))
+      .withColumn("cos_sim", Similarity.cosine(col("embedding"), q))
+      .select(col("vec_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -82,6 +82,77 @@ object Similarity {
   def axisSignBucketOf(vec: Seq[Float], nPlanes: Int, stride: Int): Long =
     (0 until nPlanes).map(p => if (vec(p * stride) > 0) 1L << p else 0L).sum
 
+  // --- seeded-rotation sign-LSH -------------------------------------------
+
+  /**
+   * Deterministic seeded projection matrix (nPlanes × dim): the "random
+   * rotation" that anisotropy-proofs [[axisSignBucket]]. Each weight is a
+   * splitmix64 draw mapped to [-0.5, 0.5) — a fixed, seed-reproducible
+   * matrix whose rows are the hyperplane normals (true SRP-LSH; for sign
+   * tests orthonormality buys nothing, only direction diversity does).
+   * The weights are plan-time LITERALS, so both the Spark plan and a SQL
+   * oracle can embed the identical matrix — the whole rotated pipeline
+   * stays hash-checkable, unlike murmur-per-row [[signBucket]].
+   */
+  def seededPlanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = { // splitmix64 — public-domain PRNG step
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(nPlanes, dim)((next() >>> 11).toDouble / (1L << 53) - 0.5)
+  }
+
+  /** Rotated sign-LSH bucket: bit p = sign(planes(p) · vec). The dot
+    * product is a sequential left fold (zip_with + aggregate), bit-matched
+    * by [[rotSignBucketOf]] and by a SQL list_sum over the same literals. */
+  def rotSignBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.map(lit): _*)
+      val proj = aggregate(
+        zip_with(vec, wLit, (x, ww) => x.cast(DoubleType) * ww),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side bucket of a literal query vector — same fold order as
+    * [[rotSignBucket]]'s aggregate, so the sign test is bit-identical. */
+  def rotSignBucketOf(vec: Seq[Float], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (w, p) =>
+      val proj = vec.zip(w).foldLeft(0.0) { case (acc, (x, ww)) =>
+        acc + x.toDouble * ww
+      }
+      if (proj > 0) 1L << p else 0L
+    }.sum
+
+  /**
+   * ANN top-k via seeded-rotation sign-LSH — [[axisLshTopK]] with the
+   * seeded projection in front, for corpora where the coordinate axes are
+   * NOT isotropic (correlated dims, all-positive embeddings, a dominant
+   * axis): the rotation mixes every dimension into each bucket bit, so
+   * bucket occupancy stays balanced where raw axis signs would collapse
+   * into a handful of buckets. Same contract: exact top-k OF THE PROBED
+   * BUCKETS, SQL-reproducible from the literal matrix.
+   */
+  def rotLshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 queryVec: Seq[Float], k: Int, seed: Long,
+                 nPlanes: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val planes = seededPlanes(seed, nPlanes, queryVec.length)
+    val q = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val qBucket = rotSignBucketOf(queryVec, planes)
+    val ball = hammingBall(qBucket, nPlanes, maxHamming)
+    embeddings
+      .withColumn("bucket", rotSignBucket(col(vecCol), planes))
+      .filter(col("bucket").isin(ball: _*))
+      .withColumn("cos_sim", cosine(col(vecCol), q))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All buckets within Hamming distance `maxHamming` of `center` — the
     * probe set, enumerable at plan time for a literal query (2^nPlanes ids). */
   def hammingBall(center: Long, nPlanes: Int, maxHamming: Int): Seq[Long] =

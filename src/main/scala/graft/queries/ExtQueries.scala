@@ -256,6 +256,48 @@ object ExtQueries {
     graft.ops.BucketedAnn.annTopK(spark, dir, annQueryVec, k = 10,
       maxHamming = 3)
 
+  /** q44 — seeded-ROTATION ANN over the rotated bucket-partitioned index:
+    * the anisotropy-proof stored path. Bucket bit p = sign(planes(p)·v)
+    * with a fixed splitmix64-seeded projection matrix; the matrix is a
+    * plan-time literal, so the oracle embeds the IDENTICAL weights and
+    * reproduces the pruning + exact re-rank bit-for-bit (same contract as
+    * q29/q34: exact top-k of the probed buckets). */
+  def q44RotatedAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BucketedAnn.rotAnnTopK(spark, dir, annQueryVec, k = 10,
+      maxHamming = 3)
+
+  val q44Sql: String = {
+    import graft.ops.{BucketedAnn, Similarity}
+    val planes = Similarity.seededPlanes(BucketedAnn.RotSeed,
+      BucketedAnn.NPlanes, BucketedAnn.Dim)
+    // Double.toString round-trips, so the SQL literal parses back to the
+    // exact bits the Spark plan carries
+    val bucketBits = planes.zipWithIndex.map { case (w, p) =>
+      val wList = w.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(64), i ->\n" +
+        s"      CAST(embedding[i+1] AS DOUBLE) * ($wList)[i+1])) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val ball = Similarity.hammingBall(
+      Similarity.rotSignBucketOf(annQueryVec, planes),
+      BucketedAnn.NPlanes, 3)
+    "WITH b AS (\n" +
+      "  SELECT vec_id, embedding,\n" +
+      s"    $bucketBits AS bucket\n" +
+      "  FROM embeddings),\n" +
+      "q AS (SELECT list_transform(range(64), i -> CAST(CAST(0.1 AS FLOAT) AS DOUBLE)) AS qv)\n" +
+      "SELECT vec_id,\n" +
+      "  list_sum(list_transform(range(len(embedding)), i ->\n" +
+      "      CAST(embedding[i+1] AS DOUBLE) * qv[i+1]))\n" +
+      "  / (sqrt(list_sum(list_transform(range(len(embedding)), i ->\n" +
+      "        CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))\n" +
+      "     * sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1] * qv[i+1])))) AS cos_sim\n" +
+      "FROM b, q\n" +
+      s"WHERE bucket IN (${ball.mkString(", ")})\n" +
+      "ORDER BY cos_sim DESC, vec_id\n" +
+      "LIMIT 10"
+  }
+
   /** q42 — GENERAL as-of join (union + one window pass, no inequality
     * join): each view event picks up the value of the user's latest
     * purchase at or before it. Oracle = DuckDB's native ASOF LEFT JOIN on

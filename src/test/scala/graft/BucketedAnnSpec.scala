@@ -38,6 +38,26 @@ class BucketedAnnSpec extends SparkSpec {
     assert(bucketed.toSeq === direct.toSeq)
   }
 
+  test("rotated index: partition-pruned probe, identical to unbucketed rotation") {
+    val df = BucketedAnn.rotAnnTopK(spark, dir, qv, k = 10, maxHamming = 3)
+    val rows = df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.mkString.contains("sign_bucket"))
+    val total = spark.read.parquet(
+      BucketedAnn.rotIndexPath(dir)).inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"rotated probe read all $total files — no pruning")
+    // same rows as the direct (unstored) rotated-LSH path
+    val direct = Similarity.rotLshTopK(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", qv,
+        k = 10, seed = BucketedAnn.RotSeed, nPlanes = 8, maxHamming = 3)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      direct.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("axis bucket of the all-positive query is all bits set") {
     assert(Similarity.axisSignBucketOf(qv, 8, 8) === 255L)
   }

@@ -63,6 +63,67 @@ class SimilaritySpec extends SparkSpec {
     assert(probed < 200)
   }
 
+  // --- seeded rotation vs raw axis signs on an ANISOTROPIC corpus ---------
+
+  /** A deliberately axis-correlated corpus: 10 clusters of 20 vectors in
+    * 64 dims. The 8 dims axisSignBucket samples (0, 8, …, 56) carry ONLY
+    * tiny iid noise (sign = coin flip per vector), while the other 56 dims
+    * carry the cluster signal — so raw axis-sign buckets are pure noise
+    * (neighbors land ~4 bits apart) while any direction that MIXES
+    * dimensions sees the signal. All seeded, fully deterministic. */
+  private lazy val skewedVecs: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val sampled = (0 until 8).map(_ * 8).toSet
+    val centers = Seq.fill(10)(Seq.tabulate(64)(j =>
+      if (sampled(j)) 0f else (rnd.nextFloat() * 2 - 1)))
+    (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      i -> c.zipWithIndex.map { case (v, j) =>
+        if (sampled(j)) (rnd.nextFloat() - 0.5f) * 0.02f
+        else v + (rnd.nextFloat() - 0.5f) * 0.1f
+      }
+    }
+  }
+
+  test("seeded rotation rescues recall where raw axis buckets are noise") {
+    val df64 = skewedVecs.toDF("vec_id", "embedding")
+    val q = skewedVecs(0)._2 // a member of cluster 0
+    val corpus = df64.filter($"vec_id" =!= 0)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      q, k = 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    def recall(ann: Array[org.apache.spark.sql.Row]): Double =
+      (ann.map(_.getAs[Long]("vec_id")).toSet intersect brute).size / 10.0
+    val axis = recall(Similarity.axisLshTopK(corpus, "vec_id", "embedding",
+      q, k = 10, nPlanes = 8, maxHamming = 1).collect())
+    val rot = recall(Similarity.rotLshTopK(corpus, "vec_id", "embedding",
+      q, k = 10, seed = 20260813L, nPlanes = 8, maxHamming = 1).collect())
+    assert(rot >= 0.7, s"rotated recall $rot — rotation lost the cluster")
+    assert(axis <= 0.3, s"axis recall $axis — corpus not adversarial enough")
+    assert(rot > axis)
+  }
+
+  test("rotSignBucketOf matches the Column expression bit-for-bit") {
+    val planes = Similarity.seededPlanes(99L, 8, 64)
+    val got = skewedVecs.take(32).toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.rotSignBucket($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    skewedVecs.take(32).foreach { case (id, v) =>
+      assert(got(id) === Similarity.rotSignBucketOf(v, planes),
+        s"driver/executor bucket mismatch for vec $id")
+    }
+  }
+
+  test("seededPlanes is deterministic per seed and spread in [-0.5, 0.5)") {
+    val a = Similarity.seededPlanes(1L, 8, 64)
+    val b = Similarity.seededPlanes(1L, 8, 64)
+    val c = Similarity.seededPlanes(2L, 8, 64)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.toSeq !== c.flatten.toSeq)
+    assert(a.flatten.forall(w => w >= -0.5 && w < 0.5))
+    // no degenerate rows (a zero row would make a dead bucket bit)
+    assert(a.forall(row => row.exists(math.abs(_) > 0.1)))
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates") {
     val planted = (df.select($"vec_id", $"embedding") union
       Seq((1000L, vecs(5)._2.map(x => x * 1.001f))).toDF("vec_id", "embedding"))
