@@ -90,4 +90,69 @@ object Joins {
       .select(leftCols.map(col) ++
         payloadCols.map(p => col("__last").getField(p).as(prefix + p)): _*)
   }
+
+  /**
+   * HOT-KEY-BOUNDED as-of join — identical semantics to [[asofJoin]]
+   * (equivalence proven in AsofJoinSpec incl. a 90 %-hot-key case), but no
+   * single window partition ever holds a whole key: [[asofJoin]] windows
+   * on the bare key, so one mega-key (a user with 10⁸ events) serializes
+   * one reducer. Here the work is two bounded phases:
+   *
+   *  1. window within (key, bucketFn(time)) — per-task row count is capped
+   *     by the hottest (key, bucket), which the caller tunes via the
+   *     bucket width;
+   *  2. a per-key window over BUCKET SUMMARIES (one row per (key, bucket),
+   *     not per event) carries the last right payload across bucket
+   *     boundaries; the final per-row answer is coalesce(within-bucket
+   *     running last, carry of strictly-earlier buckets).
+   *
+   * `bucketFn` must be monotone non-decreasing in the time column (any
+   * truncation qualifies); ties at a bucket edge are safe because a right
+   * row in an EARLIER bucket is strictly before the bucket start.
+   */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+                       timeCol: String, payloadCols: Seq[String],
+                       prefix: String = "asof_",
+                       bucketFn: Column => Column =
+                         c => date_trunc("day", c)): DataFrame = {
+    val rightOne = right.groupBy(col(keyCol), col(timeCol))
+      .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
+    val pType = rightOne.schema("__p").dataType
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      leftCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(pType).as("__p"): _*)
+    val rTagged = rightOne.select(
+      leftCols.map {
+        case c if c == keyCol || c == timeCol => col(c)
+        case c => lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ lit(0).as("__side") :+ col("__p"): _*)
+    val u = lTagged.unionByName(rTagged)
+      .withColumn("__bkt", bucketFn(col(timeCol)))
+    // phase 1: running last WITHIN each (key, bucket) — bounded partitions
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBkt = u.withColumn("__last_in",
+      last(col("__p"), ignoreNulls = true).over(wIn))
+    // phase 2: per (key, bucket) summaries — latest RIGHT payload in the
+    // bucket (rightOne is unique per (key, time), so time alone decides) —
+    // then a small per-key window over buckets carries the last payload of
+    // STRICTLY EARLIER buckets to every (key, bucket) either side touches
+    val sums = rightOne.withColumn("__bkt", bucketFn(col(timeCol)))
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(max(struct(col(timeCol).as("__t"), col("__p").as("__pp"))).as("__m"))
+      .select(col(keyCol), col("__bkt"), col("__m").getField("__pp").as("__bl"))
+    val allBkts = u.select(col(keyCol), col("__bkt")).distinct()
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBkts.join(sums, Seq(keyCol, "__bkt"), "left")
+      .withColumn("__carry", last(col("__bl"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__bkt"), col("__carry"))
+    inBkt.filter(col("__side") === 1)
+      .join(carry, Seq(keyCol, "__bkt"), "left")
+      .withColumn("__last", coalesce(col("__last_in"), col("__carry")))
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col("__last").getField(p).as(prefix + p)): _*)
+  }
 }

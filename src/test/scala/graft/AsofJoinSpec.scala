@@ -60,4 +60,56 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast === naive)
     assert(fast.values.exists(_.nonEmpty) && fast.values.exists(_.isEmpty))
   }
+
+  // --- hot-key-bounded variant --------------------------------------------
+
+  test("asofJoinBucketed equals asofJoin on the tie/no-match edge cases") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-03 12:00:00")), // carry across a bucket gap
+      (3L, 10L, ts("2024-01-01 09:00:00")),
+      (4L, 20L, ts("2024-01-02 00:00:00")), // exactly on a bucket edge
+      (5L, 30L, ts("2024-01-01 10:30:00"))
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (10L, ts("2024-01-01 11:00:00"), 5.0),
+      (20L, ts("2024-01-01 10:00:00"), 7.0)
+    ).toDF("k", "t", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"event_id").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Any]("asof_v"))).toMap
+    val base = asMap(Joins.asofJoin(left, right, "k", "t", Seq("v")))
+    val bucketed = asMap(Joins.asofJoinBucketed(left, right, "k", "t", Seq("v")))
+    assert(bucketed === base)
+    assert(base(2L) === Some(5.0), "gap-spanning carry must survive")
+    assert(base(4L) === Some(7.0), "bucket-edge row must see the prior bucket")
+  }
+
+  test("asofJoinBucketed == asofJoin on real events incl. a 90%-hot key") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // skew: ~90% of rows remapped onto one user id
+    val skew = when(pmod($"event_id", lit(10)) < 9, lit(424242L))
+      .otherwise($"user_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", skew.as("user_id"), $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(skew.as("user_id"), $"ts", $"value")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_value").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    val base = asMap(Joins.asofJoin(views, purchases, "user_id", "ts",
+      Seq("value")))
+    val bucketed = asMap(Joins.asofJoinBucketed(views, purchases, "user_id",
+      "ts", Seq("value")))
+    assert(bucketed === base)
+    assert(bucketed.values.exists(_.nonEmpty) &&
+      bucketed.values.exists(_.isEmpty))
+    // the hot key genuinely spans buckets: phase-1 partitions are
+    // (key, day), so no single window partition held all its rows
+    val hotDays = views.filter($"user_id" === 424242L)
+      .select(date_trunc("day", $"ts")).distinct().count()
+    assert(hotDays > 1, "hot key fits one bucket — test not exercising carry")
+  }
 }
