@@ -59,7 +59,8 @@ object SparkEntry {
     "q41_quota_sample" -> (ExtQueries.q41QuotaSample _),
     "q42_asof_join" -> (ExtQueries.q42AsofJoin _),
     "q43_dedup_clusters" -> (ExtQueries.q43DedupClusters _),
-    "q44_rotated_ann" -> (ExtQueries.q44RotatedAnn _)
+    "q44_rotated_ann" -> (ExtQueries.q44RotatedAnn _),
+    "q45_rate_mixture" -> (ExtQueries.q45RateMixture _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +123,8 @@ object SparkEntry {
     // q43: label-propagation components vs a recursive-CTE closure
     "q43_dedup_clusters" -> ExtQueries.q43Sql,
     // q44: seeded-rotation ANN vs the same literal matrix in SQL
-    "q44_rotated_ann" -> ExtQueries.q44Sql
+    "q44_rotated_ann" -> ExtQueries.q44Sql,
+    // q45: fractional/epoch mixture vs the same scramble decomposition
+    "q45_rate_mixture" -> ExtQueries.q45Sql
   )
 }

@@ -59,6 +59,50 @@ object Sampling {
   }
 
   /**
+   * Rate-based deterministic sample: keep rows with scramble(id) < rate·2³².
+   * Unlike the cap-based quota this is a PURE PER-ROW PREDICATE — no
+   * window, no shuffle, embarrassingly parallel — and a row's fate is
+   * stable under corpus growth (new rows can't evict old members, the way
+   * a rank-based cap can). The rate is exact in distribution over the
+   * scramble's uniform spread of ids, not a Bernoulli coin flip: the same
+   * engine-reproducible arithmetic as [[quotaSample]].
+   */
+  def rateSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    df.filter(scramble(col(idCol)) < lit(math.round(rate * Scale)))
+  }
+
+  /**
+   * Fractional/epoch WEIGHTED mixture — the "10 % of web, 3 epochs of
+   * code" training-mix form: each stratum's rate r expands to
+   * floor(r) full copies (epochs 1..floor(r)) plus a rate-(r−floor(r))
+   * deterministic sample as the final partial epoch. Output adds
+   * `epochCol`; strata absent from `rates` are dropped.
+   *
+   * Scale shape: one broadcast join of the rate table + a per-row
+   * sequence-explode — no shuffle, no window; the expansion factor is
+   * exactly the stratum's rate.
+   */
+  def rateMixture(df: DataFrame, stratumCol: String, idCol: String,
+                  rates: Map[String, Double],
+                  epochCol: String = "epoch"): DataFrame = {
+    require(rates.values.forall(_ >= 0.0), "negative rate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rt = rates.toSeq.map { case (s, r) =>
+      (s, r.toLong, math.round((r - r.toLong) * Scale))
+    }.toDF(stratumCol, "__full", "__thr")
+    val nEpochs = (col("__full") +
+      when(scramble(col(idCol)) < col("__thr"), lit(1L)).otherwise(lit(0L)))
+      .cast("int")
+    df.join(broadcast(rt), Seq(stratumCol))
+      .withColumn(epochCol, explode(
+        when(nEpochs >= 1, sequence(lit(1), nEpochs))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__full", "__thr")
+  }
+
+  /**
    * The 100 TB path: pre-prune by a scramble threshold before the window,
    * so the per-stratum sort sees ~margin·cap rows instead of the stratum.
    * A post-check counts each stratum's pruned sample; any stratum the

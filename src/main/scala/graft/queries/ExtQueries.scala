@@ -344,6 +344,42 @@ object ExtQueries {
       |SELECT source, doc_id FROM r WHERE rn <= 20
       |ORDER BY source, doc_id""".stripMargin
 
+  /** The q45 mixture: a pure-fractional stratum, an exactly-one-epoch
+    * stratum, a multi-epoch-plus-fraction stratum, a zero-rate stratum
+    * (dropped), and every other source absent (dropped). */
+  private val q45Rates: Map[String, Double] =
+    Map("src0" -> 0.25, "src1" -> 1.0, "src2" -> 2.5, "src3" -> 0.0)
+
+  /** q45 — fractional/epoch WEIGHTED mixture ("10 % of web, 3 epochs of
+    * code"): per-stratum rate r = floor(r) full copies + a deterministic
+    * rate-(r−floor(r)) partial epoch, all selected by the same Knuth
+    * scramble as q41 — the mixture itself is hash-gated, epochs included. */
+  def q45RateMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.rateMixture(
+        Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+        "source", "doc_id", q45Rates)
+      .select(col("source"), col("doc_id"), col("epoch"))
+      .orderBy(col("source"), col("doc_id"), col("epoch"))
+
+  val q45Sql: String = {
+    // the SAME rate decomposition the engine uses: floor(r) full epochs +
+    // a scramble-thresholded partial (thresholds are plan-time literals)
+    val rows = q45Rates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"('$s', ${r.toLong}, ${math.round((r - r.toLong) * (1L << 32))})"
+    }.mkString(",\n  ")
+    s"""WITH r(source, nfull, thr) AS (VALUES
+       |  $rows),
+       |x AS (
+       |  SELECT d.source, d.doc_id,
+       |    nfull + CASE WHEN (d.doc_id * 2654435761) % 4294967296 < thr
+       |                 THEN 1 ELSE 0 END AS ne
+       |  FROM documents d JOIN r USING (source))
+       |SELECT source, doc_id,
+       |  CAST(unnest(generate_series(1, ne)) AS INT) AS epoch
+       |FROM x
+       |ORDER BY source, doc_id, epoch""".stripMargin
+  }
+
   /** q39 — INCREMENTAL dedup: docs with doc_id % 10 = 0 play the ingest
     * batch, the rest the indexed corpus; the batch LSHes only itself and
     * joins the corpus's stored band table (O(batch) per ingest). Oracle =
