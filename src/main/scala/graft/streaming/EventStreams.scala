@@ -272,32 +272,55 @@ object EventStreams {
       .start()
 
   /**
-   * The north star's "Structured Streaming + JDBC" sink: each micro-batch
-   * upserts into a relational table through JdbcUpsertSink's
-   * delete-then-insert, scoped to exactly the (day, event_type) groups the
-   * batch carries. The group-key collect is driver-side and bounded by the
-   * number of UPDATED groups per batch (not rows) — the standard foreachBatch
-   * scoping idiom. Replays of a failed batch rewrite the same scopes, so the
-   * sink stays exactly-once per group.
+   * One micro-batch of a keyed JDBC upsert: delete-then-insert scoped to
+   * exactly the key tuples the batch carries. The key collect is
+   * driver-side and bounded by the number of DISTINCT keys per batch (not
+   * rows) — the standard foreachBatch scoping idiom. This is the function
+   * Structured Streaming re-invokes verbatim when it replays a failed
+   * batch, so calling it twice on the same content must be (and is) a
+   * no-op — the replay-idempotence contract the specs exercise directly.
    */
-  def writeDailyUpsertJdbc(daily: DataFrame, url: String, table: String,
-                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    daily.writeStream
-      .outputMode(OutputMode.Update())
+  def upsertBatchKeyed(batch: DataFrame, keyCols: Seq[String],
+                       url: String, table: String): Unit = {
+    require(keyCols.nonEmpty, "keyed upsert needs at least one key column")
+    val b = batch.persist()
+    try {
+      val keys = b.select(keyCols.map(col): _*).distinct().collect()
+      if (keys.nonEmpty) {
+        // scope VALUES ride as bound placeholders (a quoted or hostile
+        // key value is data, not SQL)
+        val scopes = keys.map { r =>
+          keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }
+        }.toSeq
+        graft.sink.JdbcUpsertSink.write(b, url, table, scopes)
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /**
+   * The north star's "Structured Streaming + JDBC" sink, generalized to
+   * any group key: each micro-batch upserts into a relational table
+   * through [[upsertBatchKeyed]]'s scoped delete-then-insert. Works for
+   * Update-mode aggregations (changed groups re-emitted → their scopes
+   * rewritten) and Append-mode finalized emissions alike (e.g.
+   * [[sessionizeTws]] timer-closed sessions, where a replayed batch
+   * re-emits the same closed sessions and the scope delete absorbs them).
+   */
+  def writeKeyedUpsertJdbc(df: DataFrame, keyCols: Seq[String], url: String,
+                           table: String, checkpoint: String,
+                           mode: OutputMode = OutputMode.Update())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          val keys = b.select(col("day"), col("event_type")).distinct().collect()
-          if (keys.nonEmpty) {
-            // scope VALUES ride as bound placeholders (a quoted or hostile
-            // event_type is data, not SQL)
-            val scopes = keys.map { r =>
-              Seq("day" -> r.get(0), "event_type" -> r.get(1))
-            }.toSeq
-            graft.sink.JdbcUpsertSink.write(b, url, table, scopes)
-          }
-        } finally { b.unpersist(); () }
+        upsertBatchKeyed(batch, keyCols, url, table)
       }
       .start()
+
+  /** Daily-counts instance of [[writeKeyedUpsertJdbc]] — the reference's
+    * per-(day, list) delete-then-insert cycle (S5/S6) as a stream. */
+  def writeDailyUpsertJdbc(daily: DataFrame, url: String, table: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    writeKeyedUpsertJdbc(daily, Seq("day", "event_type"), url, table, checkpoint)
 }
