@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Publish the floor: time every SparkEntry.oracleSql in DuckDB over the
+same parquet tables the engine benches against, so the Spark-vs-oracle
+ratio is computed by the harness instead of ad-hoc judge-side timing.
+
+DuckDB only exists driver-side (Python), so this is the tools/ twin of
+graft.Bench: same min-of-N-passes policy, same loss-proof per-query
+flush of a parseable JSON artifact.
+
+Usage:
+  python3 tools/bench_oracle.py <sfDir> <oracleSqlJson> [outJson]
+
+  <oracleSqlJson> is the oracle_sql.json a graft.Verify run dumps.
+  Passes default to 2; override with ORACLE_BENCH_PASSES.
+
+Output (one JSON object, rewritten after every timed query):
+  {"metric":"oracle_total","value":N,"unit":"sec",
+   "queries":{...},"sf":...,"threads":T,"partial":bool}
+
+Compare against the engine's BENCH json for the floor ratio; note the
+near-dup oracles (q26/q27/q37/q39/q40) are deliberately brute-force
+quadratic — they are recall gates, not a performance target.
+"""
+import sys, os, json, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, oracle_json, out="oracle_bench.json"):
+    passes = max(1, int(os.environ.get("ORACLE_BENCH_PASSES", "2")))
+    con = duckdb.connect()
+    threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_json))
+
+    def flush(results, partial):
+        art = {"metric": "oracle_total",
+               "value": round(sum(results.values()), 3), "unit": "sec",
+               "queries": {k: round(v, 3) for k, v in results.items()},
+               "sf": sf_dir, "threads": int(threads), "partial": partial}
+        tmp = f"{out}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(art) + "\n")
+        os.replace(tmp, out)
+
+    results = {}
+    flush(results, True)
+    for name in sorted(oracle):
+        best = None
+        for _ in range(passes):
+            t0 = time.monotonic()
+            try:
+                con.execute(oracle[name]).fetchall()
+                dt = time.monotonic() - t0
+            except Exception as e:
+                print(f"[oracle-bench] {name} FAILED: {e}", file=sys.stderr)
+                dt = float("nan")
+                break
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            results[name] = best
+            print(f"[oracle-bench] {name} {best:.3f} s", file=sys.stderr)
+        flush(results, True)
+    flush(results, False)
+    print(json.dumps({"metric": "oracle_total",
+                      "value": round(sum(results.values()), 3),
+                      "unit": "sec", "sf": sf_dir}))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
