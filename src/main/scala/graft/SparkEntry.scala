@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DomainQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -60,7 +60,9 @@ object SparkEntry {
     "q42_asof_join" -> (ExtQueries.q42AsofJoin _),
     "q43_dedup_clusters" -> (ExtQueries.q43DedupClusters _),
     "q44_rotated_ann" -> (ExtQueries.q44RotatedAnn _),
-    "q45_rate_mixture" -> (ExtQueries.q45RateMixture _)
+    "q45_rate_mixture" -> (ExtQueries.q45RateMixture _),
+    "q46_sessionize" -> (AnalyticsQueries.q46Sessionize _),
+    "q47_interval_join" -> (AnalyticsQueries.q47IntervalJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +127,10 @@ object SparkEntry {
     // q44: seeded-rotation ANN vs the same literal matrix in SQL
     "q44_rotated_ann" -> ExtQueries.q44Sql,
     // q45: fractional/epoch mixture vs the same scramble decomposition
-    "q45_rate_mixture" -> ExtQueries.q45Sql
+    "q45_rate_mixture" -> ExtQueries.q45Sql,
+    // q46: batch sessionization vs DuckDB gaps-and-islands windows
+    "q46_sessionize" -> AnalyticsQueries.q46Sql,
+    // q47: bucketed interval join vs DuckDB's native IEJoin inequality join
+    "q47_interval_join" -> AnalyticsQueries.q47Sql
   )
 }

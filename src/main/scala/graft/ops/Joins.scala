@@ -110,6 +110,42 @@ object Joins {
    * truncation qualifies); ties at a bucket edge are safe because a right
    * row in an EARLIER bucket is strictly before the bucket start.
    */
+  /**
+   * INTERVAL-CONTAINMENT join ("range join") without an inequality join:
+   * pair each left row with every right interval containing its time —
+   * `start ≤ t < end` — with no equi-key between the sides. A naive
+   * `l.t >= r.start AND l.t < r.end` join has no equi-condition, so Spark
+   * plans BroadcastNestedLoopJoin (O(|L|·|R|) and a broadcast of a whole
+   * side) — at 100 TB that plan never finishes. Here both sides are mapped
+   * onto fixed-width time buckets — each left row to ONE bucket, each
+   * interval EXPLODED to the buckets it overlaps — and the join becomes a
+   * shuffle-able equi-join on the bucket plus the exact residual predicate.
+   *
+   * Cost model: fan-out per interval = len/bucketWidth + 1, and candidate
+   * pairs per bucket = |L_bucket|·|R_bucket| — pick `bucketMicros` near the
+   * typical interval length so both stay O(1)-ish. Each left row lands in
+   * exactly one bucket, so matches are produced exactly once (no dedup
+   * pass). A skewed hot bucket shuffles like any hot join key — AQE skew
+   * handling applies, unlike the BNLJ it replaces.
+   *
+   * Output: all left columns then all right columns (callers disambiguate
+   * names); semantics inclusive-start / exclusive-end.
+   */
+  def intervalJoin(left: DataFrame, timeCol: String,
+                   right: DataFrame, startCol: String, endCol: String,
+                   bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    // `div` (integral) rather than Column./ (double): epoch-micros values
+    // are ~1.7e15 and exactness at bucket edges matters
+    def bkt(c: String) = expr(s"unix_micros(`$c`) div ${bucketMicros}L")
+    val l = left.withColumn("__bkt_l", bkt(timeCol))
+    val r = right.withColumn("__bkt_r",
+      explode(sequence(bkt(startCol), bkt(endCol))))
+    l.join(r, col("__bkt_l") === col("__bkt_r") &&
+        col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
+      .drop("__bkt_l", "__bkt_r")
+  }
+
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCol: String,
                        timeCol: String, payloadCols: Seq[String],
                        prefix: String = "asof_",
