@@ -45,19 +45,30 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
   /**
-   * events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-   * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-   * (legacy conf) and convert to a micros TimestampType column; integer
-   * division truncates toward the epoch, matching DuckDB's ns→us cast.
+   * events.parquet has shipped `ts` under two physical types across testdata
+   * generations: TIMESTAMP(NANOS) — which Spark's parquet reader rejects
+   * ([PARQUET_TYPE_ILLEGAL]) unless nanos are read as raw longs — and plain
+   * TIMESTAMP(MICROS) without timezone, which Spark reads as TIMESTAMP_NTZ.
+   * Normalize both to a micros TimestampType column (the session runs in
+   * UTC, so the NTZ→TZ cast is a reinterpretation, value-identical to
+   * DuckDB's naive TIMESTAMP read of the same file).
    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    // `div` is INTEGRAL division — Column `/` would go through Double, and
-    // ns-epoch values (~1.7e18) exceed 2^53, so the rounding could move a
-    // truncated micro by ±1 vs DuckDB's exact ns→us integer cast
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // legacy nanos-as-long: `div` is INTEGRAL division — Column `/`
+        // would go through Double, and ns-epoch values (~1.7e18) exceed
+        // 2^53, so the rounding could move a truncated micro by ±1 vs
+        // DuckDB's exact ns→us integer cast
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
