@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries, TextPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -62,7 +62,16 @@ object SparkEntry {
     "q44_rotated_ann" -> (ExtQueries.q44RotatedAnn _),
     "q45_rate_mixture" -> (ExtQueries.q45RateMixture _),
     "q46_sessionize" -> (AnalyticsQueries.q46Sessionize _),
-    "q47_interval_join" -> (AnalyticsQueries.q47IntervalJoin _)
+    "q47_interval_join" -> (AnalyticsQueries.q47IntervalJoin _),
+    "q48_rollup_agg" -> (AnalyticsQueries.q48Rollup _),
+    "q49_window_analytics" -> (AnalyticsQueries.q49WindowAnalytics _),
+    "q50_daily_gapfill" -> (AnalyticsQueries.q50DailyGapfill _),
+    "q51_tfidf_topterms" -> (TextPipelineQueries.q51TfidfTopTerms _),
+    "q52_doc_chunking" -> (TextPipelineQueries.q52DocChunking _),
+    "q53_hash_split" -> (TextPipelineQueries.q53HashSplit _),
+    "q54_boilerplate" -> (TextPipelineQueries.q54Boilerplate _),
+    "q55_exact_quantiles" -> (AnalyticsQueries.q55ExactQuantiles _),
+    "q56_pii_scrub" -> (TextPipelineQueries.q56PiiScrub _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +140,15 @@ object SparkEntry {
     // q46: batch sessionization vs DuckDB gaps-and-islands windows
     "q46_sessionize" -> AnalyticsQueries.q46Sql,
     // q47: bucketed interval join vs DuckDB's native IEJoin inequality join
-    "q47_interval_join" -> AnalyticsQueries.q47Sql
+    "q47_interval_join" -> AnalyticsQueries.q47Sql,
+    "q48_rollup_agg" -> AnalyticsQueries.q48Sql,
+    "q49_window_analytics" -> AnalyticsQueries.q49Sql,
+    "q50_daily_gapfill" -> AnalyticsQueries.q50Sql,
+    "q51_tfidf_topterms" -> TextPipelineQueries.q51Sql,
+    "q52_doc_chunking" -> TextPipelineQueries.q52Sql,
+    "q53_hash_split" -> TextPipelineQueries.q53Sql,
+    "q54_boilerplate" -> TextPipelineQueries.q54Sql,
+    "q55_exact_quantiles" -> AnalyticsQueries.q55Sql,
+    "q56_pii_scrub" -> TextPipelineQueries.q56Sql
   )
 }

@@ -79,4 +79,151 @@ object AnalyticsQueries {
       |FROM p LEFT JOIN w ON p.ts >= w.w_start AND p.ts < w.w_end
       |GROUP BY p.event_id
       |ORDER BY event_id""".stripMargin
+
+  /** q48 — ROLLUP with grouping_id: the OLAP subtotal surface
+    * (detail rows, per-flag subtotals, grand total in ONE pass — Spark
+    * plans a single Expand + hash aggregate, not three scans). Sums ride
+    * DECIMAL so subtotal re-aggregation is order-exact. */
+  def q48Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val q48Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  /** q49 — per-event window analytics: inter-event gap (lag), running
+    * event count and DECIMAL-exact running value sum, percent_rank of the
+    * event's value within its user. One shuffle on user_id; every window
+    * shares the (user_id | ts, event_id) sort, so Catalyst evaluates them
+    * in a single Window operator over one sort pass. */
+  def q49WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"))
+    ev.select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byTime)).as("gap_us"),
+        count(lit(1)).over(running).as("run_n"),
+        sum(col("value").cast("decimal(18,2)")).over(running)
+          .cast("double").as("run_value"),
+        percent_rank().over(byValue).as("pr"))
+      .orderBy(col("event_id"))
+  }
+
+  val q49Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts), 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS run_value,
+      |  percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr
+      |FROM e
+      |ORDER BY event_id""".stripMargin
+
+  /** q50 — time-series gap-fill + forward fill (TimeSeries op): densify
+    * each user's activity onto a daily grid and carry the last day's value
+    * across gaps. The oracle rebuilds the spine with generate_series and
+    * fills with IGNORE NULLS — an independent formulation of the same
+    * semantics. */
+  def q50DailyGapfill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.dailyForwardFill(
+        Tables.events(spark, dir), "user_id", "ts",
+        sum(col("value").cast("decimal(18,2)")))
+      .select(col("user_id"), col("day"), col("n"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("user_id"), col("day"))
+
+  val q50Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM daily GROUP BY user_id),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds)
+      |SELECT s.user_id, s.day,
+      |  coalesce(d.n, 0) AS n,
+      |  CAST(last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS value
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** q55 — exact distributed quantiles (discrete): per event_type, the
+    * p50/p90/p99 of `value` selected by row_number over one sort — the
+    * scalable exact-quantile pattern (one shuffle + window; no
+    * driver-side percentile state). Indices use pure integer ceil
+    * arithmetic ((k·n + k−1… ) div m form) so both engines select the
+    * identical row — a float p·n would round differently per engine. */
+  def q55ExactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value")))
+          .as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value")))
+          .as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val q55Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, max(n) AS n,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
