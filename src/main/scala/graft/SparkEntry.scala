@@ -71,7 +71,10 @@ object SparkEntry {
     "q53_hash_split" -> (TextPipelineQueries.q53HashSplit _),
     "q54_boilerplate" -> (TextPipelineQueries.q54Boilerplate _),
     "q55_exact_quantiles" -> (AnalyticsQueries.q55ExactQuantiles _),
-    "q56_pii_scrub" -> (TextPipelineQueries.q56PiiScrub _)
+    "q56_pii_scrub" -> (TextPipelineQueries.q56PiiScrub _),
+    "q57_zorder_key" -> (AnalyticsQueries.q57ZorderKey _),
+    "q58_approx_distinct" -> (AnalyticsQueries.q58ApproxDistinct _),
+    "q59_incremental_agg" -> (AnalyticsQueries.q59IncrementalAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,6 +152,9 @@ object SparkEntry {
     "q53_hash_split" -> TextPipelineQueries.q53Sql,
     "q54_boilerplate" -> TextPipelineQueries.q54Sql,
     "q55_exact_quantiles" -> AnalyticsQueries.q55Sql,
-    "q56_pii_scrub" -> TextPipelineQueries.q56Sql
+    "q56_pii_scrub" -> TextPipelineQueries.q56Sql,
+    "q57_zorder_key" -> AnalyticsQueries.q57Sql,
+    "q58_approx_distinct" -> AnalyticsQueries.q58Sql,
+    "q59_incremental_agg" -> AnalyticsQueries.q59Sql
   )
 }

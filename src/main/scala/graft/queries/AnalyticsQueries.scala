@@ -226,4 +226,101 @@ object AnalyticsQueries {
       |FROM r
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q57 — Z-order (Morton) key computation ([[graft.ops.ZOrder]]): the
+    * bit-interleave that buys two-dimensional min/max data skipping from
+    * one physical sort order. The oracle runs the identical five-step
+    * magic-number spread in SQL — pure integer shifts/masks, so the hash
+    * gate proves bit-exactness; ZOrderSpec proves the LAYOUT effect
+    * (per-file spans tight in both dimensions). */
+  def q57ZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        col("event_id"),
+        col("user_id").bitwiseAND(lit(0xFFFFL)).as("x"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").bitwiseAND(lit(0xFFFFL)).as("y"))
+      .withColumn("zkey", graft.ops.ZOrder.zkey2(col("x"), col("y")))
+      .orderBy(col("event_id"))
+  }
+
+  private def spreadSql(v: String): String = {
+    val s1 = s"($v & 65535)"
+    val s2 = s"(($s1 | ($s1 << 8)) & 16711935)"
+    val s3 = s"(($s2 | ($s2 << 4)) & 252645135)"
+    val s4 = s"(($s3 | ($s3 << 2)) & 858993459)"
+    s"(($s4 | ($s4 << 1)) & 1431655765)"
+  }
+
+  val q57Sql: String = {
+    val sx = spreadSql("x")
+    val sy = spreadSql("y")
+    """WITH e AS (
+      |  SELECT event_id,
+      |    user_id & 65535 AS x,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) & 65535 AS y
+      |  FROM events)
+      |SELECT event_id, x, y, (__SX__ | (__SY__ << 1)) AS zkey
+      |FROM e
+      |ORDER BY event_id""".stripMargin
+      .replace("__SX__", sx).replace("__SY__", sy)
+  }
+
+  /** q58 — approximate distinct (HyperLogLog++) with an error-bound gate:
+    * the approximate value itself is engine-specific, so the gated output
+    * is the exact count plus the BOOLEAN "HLL landed within 5 %" — the
+    * oracle asserts TRUE, so a sketch drifting out of tolerance fails the
+    * round. This is the honest way to oracle-gate an approximate operator
+    * (the sketch, not its exact twin, is what runs at 100 TB: mergeable,
+    * fixed memory, one pass). */
+  def q58ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.05).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q58Sql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_exact,
+      |  TRUE AS approx_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q59 — incremental aggregate maintenance ([[graft.ops.IncrementalAgg]]):
+    * history is aggregated once into algebraic partials, the late batch is
+    * aggregated alone, the two partial sets MERGE — and the gate proves
+    * merge(partials(old), partials(new)) ≡ full recompute (the oracle
+    * aggregates the whole table directly). Sums ride DECIMAL, so the
+    * equality is exact, not approximate. */
+  def q59IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+    val pivot = lit("2024-01-25").cast("date")
+    val stored = IncrementalAgg.partials(
+      ev.filter(col("day") < pivot), Seq("day"), "value")
+    val batch = IncrementalAgg.partials(
+      ev.filter(col("day") >= pivot), Seq("day"), "value")
+    IncrementalAgg.finalize(
+        IncrementalAgg.merge(stored, batch, Seq("day")))
+      .orderBy(col("day"))
+  }
+
+  val q59Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    AS mean,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
 }
