@@ -74,7 +74,8 @@ object SparkEntry {
     "q56_pii_scrub" -> (TextPipelineQueries.q56PiiScrub _),
     "q57_zorder_key" -> (AnalyticsQueries.q57ZorderKey _),
     "q58_approx_distinct" -> (AnalyticsQueries.q58ApproxDistinct _),
-    "q59_incremental_agg" -> (AnalyticsQueries.q59IncrementalAgg _)
+    "q59_incremental_agg" -> (AnalyticsQueries.q59IncrementalAgg _),
+    "q60_global_index" -> (AnalyticsQueries.q60GlobalIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +156,7 @@ object SparkEntry {
     "q56_pii_scrub" -> TextPipelineQueries.q56Sql,
     "q57_zorder_key" -> AnalyticsQueries.q57Sql,
     "q58_approx_distinct" -> AnalyticsQueries.q58Sql,
-    "q59_incremental_agg" -> AnalyticsQueries.q59Sql
+    "q59_incremental_agg" -> AnalyticsQueries.q59Sql,
+    "q60_global_index" -> AnalyticsQueries.q60Sql
   )
 }

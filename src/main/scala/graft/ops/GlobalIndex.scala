@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Dense global row numbering under a total order — "assign every training
+ * example a stable contiguous id" — WITHOUT the naive plan's scale
+ * killer: `row_number() OVER (ORDER BY …)` with no PARTITION BY collapses
+ * the whole table into ONE reducer (Spark even warns); at 100 TB that is
+ * not slow, it is dead.
+ *
+ * The scalable shape is the classic two-phase index:
+ *   1. range-repartition on the order key (sampled bounds → partitions
+ *      are ordered AND balanced), sort within partitions;
+ *   2. count rows per partition (per-partition aggregate — no row
+ *      movement), prefix-sum the counts into per-partition OFFSETS on the
+ *      driver (#partitions values, not rows — the same bounded-driver
+ *      idiom as Sampling's starved-strata collect);
+ *   3. local row_number within each partition + broadcast-joined offset.
+ *
+ * Every row is numbered exactly once, no global single-reducer sort ever
+ * runs, and the result equals the naive plan row-for-row (the q60 oracle
+ * IS the naive plan, in DuckDB).
+ */
+object GlobalIndex {
+
+  /** Add `idxCol` = 0-based dense global index of the row under
+    * `ORDER BY orderCols`. The caller makes the order total (unique last
+    * column) — the same contract as any deterministic sort.
+    *
+    * The shuffled stage is cache-scoped so the counts pass and the
+    * numbering pass see one row→partition assignment, and the result is
+    * pinned (caller owns `unpersist()`). In a warehouse job you'd fold
+    * this into the write — index and persist to storage in the same pass
+    * — rather than pin a table-sized result; the pin serves query-shaped
+    * consumers at the gate scale. (Recompute after eviction is safe:
+    * range sampling is seed-deterministic, so offsets stay valid.) */
+  def withGlobalIndex(df: DataFrame, idxCol: String,
+                      orderCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // the counts pass and the numbering pass must observe the SAME
+    // row→partition assignment — stage the shuffle output (CacheScope:
+    // materialized during the scope, released after the pinned result)
+    CacheScope.withStages(parted) {
+      val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.map(_._1).zip(
+        counts.map(_._2).scanLeft(0L)(_ + _).init) // offset_i = Σ n_<i
+      val offsetsDf = spark.createDataFrame(offsets.toSeq)
+        .toDF("__pid", "__off")
+      val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      CacheScope.pin(parted
+        .join(broadcast(offsetsDf), Seq("__pid"))
+        .withColumn(idxCol,
+          (row_number().over(local).cast("long") - 1) + col("__off"))
+        .drop("__pid", "__off"))
+    }
+  }
+}
