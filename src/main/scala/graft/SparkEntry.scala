@@ -75,7 +75,12 @@ object SparkEntry {
     "q57_zorder_key" -> (AnalyticsQueries.q57ZorderKey _),
     "q58_approx_distinct" -> (AnalyticsQueries.q58ApproxDistinct _),
     "q59_incremental_agg" -> (AnalyticsQueries.q59IncrementalAgg _),
-    "q60_global_index" -> (AnalyticsQueries.q60GlobalIndex _)
+    "q60_global_index" -> (AnalyticsQueries.q60GlobalIndex _),
+    "q61_pivot" -> (AnalyticsQueries.q61Pivot _),
+    "q62_unpivot" -> (AnalyticsQueries.q62Unpivot _),
+    "q63_hopping_window" -> (AnalyticsQueries.q63HoppingWindow _),
+    "q64_ntile_deciles" -> (AnalyticsQueries.q64NtileDeciles _),
+    "q65_funnel_asof" -> (AnalyticsQueries.q65Funnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,6 +162,11 @@ object SparkEntry {
     "q57_zorder_key" -> AnalyticsQueries.q57Sql,
     "q58_approx_distinct" -> AnalyticsQueries.q58Sql,
     "q59_incremental_agg" -> AnalyticsQueries.q59Sql,
-    "q60_global_index" -> AnalyticsQueries.q60Sql
+    "q60_global_index" -> AnalyticsQueries.q60Sql,
+    "q61_pivot" -> AnalyticsQueries.q61Sql,
+    "q62_unpivot" -> AnalyticsQueries.q62Sql,
+    "q63_hopping_window" -> AnalyticsQueries.q63Sql,
+    "q64_ntile_deciles" -> AnalyticsQueries.q64Sql,
+    "q65_funnel_asof" -> AnalyticsQueries.q65Sql
   )
 }

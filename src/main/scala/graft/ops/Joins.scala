@@ -68,7 +68,28 @@ object Joins {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    asofDirectional(left, right, keyCol, timeCol, payloadCols, prefix,
+      forward = false)
+
+  /**
+   * FORWARD as-of join — the mirror of [[asofJoin]]: each left row picks
+   * up the payload of the EARLIEST right row with the same key and
+   * right.time ≥ left.time (inclusive), NULL if none. Same plan shape
+   * (one key shuffle + one linear window pass, no inequality join); the
+   * scan simply runs time-descending. This is the "next event" primitive
+   * funnels are built from (view → first purchase after it).
+   */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, payloadCols: Seq[String],
+                      prefix: String = "asof_"): DataFrame =
+    asofDirectional(left, right, keyCol, timeCol, payloadCols, prefix,
+      forward = true)
+
+  private def asofDirectional(left: DataFrame, right: DataFrame,
+                              keyCol: String, timeCol: String,
+                              payloadCols: Seq[String], prefix: String,
+                              forward: Boolean): DataFrame = {
     val rightOne = right.groupBy(col(keyCol), col(timeCol))
       .agg(max(struct(payloadCols.map(col): _*)).as("__p"))
     val pType = rightOne.schema("__p").dataType
@@ -81,8 +102,12 @@ object Joins {
         case c if c == keyCol || c == timeCol => col(c)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
       } :+ lit(0).as("__side") :+ col("__p"): _*)
+    // side 0 (right) sorts before side 1 (left) at equal times in BOTH
+    // directions, so the tie is inclusive either way
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(
+        (if (forward) col(timeCol).desc else col(timeCol).asc),
+        col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))

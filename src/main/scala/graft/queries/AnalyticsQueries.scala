@@ -345,4 +345,158 @@ object AnalyticsQueries {
       |    AS gidx
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** The event-type domain, pinned so `pivot` needs NO discovery pass —
+    * at 100 TB the two-job "collect distinct values, then pivot" shape is
+    * a full extra scan; a declared domain keeps pivot single-pass. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q61 — PIVOT (long→wide): per-day DECIMAL-exact value totals spread
+    * across one column per event type. Catalyst plans the declared-domain
+    * pivot as a single hash aggregate with conditional sums — exactly the
+    * CASE-expression form the oracle spells out. */
+  def q61Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("day"))
+
+  val q61Sql: String = {
+    val cols = eventTypes.map(t =>
+      s"""  CAST(sum(CASE WHEN event_type = '$t'
+         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "$t""""
+        .stripMargin).mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |$cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
+  /** q62 — UNPIVOT (wide→long): lineitem's three amount columns melted to
+    * (metric, amount) rows. Spark's native `unpivot` is map-only (an
+    * Expand node — no shuffle, no UNION re-scan); the oracle is the
+    * 3-way UNION ALL it replaces. */
+  def q62Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "amount")
+      // the synthetic lineitem has duplicate (orderkey, linenumber) pairs
+      // (q01's r3 finding) — amount makes the output order total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        col("amount"))
+
+  val q62Sql: String =
+    """SELECT l_orderkey, l_linenumber, metric, amount FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_quantity' AS metric, l_quantity AS amount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_discount', l_discount FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, metric, amount""".stripMargin
+
+  /** q63 — HOPPING (sliding) windows, batch twin of the streaming tier:
+    * 1-hour windows every 15 minutes, so each event lands in 4 — Spark's
+    * native `window()` plans this as a 4-row Expand (map-only) before one
+    * hash aggregate. The oracle derives the same epoch-aligned window
+    * starts with integer arithmetic. */
+  def q63HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("n"), col("total"))
+      .orderBy(col("window_start"))
+
+  val q63Sql: String =
+    """WITH hop AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      |assigned AS (
+      |  SELECT make_timestamp((us // 900000000) * 900000000
+      |      - k * 900000000) AS window_start,
+      |    value
+      |  FROM hop, UNNEST(generate_series(0, 3)) AS u(k))
+      |SELECT window_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM assigned
+      |GROUP BY 1
+      |ORDER BY window_start""".stripMargin
+
+  /** q64 — NTILE deciles: per event_type, value deciles with exact
+    * per-bucket stats (both engines implement SQL-standard ntile: the
+    * first n mod k buckets take the extra row; ties resolved by the
+    * unique event_id order column). */
+  def q64NtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val q64Sql: String =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |    CAST(ntile(10) OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS BIGINT) AS decile
+      |  FROM events)
+      |SELECT event_type, decile, count(*) AS n,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY event_type, decile""".stripMargin
+
+  /** q65 — funnel via FORWARD as-of join ([[Joins.asofJoinForward]]):
+    * each view's NEXT purchase by the same user; a view converts if it
+    * arrives within the hour. Same one-shuffle/one-window-scan shape as
+    * the backward as-of. The oracle runs DuckDB's native ASOF on NEGATED
+    * epoch times (largest -t_p ≤ -t_v ⟺ smallest t_p ≥ t_v) — an
+    * independent formulation of "next event". */
+  def q65Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("pus"))
+    Joins.asofJoinForward(views, purchases, "user_id", "ts", Seq("pus"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_views"),
+        count(when(
+          col("asof_pus") - unix_micros(col("ts")) <= 3600L * 1000000L,
+          lit(1))).as("n_converted"))
+      .orderBy(col("day"))
+  }
+
+  val q65Sql: String =
+    """WITH v AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    -epoch_us(CAST(ts AS TIMESTAMP)) AS nt
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, -epoch_us(CAST(ts AS TIMESTAMP)) AS nt,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS pus
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (
+      |  SELECT v.event_id, v.ts, v.user_id, p.pus
+      |  FROM v ASOF LEFT JOIN p
+      |    ON v.user_id = p.user_id AND v.nt >= p.nt)
+      |SELECT CAST(ts AS DATE) AS day,
+      |  count(*) AS n_views,
+      |  count(CASE WHEN pus - epoch_us(ts) <= 3600000000 THEN 1 END)
+      |    AS n_converted
+      |FROM j
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
 }

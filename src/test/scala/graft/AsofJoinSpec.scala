@@ -61,6 +61,45 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.values.exists(_.nonEmpty) && fast.values.exists(_.isEmpty))
   }
 
+  test("asofJoinForward picks the EARLIEST at-or-after payload (incl. ties, no-match)") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // exact tie with a right row
+      (2L, 10L, ts("2024-01-01 10:30:00")), // between rights -> 11:00 one
+      (3L, 10L, ts("2024-01-01 12:00:00")), // after all rights -> null
+      (4L, 20L, ts("2024-01-01 10:30:00"))  // key with no right rows
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),
+      (10L, ts("2024-01-01 11:00:00"), 2.0),
+      (10L, ts("2024-01-01 11:00:00"), 5.0) // same (k,t): lexicographic max
+    ).toDF("k", "t", "v")
+    val out = Joins.asofJoinForward(left, right, "k", "t", Seq("v"))
+      .orderBy("event_id")
+      .collect().map(r => Option(r.getAs[Any]("asof_v")))
+    assert(out.toSeq === Seq(Some(1.0), Some(5.0), None, None))
+  }
+
+  test("asofJoinForward == naive inequality-join formulation on real events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val fast = Joins.asofJoinForward(views, purchases, "user_id", "ts", Seq("value"))
+      .select($"event_id", $"asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    val dedup = purchases.groupBy($"user_id", $"ts")
+      .agg(max($"value").as("value"))
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value")
+    val naive = views
+      .join(dedup, $"user_id" === $"p_user" && $"p_ts" >= $"ts", "left")
+      .groupBy($"event_id")
+      .agg(min_by($"value", $"p_ts").as("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any](1))).toMap
+    assert(fast === naive)
+    assert(fast.values.exists(_.nonEmpty) && fast.values.exists(_.isEmpty))
+  }
+
   // --- hot-key-bounded variant --------------------------------------------
 
   test("asofJoinBucketed equals asofJoin on the tie/no-match edge cases") {
