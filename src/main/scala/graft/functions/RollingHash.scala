@@ -105,5 +105,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+    // tier-c Catalyst extension: optimizer rewrites (see graft.plans)
+    ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)
   }
 }
