@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries, TextPipelineQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries, QualityQueries, TextPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -80,7 +80,10 @@ object SparkEntry {
     "q62_unpivot" -> (AnalyticsQueries.q62Unpivot _),
     "q63_hopping_window" -> (AnalyticsQueries.q63HoppingWindow _),
     "q64_ntile_deciles" -> (AnalyticsQueries.q64NtileDeciles _),
-    "q65_funnel_asof" -> (AnalyticsQueries.q65Funnel _)
+    "q65_funnel_asof" -> (AnalyticsQueries.q65Funnel _),
+    "q66_contract_report" -> (QualityQueries.q66ContractReport _),
+    "q67_fk_audit" -> (QualityQueries.q67FkAudit _),
+    "q68_column_profile" -> (QualityQueries.q68ColumnProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,6 +170,9 @@ object SparkEntry {
     "q62_unpivot" -> AnalyticsQueries.q62Sql,
     "q63_hopping_window" -> AnalyticsQueries.q63Sql,
     "q64_ntile_deciles" -> AnalyticsQueries.q64Sql,
-    "q65_funnel_asof" -> AnalyticsQueries.q65Sql
+    "q65_funnel_asof" -> AnalyticsQueries.q65Sql,
+    "q66_contract_report" -> QualityQueries.q66Sql,
+    "q67_fk_audit" -> QualityQueries.q67Sql,
+    "q68_column_profile" -> QualityQueries.q68Sql
   )
 }
