@@ -38,21 +38,27 @@ object TimeSeries {
       .groupBy(col(keyCol), day.as("day"))
       .agg(count(lit(1)).as("n"), valueAgg.as("day_value"))
 
-    // per-key spine: sequence(min_day, max_day) exploded — generated from
-    // the aggregated frame (small: one row per active day), not the events
-    val spine = daily
-      .groupBy(col(keyCol))
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col(keyCol),
-        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
-          .as("day"))
+    // `daily` feeds BOTH the spine derivation and the join probe — stage
+    // it (CacheScope), or the events aggregation runs twice (plan-audited:
+    // no ReusedExchange fires across the two subtrees). Result is pinned,
+    // caller owns the unpersist — the dense grid is Σ-span-bounded.
+    CacheScope.withStages(daily) {
+      // per-key spine: sequence(min_day, max_day) exploded — generated
+      // from the aggregated frame (one row per active day), never events
+      val spine = daily
+        .groupBy(col(keyCol))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col(keyCol),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+            .as("day"))
 
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq(keyCol, "day"), "left")
-      .select(
-        col(keyCol), col("day"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        last(col("day_value"), ignoreNulls = true).over(w).as("value"))
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      CacheScope.pin(spine.join(daily, Seq(keyCol, "day"), "left")
+        .select(
+          col(keyCol), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("value")))
+    }
   }
 }

@@ -21,13 +21,15 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, ts("2024-01-04 09:00:00"), 1.5),
       (2L, ts("2024-03-10 00:00:00"), 2.0) // single-day key
     ).toDF("user_id", "ts", "value")
-    val out = TimeSeries.dailyForwardFill(df, "user_id", "ts",
+    val filled = TimeSeries.dailyForwardFill(df, "user_id", "ts",
         sum(col("value").cast("decimal(18,2)")))
+    val out = filled
       .orderBy("user_id", "day")
       .select(col("user_id"), col("day"), col("n"),
         col("value").cast("double"))
       .collect().map(r => (r.getLong(0), r.getDate(1).toString,
         r.getLong(2), r.getDouble(3)))
+    filled.unpersist() // op pins its result; the caller owns the release
     assert(out.toSeq === Seq(
       (1L, "2024-01-01", 2L, 12.0), // two events summed
       (1L, "2024-01-02", 0L, 12.0), // gap: carried forward
