@@ -36,21 +36,25 @@ object Tfidf {
     * Output: id, term, tf, df, score, rank. */
   def topTerms(df: DataFrame, idCol: String, textCol: String,
                k: Int, minLen: Int = 4): DataFrame = {
-    val spark = df.sparkSession
     val tf = tokens(df, idCol, textCol, minLen)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, term)
-    val n = df.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(n)) // one-row broadcast: corpus size as a column
-      .withColumn("score",
-        (col("tf") * col("n_docs")).cast("double") / col("df"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("df"),
-        col("score"), col("rank"))
+    // `tf` feeds BOTH the document-frequency aggregate and the join probe
+    // — stage it (CacheScope) or the tokenize+explode+aggregate runs
+    // twice; result pinned, caller owns the release (≤ k rows per doc)
+    CacheScope.withStages(tf) {
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, term)
+      val n = df.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term"))
+      CacheScope.pin(tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n)) // one-row broadcast: corpus size
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("term"), col("tf"), col("df"),
+          col("score"), col("rank")))
+    }
   }
 }

@@ -92,9 +92,10 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "banana cherry cherry"),
       (3L, "apple banana")
     ).toDF("doc_id", "text")
-    val top = Tfidf.topTerms(docs, "doc_id", "text", k = 2, minLen = 4)
-      .orderBy("doc_id", "rank")
+    val ranked = Tfidf.topTerms(docs, "doc_id", "text", k = 2, minLen = 4)
+    val top = ranked.orderBy("doc_id", "rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    ranked.unpersist() // op pins its result; the caller owns the release
     // doc 1: apple tf=2 df=2 -> 2*3/2=3.0 ; banana tf=1 df=3 -> 1.0 ;
     //        cherry tf=1 df=2 -> 1.5  => apple, cherry
     assert(top.filter(_._1 == 1L).map(_._2).toSeq === Seq("apple", "cherry"))
