@@ -83,7 +83,8 @@ object SparkEntry {
     "q65_funnel_asof" -> (AnalyticsQueries.q65Funnel _),
     "q66_contract_report" -> (QualityQueries.q66ContractReport _),
     "q67_fk_audit" -> (QualityQueries.q67FkAudit _),
-    "q68_column_profile" -> (QualityQueries.q68ColumnProfile _)
+    "q68_column_profile" -> (QualityQueries.q68ColumnProfile _),
+    "q69_retention_cohorts" -> (QualityQueries.q69RetentionCohorts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -173,6 +174,7 @@ object SparkEntry {
     "q65_funnel_asof" -> AnalyticsQueries.q65Sql,
     "q66_contract_report" -> QualityQueries.q66Sql,
     "q67_fk_audit" -> QualityQueries.q67Sql,
-    "q68_column_profile" -> QualityQueries.q68Sql
+    "q68_column_profile" -> QualityQueries.q68Sql,
+    "q69_retention_cohorts" -> QualityQueries.q69Sql
   )
 }

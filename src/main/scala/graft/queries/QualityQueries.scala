@@ -99,4 +99,39 @@ object QualityQueries {
       |    count(CASE WHEN l_shipdate IS NULL THEN 1 END),
       |    count(DISTINCT l_shipdate) FROM lineitem)
       |ORDER BY col_name""".stripMargin
+
+  /** q69 — retention cohorts: users grouped by first-activity day, counted
+    * on each later active day as an offset from the cohort day — THE
+    * product-analytics staple. Shape: one distinct (user, day) aggregate
+    * staged once (it feeds both the cohort derivation and the activity
+    * probe — same CacheScope discipline as the other fan-out ops), a
+    * broadcast-friendly cohort join, one counting aggregate. */
+  def q69RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CacheScope
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    CacheScope.withStages(userDay) {
+      val cohort = userDay.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      CacheScope.pin(userDay.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset")))
+    }
+  }
+
+  val q69Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+      |SELECT c.cohort_day,
+      |  CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT ud.user_id) AS n_users
+      |FROM ud JOIN cohort c ON ud.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
 }

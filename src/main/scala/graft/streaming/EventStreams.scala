@@ -48,6 +48,20 @@ object EventStreams {
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** HOPPING (sliding) windows — the streaming twin of the batch q63:
+    * every event lands in size/slide overlapping windows (Spark expands
+    * it before the stateful aggregate); the watermark closes each window
+    * `lateness` after its end, so state is bounded by (span of open
+    * windows) × (slide density), never by stream length. */
+  def hoppingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "15 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
   /** Session windows per user — the generalization step beyond the
     * reference's fixed day buckets (SURVEY §7.1 step 7). */
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingCounts: each event lands in size/slide overlapping windows") {
+    val input = MemoryStream[Event]
+    val q = EventStreams.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:20:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hopping").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[Long]("n"))).toSet
+      // event 1 in windows starting 09:15..10:00; event 2 in 09:30..10:15;
+      // the 09:30/09:45/10:00 windows hold both
+      assert(rows === Set(
+        ("2024-01-01 09:15:00.0", 1L),
+        ("2024-01-01 09:30:00.0", 2L),
+        ("2024-01-01 09:45:00.0", 2L),
+        ("2024-01-01 10:00:00.0", 2L),
+        ("2024-01-01 10:15:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("userSessions: gap-based session windows") {
     val input = MemoryStream[Event]
     val q = EventStreams.userSessions(input.toDF(), gap = "10 minutes")
