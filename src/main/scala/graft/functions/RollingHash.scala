@@ -76,12 +76,13 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Int]))
     ensure("sorted_intersect_size",
       exprs => SortedIntersectSize(exprs.head, exprs(1)))
+    ensure("morton_key", exprs => MortonKey(exprs.head, exprs(1)))
   }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` installs the
-  * function permanently (the injection point for custom rules/strategies
-  * too, if the engine ever needs them — SURVEY §4 concludes it doesn't). */
+  * functions permanently, plus the optimizer rules of `graft.plans` —
+  * both Catalyst extension tiers ride the one entry point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -105,6 +106,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("morton_key"),
+      new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
+      (exprs: Seq[Expression]) => MortonKey(exprs.head, exprs(1))))
     // tier-c Catalyst extension: optimizer rewrites (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)
   }

@@ -39,12 +39,19 @@ object ZOrder {
   def zkey2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** The same key as ONE fused native expression
+    * ([[graft.functions.MortonKey]] — bit-equality spec'd vs the chain):
+    * the layout hot path computes it twice per row (range-sampling pass +
+    * write pass), so the fused form halves the expression-tree work. */
+  def zkeyNative(x: Column, y: Column): Column =
+    call_function("morton_key", x, y)
+
   /** Cluster `df` into `numFiles` z-key ranges of (xCol, yCol), sorted
     * within each range — write the result with a plain `.write.parquet`
     * and every file carries tight min/max bounds on BOTH columns. */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String,
                  numFiles: Int): DataFrame = {
-    val z = zkey2(col(xCol), col(yCol)).as("__zkey")
+    val z = zkeyNative(col(xCol), col(yCol)).as("__zkey")
     df.withColumn("__zkey", z)
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))

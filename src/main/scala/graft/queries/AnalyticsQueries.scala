@@ -229,10 +229,12 @@ object AnalyticsQueries {
 
   /** q57 — Z-order (Morton) key computation ([[graft.ops.ZOrder]]): the
     * bit-interleave that buys two-dimensional min/max data skipping from
-    * one physical sort order. The oracle runs the identical five-step
+    * one physical sort order, computed by the FUSED native expression
+    * (functions.MortonKey, full codegen). The oracle runs the five-step
     * magic-number spread in SQL — pure integer shifts/masks, so the hash
-    * gate proves bit-exactness; ZOrderSpec proves the LAYOUT effect
-    * (per-file spans tight in both dimensions). */
+    * gate proves the native codegen's bit-exactness end to end;
+    * FunctionsSpec pins native == builtin chain, ZOrderSpec the LAYOUT
+    * effect (per-file spans tight in both dimensions). */
   def q57ZorderKey(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.select(
@@ -240,7 +242,7 @@ object AnalyticsQueries {
         col("user_id").bitwiseAND(lit(0xFFFFL)).as("x"),
         datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
           .cast("long").bitwiseAND(lit(0xFFFFL)).as("y"))
-      .withColumn("zkey", graft.ops.ZOrder.zkey2(col("x"), col("y")))
+      .withColumn("zkey", graft.ops.ZOrder.zkeyNative(col("x"), col("y")))
       .orderBy(col("event_id"))
   }
 

@@ -121,6 +121,26 @@ class FunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("morton_key: fused native expression == builtin shift/mask chain") {
+    GraftFunctions.register(spark)
+    val corners = Seq(0L, 1L, 2L, 3L, 255L, 256L, 65535L, 65536L, -1L, -65536L)
+    val rnd = new scala.util.Random(11)
+    val pairs = (for (a <- corners; b <- corners) yield (a, b)) ++
+      Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val df = pairs.toDF("x", "y")
+    val out = df.select(
+        graft.ops.ZOrder.zkey2(col("x"), col("y")).as("chain"),
+        graft.ops.ZOrder.zkeyNative(col("x"), col("y")).as("fused"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null propagation matches the chain (null in -> null out)
+    val n = Seq[(java.lang.Long, java.lang.Long)]((null, 1L), (1L, null))
+      .toDF("x", "y")
+      .select(graft.ops.ZOrder.zkeyNative(col("x"), col("y")))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
   test("ArgMax aggregator == struct-max formulation (tie-consistent)") {
     val argmax = new ArgMaxLongString().toColumn
     val data = Seq(
