@@ -84,7 +84,9 @@ object SparkEntry {
     "q66_contract_report" -> (QualityQueries.q66ContractReport _),
     "q67_fk_audit" -> (QualityQueries.q67FkAudit _),
     "q68_column_profile" -> (QualityQueries.q68ColumnProfile _),
-    "q69_retention_cohorts" -> (QualityQueries.q69RetentionCohorts _)
+    "q69_retention_cohorts" -> (QualityQueries.q69RetentionCohorts _),
+    "q70_approx_quantiles" -> (QualityQueries.q70ApproxQuantiles _),
+    "q71_shipping_priority" -> (QualityQueries.q71ShippingPriority _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -175,6 +177,8 @@ object SparkEntry {
     "q66_contract_report" -> QualityQueries.q66Sql,
     "q67_fk_audit" -> QualityQueries.q67Sql,
     "q68_column_profile" -> QualityQueries.q68Sql,
-    "q69_retention_cohorts" -> QualityQueries.q69Sql
+    "q69_retention_cohorts" -> QualityQueries.q69Sql,
+    "q70_approx_quantiles" -> QualityQueries.q70Sql,
+    "q71_shipping_priority" -> QualityQueries.q71Sql
   )
 }

@@ -134,4 +134,99 @@ object QualityQueries {
       |FROM ud JOIN cohort c ON ud.user_id = c.user_id
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** q70 — approximate quantiles (Greenwald-Khanna via approx_percentile)
+    * under the same honest gate as q58's HLL: the output is the EXACT
+    * p50/p99 (row_number selection, q55's pattern) plus booleans
+    * asserting the sketch landed within rank tolerance — the oracle
+    * asserts TRUE, so sketch drift fails the round. The sketch, not its
+    * exact twin, is what runs at 100 TB: one pass, fixed memory,
+    * mergeable partials. */
+  def q70ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    // phase 1: the sketch — one pass, 5 output rows, broadcast back
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("a99"))
+    // phase 2: exact quantiles (q55's row_number selection) + the EXACT
+    // rank of each sketch answer as plain conditional aggregates — no
+    // per-group value materialization anywhere, so the tolerance check
+    // itself runs at corpus scale
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    def rankOk(a: String, q: Double): org.apache.spark.sql.Column = {
+      val rank = count(when(col("value") <= col(a), lit(1)))
+        .cast("double") / count(lit(1))
+      // rank tolerance (GK bounds rank error, value distance is
+      // distribution-dependent); +1/n slack for the discrete grid
+      abs(rank - lit(q)) <= lit(0.02) + lit(1.0) / count(lit(1))
+    }
+    ev.join(broadcast(approx), Seq("event_type"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+          .as("p50_exact"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value")))
+          .as("p99_exact"),
+        rankOk("a50", 0.50).as("p50_ok"),
+        rankOk("a99", 0.99).as("p99_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q70Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_exact,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99_exact,
+      |  TRUE AS p50_ok, TRUE AS p99_ok
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q71 — the TPC-H Q3-shaped multi-join (customer ⋈ orders ⋈ lineitem
+    * with selective filters + aggregate + top-k): the classic plan-quality
+    * probe — filters must push to all three scans, the customer side
+    * should broadcast after its filter (AQE decides from runtime stats),
+    * and the top-k is TakeOrderedAndProject, not a global sort. */
+  def q71ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-15").cast("date")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < cutoff)
+    val l = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q71Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
 }
