@@ -86,7 +86,9 @@ object SparkEntry {
     "q68_column_profile" -> (QualityQueries.q68ColumnProfile _),
     "q69_retention_cohorts" -> (QualityQueries.q69RetentionCohorts _),
     "q70_approx_quantiles" -> (QualityQueries.q70ApproxQuantiles _),
-    "q71_shipping_priority" -> (QualityQueries.q71ShippingPriority _)
+    "q71_shipping_priority" -> (QualityQueries.q71ShippingPriority _),
+    "q72_grouping_sets" -> (QualityQueries.q72GroupingSets _),
+    "q73_share_of_day" -> (QualityQueries.q73ShareOfDay _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,6 +181,8 @@ object SparkEntry {
     "q68_column_profile" -> QualityQueries.q68Sql,
     "q69_retention_cohorts" -> QualityQueries.q69Sql,
     "q70_approx_quantiles" -> QualityQueries.q70Sql,
-    "q71_shipping_priority" -> QualityQueries.q71Sql
+    "q71_shipping_priority" -> QualityQueries.q71Sql,
+    "q72_grouping_sets" -> QualityQueries.q72Sql,
+    "q73_share_of_day" -> QualityQueries.q73Sql
   )
 }

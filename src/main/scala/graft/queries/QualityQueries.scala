@@ -229,4 +229,62 @@ object QualityQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
+
+  /** q72 — GROUPING SETS with disjoint sets ((flag), (status), ()) — the
+    * form ROLLUP can't express (no detail level). Spark's DataFrame API
+    * has rollup/cube only, so this rides the engine's SQL surface
+    * (`spark.sql` over a temp view — same Catalyst plan: one Expand with
+    * three projections feeding one hash aggregate). */
+  def q72GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q72_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_q72_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q72Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  /** q73 — percent-of-total shares: each event type's share of its day's
+    * value — the ratio-to-report window staple. DECIMAL-exact numerator
+    * and denominator from ONE aggregate + one window pass (no second
+    * scan for the total); the division is the only double step, IEEE-
+    * identical in both engines. */
+  def q73ShareOfDay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("__v"))
+      .withColumn("share",
+        col("__v").cast("double") /
+          sum(col("__v")).over(Window.partitionBy(col("day"))).cast("double"))
+      .select(col("day"), col("event_type"),
+        col("__v").cast("double").as("type_value"), col("share"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q73Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type,
+      |  CAST(v AS DOUBLE) AS type_value,
+      |  CAST(v AS DOUBLE) /
+      |    CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE) AS share
+      |FROM d
+      |ORDER BY day, event_type""".stripMargin
 }
