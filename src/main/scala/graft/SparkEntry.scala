@@ -88,7 +88,9 @@ object SparkEntry {
     "q70_approx_quantiles" -> (QualityQueries.q70ApproxQuantiles _),
     "q71_shipping_priority" -> (QualityQueries.q71ShippingPriority _),
     "q72_grouping_sets" -> (QualityQueries.q72GroupingSets _),
-    "q73_share_of_day" -> (QualityQueries.q73ShareOfDay _)
+    "q73_share_of_day" -> (QualityQueries.q73ShareOfDay _),
+    "q74_label_centroids" -> (QualityQueries.q74LabelCentroids _),
+    "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,6 +185,8 @@ object SparkEntry {
     "q70_approx_quantiles" -> QualityQueries.q70Sql,
     "q71_shipping_priority" -> QualityQueries.q71Sql,
     "q72_grouping_sets" -> QualityQueries.q72Sql,
-    "q73_share_of_day" -> QualityQueries.q73Sql
+    "q73_share_of_day" -> QualityQueries.q73Sql,
+    "q74_label_centroids" -> QualityQueries.q74Sql,
+    "q75_editdist_pairs" -> QualityQueries.q75Sql
   )
 }

@@ -287,4 +287,58 @@ object QualityQueries {
       |    CAST(sum(v) OVER (PARTITION BY day) AS DOUBLE) AS share
       |FROM d
       |ORDER BY day, event_type""".stripMargin
+
+  /** q74 — per-label embedding centroids ([[graft.ops.Embeddings]]):
+    * the reproducible fixed-point variant — distributed float addition is
+    * order-dependent, so components quantize to exact BIGINTs (one IEEE
+    * multiply + floor each) before the order-free integer sum; one
+    * division at the end. The oracle runs the identical quantize in SQL,
+    * so the gate proves the distributed aggregation is exact. */
+  def q74LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Embeddings.labelCentroids(
+        Tables.embeddings(spark, dir), "label", "embedding", scale = 6)
+      .orderBy(col("label"), col("pos"))
+
+  val q74Sql: String =
+    """WITH e AS (
+      |  SELECT label, g.pos - 1 AS pos,
+      |    CAST(floor(CAST(embedding[g.pos] AS DOUBLE) * 1000000.0)
+      |      AS BIGINT) AS q
+      |  FROM embeddings,
+      |    UNNEST(generate_series(1, len(embedding))) AS g(pos))
+      |SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+      |  CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY label, pos""".stripMargin
+
+  /** q75 — blocked edit-distance join ([[graft.ops.StringSim]]) over part
+    * names ("red widget" ~ "hot widget"): block on (last token, length
+    * band), verify with exact Levenshtein ≤ 4. O(Σ block²) with bounded
+    * blocks, never the all-pairs cross join; the band is the documented
+    * recall bound (a ≥2-char length gap can cross bands), exactly the
+    * LSH-banding contract. Oracle pays the same blocked shape in SQL —
+    * both engines implement plain Levenshtein identically. */
+  def q75EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.StringSim.editDistancePairs(
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+        "p_partkey", "p_name",
+        s => concat_ws("#", element_at(split(s, " "), -1),
+          expr("length(p_name) div 2").cast("string")), maxDist = 4)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("dist"))
+
+  val q75Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name,
+      |    regexp_extract(p_name, '([^ ]+)$', 1) || '#' ||
+      |      (length(p_name) // 2) AS blk
+      |  FROM part)
+      |SELECT levenshtein(a.p_name, b.p_name) AS dist,
+      |  count(*) AS n_pairs
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |GROUP BY 1
+      |ORDER BY dist""".stripMargin
 }
