@@ -90,7 +90,8 @@ object SparkEntry {
     "q72_grouping_sets" -> (QualityQueries.q72GroupingSets _),
     "q73_share_of_day" -> (QualityQueries.q73ShareOfDay _),
     "q74_label_centroids" -> (QualityQueries.q74LabelCentroids _),
-    "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _)
+    "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _),
+    "q76_split_contamination" -> (ExtQueries.q76SplitContamination _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -187,6 +188,7 @@ object SparkEntry {
     "q72_grouping_sets" -> QualityQueries.q72Sql,
     "q73_share_of_day" -> QualityQueries.q73Sql,
     "q74_label_centroids" -> QualityQueries.q74Sql,
-    "q75_editdist_pairs" -> QualityQueries.q75Sql
+    "q75_editdist_pairs" -> QualityQueries.q75Sql,
+    "q76_split_contamination" -> ExtQueries.q76Sql
   )
 }

@@ -641,4 +641,56 @@ object ExtQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q76 — train/test CONTAMINATION audit: near-dup pairs (the q26
+    * contract: bigram-shingle Jaccard ≥ 0.5, found sub-quadratically via
+    * MinHash-LSH) that CROSS the deterministic 90/5/5 hash split (q53's
+    * scramble) — the leak every eval pipeline must count before trusting
+    * a held-out score. Composition, not new machinery: the pair engine
+    * and the split arithmetic are both already oracle-gated; this gates
+    * their join. Output is the split-pair matrix with diagonal (benign)
+    * and off-diagonal (contamination) counts. */
+  def q76SplitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 2, k = 64, bands = 16, threshold = 0.5)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(c * lit(2654435761L), lit(1L << 32)) % 100
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    }
+    try pairs
+      .withColumn("sa", splitOf(col("id_a")))
+      .withColumn("sb", splitOf(col("id_b")))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+    finally pairs.unpersist(blocking = false)
+  }
+
+  val q76Sql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sz a JOIN sz b
+       |    ON a.id < b.id
+       |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+       |sp AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN (id_a * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+       |         WHEN (id_a * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS sa,
+       |    CASE WHEN (id_b * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+       |         WHEN (id_b * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS sb
+       |  FROM pr)
+       |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       |  count(*) AS n_pairs
+       |FROM sp
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
 }
