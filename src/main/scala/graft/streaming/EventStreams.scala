@@ -120,6 +120,33 @@ object EventStreams {
         col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
   }
 
+  /**
+   * LEFT OUTER stream-stream interval join: like [[correlatedEvents]] but
+   * an unmatched left event IS emitted (null right columns) — once the
+   * watermark proves no matching right row can still arrive. Outer
+   * stream-stream joins REQUIRE both the watermark and the time-range
+   * condition (Spark rejects the join otherwise): together they bound how
+   * long a left row must be retained before the null verdict is safe,
+   * which is also exactly the state-eviction bound.
+   */
+  def correlatedEventsLeftOuter(left: DataFrame, right: DataFrame,
+                                within: String = "1 hour",
+                                lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("user_id"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user"), col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL '$within'"),
+        "left_outer")
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_type"), col("r_type"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double, props: String)
   final case class KeyedMax(user_id: Long, max_value: Double, n_seen: Long)

@@ -227,6 +227,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlatedEventsLeftOuter: unmatched left emits nulls after the watermark") {
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.correlatedEventsLeftOuter(views.toDF(), clicks.toDF(),
+        within = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("correlated_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),  // will match
+        ev(2, "2024-01-01 10:00:00", 2, "view", 1.0))  // never matches
+      clicks.addData(
+        ev(10, "2024-01-01 10:10:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 2's join window so the
+      // null verdict becomes provable and its state evictable
+      views.addData(ev(3, "2024-01-01 12:00:00", 9, "view", 1.0))
+      clicks.addData(ev(99, "2024-01-01 12:00:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("correlated_outer").collect()
+        .map(r => (r.getAs[Long]("l_id"), Option(r.getAs[Any]("r_id"))))
+        .toSet
+      assert(rows.contains((1L, Some(10L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"unmatched left row was never emitted with null right: $rows")
+    } finally q.stop()
+  }
+
   test("writeDailyUpsert: micro-batches land as overwritable day partitions") {
     val dir = java.nio.file.Files.createTempDirectory("stream-sink").toString
     val cp = java.nio.file.Files.createTempDirectory("stream-cp").toString
