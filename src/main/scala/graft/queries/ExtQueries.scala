@@ -657,14 +657,18 @@ object ExtQueries {
       val bucket = pmod(c * lit(2654435761L), lit(1L << 32)) % 100
       when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     }
-    try pairs
+    // materialize the (tiny) matrix WHILE the pair table is still pinned
+    // — a bare try/finally releases it before the harness evaluates the
+    // returned frame, and the whole LSH pipeline recomputes (measured:
+    // 5.6 s -> ~q26-level once staged). Caller owns the pinned result.
+    try graft.ops.CacheScope.pin(pairs
       .withColumn("sa", splitOf(col("id_a")))
       .withColumn("sb", splitOf(col("id_b")))
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("split_a"), col("split_b"))
+      .orderBy(col("split_a"), col("split_b")))
     finally pairs.unpersist(blocking = false)
   }
 
