@@ -91,7 +91,8 @@ object SparkEntry {
     "q73_share_of_day" -> (QualityQueries.q73ShareOfDay _),
     "q74_label_centroids" -> (QualityQueries.q74LabelCentroids _),
     "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _),
-    "q76_split_contamination" -> (ExtQueries.q76SplitContamination _)
+    "q76_split_contamination" -> (ExtQueries.q76SplitContamination _),
+    "q77_decontaminate" -> (ExtQueries.q77Decontaminate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,6 +190,7 @@ object SparkEntry {
     "q73_share_of_day" -> QualityQueries.q73Sql,
     "q74_label_centroids" -> QualityQueries.q74Sql,
     "q75_editdist_pairs" -> QualityQueries.q75Sql,
-    "q76_split_contamination" -> ExtQueries.q76Sql
+    "q76_split_contamination" -> ExtQueries.q76Sql,
+    "q77_decontaminate" -> ExtQueries.q77Sql
   )
 }

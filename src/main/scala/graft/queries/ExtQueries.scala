@@ -697,4 +697,62 @@ object ExtQueries {
        |FROM sp
        |GROUP BY 1, 2
        |ORDER BY split_a, split_b""".stripMargin
+
+  /** q77 — DECONTAMINATION, the action after q76's audit: drop from
+    * TRAIN every doc near-dup (q26 contract) to a val/test doc, leave
+    * the held-out splits frozen. Output: the per-source survivor
+    * manifest of the cleaned train split — which gates the exact drop
+    * set, not just its size. One anti-join over the sub-quadratic pair
+    * table ([[graft.ops.Decontaminate]]). */
+  def q77Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, k = 64, bands = 16, threshold = 0.5)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(c * lit(2654435761L), lit(1L << 32)) % 100
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    }
+    try graft.ops.CacheScope.pin(
+      graft.ops.Decontaminate.dropContaminatedTrain(
+          docs, "doc_id", pairs, "id_a", "id_b", splitOf)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source")))
+    finally pairs.unpersist(blocking = false)
+  }
+
+  val q77Sql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |spl AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+       |           THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sz a JOIN sz b
+       |    ON a.id < b.id
+       |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+       |bad AS (
+       |  SELECT CASE WHEN x.split = 'train' THEN p.id_a ELSE p.id_b END
+       |    AS doc_id
+       |  FROM pr p
+       |  JOIN spl x ON x.doc_id = p.id_a
+       |  JOIN spl y ON y.doc_id = p.id_b
+       |  WHERE (x.split = 'train' AND y.split IN ('val', 'test'))
+       |     OR (y.split = 'train' AND x.split IN ('val', 'test')))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM spl
+       |WHERE split = 'train'
+       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -63,6 +63,30 @@ object PartialStore {
     latestVersion(store).map(v =>
       IncrementalAgg.finalize(spark.read.parquet(versionDir(store, v))))
 
+  /** Storage hygiene: delete all committed versions except the newest
+    * `keep` (default 2 — the live one plus the replay parent). Uncommitted
+    * directories (no _SUCCESS: in-flight or torn writes) are left alone;
+    * returns the deleted version ids. Run it from the same foreachBatch
+    * after the merge, or as a side maintenance job. */
+  def prune(store: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"keep=$keep must retain at least the live version")
+    val root = new File(store)
+    if (!root.isDirectory) return Nil
+    val committed = root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new File(f, "_SUCCESS").exists())
+      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
+      .sortBy(-_._1)
+    committed.drop(keep).map { case (id, dir) =>
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+      id
+    }
+  }
+
   /** Wire a streaming event frame (with a `ts` column) into the store as
     * per-(day) value partials. Append mode: each batch carries raw NEW
     * rows only — the merge, not stream state, accumulates history. */

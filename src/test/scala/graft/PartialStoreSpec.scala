@@ -43,6 +43,24 @@ class PartialStoreSpec extends SparkSpec {
     assert(PartialStore.latestVersion(store) === Some(1L))
   }
 
+  test("prune keeps the newest versions, skips uncommitted dirs, replay still safe") {
+    val store = Files.createTempDirectory("graft-pstore-p").toString
+    val b = Seq((ts("2024-01-01 10:00:00"), 1.0)).toDF("ts", "value")
+      .withColumn("day", to_date(col("ts")))
+    (0L to 4L).foreach(PartialStore.mergeBatch(b, _, store, Seq("day"), "value"))
+    // an uncommitted (torn) dir must survive pruning untouched
+    val torn = new java.io.File(store, "v" + "9" * 20)
+    torn.mkdirs()
+    val deleted = PartialStore.prune(store, keep = 2)
+    assert(deleted.sorted === Seq(0L, 1L, 2L))
+    assert(PartialStore.latestVersion(store) === Some(4L))
+    assert(torn.isDirectory, "uncommitted dir must not be pruned")
+    // replay of the newest batch still finds its parent (v3 kept)
+    PartialStore.mergeBatch(b, 4L, store, Seq("day"), "value")
+    val out = PartialStore.readLatest(spark, store).get.collect()
+    assert(out.length === 1 && out.head.getAs[Long]("n") === 5L)
+  }
+
   test("end-to-end through a real stream (MemoryStream + foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-pstore-s").toString
