@@ -31,7 +31,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release anything a query pinned (CacheScope results) — queries are
-      // independent dumps, nothing should accumulate across 37 of them
+      // independent dumps, nothing should accumulate across all of them
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
