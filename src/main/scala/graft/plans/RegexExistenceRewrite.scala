@@ -16,7 +16,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * early-exit and no allocation. On a 100 TB text corpus the difference is
  * a whole pass over every byte after the first hit of each row. The
  * rewrite is null-exact: `size` (non-legacy) returns NULL on NULL input,
- * as does RLIKE, and both collapse the same way under a Filter.
+ * as does RLIKE, and both collapse the same way under a Filter. Under
+ * `spark.sql.legacy.sizeOfNull=true` (the non-ANSI default), `size(NULL)`
+ * is -1 instead — every zero-comparison is then FALSE, not NULL, which is
+ * observable in projection contexts — so the extractor refuses legacy-mode
+ * Size nodes entirely (mirroring how Spark's own optimizer rules condition
+ * on the flag).
  *
  * Scope is deliberately tight: only group-0 extraction (full-match
  * counting — group extraction could be observed) and only comparisons
@@ -26,9 +31,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object RegexExistenceRewrite extends Rule[LogicalPlan] {
 
   private object MatchCount {
-    /** Matches size(regexp_extract_all(s, p, 0)), yielding (s, p). */
+    /** Matches size(regexp_extract_all(s, p, 0)) — non-legacy Size only,
+      * since legacy size(NULL) = -1 breaks null-exactness. */
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case Size(RegExpExtractAll(s, p, idx), _) if isZero(idx) => Some((s, p))
+      case Size(RegExpExtractAll(s, p, idx), legacySizeOfNull)
+        if !legacySizeOfNull && isZero(idx) => Some((s, p))
       case _ => None
     }
   }

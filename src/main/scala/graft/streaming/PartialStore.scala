@@ -1,6 +1,7 @@
 package graft.streaming
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -24,22 +25,35 @@ import graft.ops.IncrementalAgg
  * same inputs — converging, never double-counting (the double-run spec
  * asserts this byte-for-byte). Versions > the replayed id are by
  * construction absent (a batch id commits only after the batch ran).
+ *
+ * All path handling goes through Hadoop's FileSystem API resolved from
+ * the store URI itself, so the store may live on any supported
+ * filesystem (file://, hdfs://, s3a://, ...) — `java.io.File` would
+ * silently see an empty store on anything but a local path, turning
+ * every micro-batch into a from-scratch overwrite.
  */
 object PartialStore {
 
   private def versionDir(store: String, id: Long) = f"$store/v$id%020d"
 
-  /** Newest committed (_SUCCESS) version strictly below `beforeId`. */
-  def latestVersion(store: String, beforeId: Long = Long.MaxValue): Option[Long] = {
-    val root = new File(store)
-    if (!root.isDirectory) None
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new File(f, "_SUCCESS").exists())
-      .flatMap(f => f.getName.drop(1).toLongOption)
-      .filter(_ < beforeId)
-      .maxOption
+  private def fs(store: String, conf: Configuration): FileSystem =
+    new Path(store).getFileSystem(conf)
+
+  /** Committed (has _SUCCESS) version ids currently in the store. */
+  private def committedVersions(store: String, conf: Configuration): Seq[Long] = {
+    val hdfs = fs(store, conf)
+    val root = new Path(store)
+    if (!hdfs.exists(root) || !hdfs.getFileStatus(root).isDirectory) Nil
+    else hdfs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        hdfs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => st.getPath.getName.drop(1).toLongOption)
   }
+
+  /** Newest committed (_SUCCESS) version strictly below `beforeId`. */
+  def latestVersion(store: String, beforeId: Long = Long.MaxValue,
+                    conf: Configuration = new Configuration()): Option[Long] =
+    committedVersions(store, conf).filter(_ < beforeId).maxOption
 
   /** One micro-batch: partials of `batch` merged into the newest store
     * version < `batchId`, written as version `batchId`. Public because it
@@ -47,9 +61,10 @@ object PartialStore {
   def mergeBatch(batch: DataFrame, batchId: Long, store: String,
                  keyCols: Seq[String], valueCol: String): Unit = {
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val batchPartials =
       IncrementalAgg.partials(batch, keyCols, valueCol)
-    val merged = latestVersion(store, beforeId = batchId) match {
+    val merged = latestVersion(store, beforeId = batchId, conf = conf) match {
       case Some(v) => IncrementalAgg.merge(
         spark.read.parquet(versionDir(store, v)), batchPartials, keyCols)
       case None => batchPartials
@@ -60,31 +75,30 @@ object PartialStore {
   /** Read-time view of the newest committed partials, finalized. */
   def readLatest(spark: org.apache.spark.sql.SparkSession,
                  store: String): Option[DataFrame] =
-    latestVersion(store).map(v =>
-      IncrementalAgg.finalize(spark.read.parquet(versionDir(store, v))))
+    latestVersion(store, conf = spark.sparkContext.hadoopConfiguration)
+      .map(v =>
+        IncrementalAgg.finalize(spark.read.parquet(versionDir(store, v))))
 
   /** Storage hygiene: delete all committed versions except the newest
-    * `keep` (default 2 — the live one plus the replay parent). Uncommitted
-    * directories (no _SUCCESS: in-flight or torn writes) are left alone;
-    * returns the deleted version ids. Run it from the same foreachBatch
-    * after the merge, or as a side maintenance job. */
-  def prune(store: String, keep: Int = 2): Seq[Long] = {
-    require(keep >= 1, s"keep=$keep must retain at least the live version")
-    val root = new File(store)
-    if (!root.isDirectory) return Nil
-    val committed = root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new File(f, "_SUCCESS").exists())
-      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
-      .sortBy(-_._1)
-    committed.drop(keep).map { case (id, dir) =>
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    * `keep`. `keep >= 2` is a hard floor — version n is the replay parent
+    * of version n+1, and a replayed batch whose parent was pruned would
+    * silently rebuild the store from that one batch alone, discarding all
+    * accumulated history. Keeping the live version plus its parent makes
+    * prune safe to run at ANY point relative to the checkpoint commit.
+    * Uncommitted directories (no _SUCCESS: in-flight or torn writes) are
+    * left alone; returns the deleted version ids. Run it from the same
+    * foreachBatch after the merge, or as a side maintenance job. */
+  def prune(store: String, keep: Int = 2,
+            conf: Configuration = new Configuration()): Seq[Long] = {
+    require(keep >= 2,
+      s"keep=$keep must retain the live version AND its replay parent")
+    val hdfs = fs(store, conf)
+    committedVersions(store, conf).sorted(Ordering[Long].reverse)
+      .drop(keep)
+      .map { id =>
+        hdfs.delete(new Path(versionDir(store, id)), true)
+        id
       }
-      rm(dir)
-      id
-    }
   }
 
   /** Wire a streaming event frame (with a `ts` column) into the store as

@@ -45,6 +45,34 @@ class EvolvingSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("quality"))
   }
 
+  test("readExact scopes defaults to files lacking the column; genuine NULLs survive") {
+    val dir = freshDir()
+    // generation 1: written before `lang` existed — its rows get the default
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .write.parquet(s"$dir/gen=1")
+    // generation 2: HAS `lang`, including a genuine NULL that must survive
+    Seq((3L, "gamma", Some("en")), (4L, "delta", None))
+      .toDF("id", "text", "lang").write.parquet(s"$dir/gen=2")
+
+    val exact = EvolvingParquetSource.readExact(spark, dir,
+        required = Seq("id", "text", "lang"),
+        defaults = Map("lang" -> lit("und")))
+      .select("id", "lang").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(exact.toSeq === Seq(
+      (1L, Some("und")), (2L, Some("und")),
+      (3L, Some("en")), (4L, None)),
+      "default must fill ONLY schema-evolution nulls, never written NULLs")
+
+    // the coarse read() collapses both — that is its documented contract
+    val coarse = EvolvingParquetSource.read(spark, dir,
+        defaults = Map("lang" -> lit("und")))
+      .select("id", "lang").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(coarse.toSeq === Seq(
+      (1L, "und"), (2L, "und"), (3L, "en"), (4L, "und")))
+  }
+
   test("a default also applies to a column absent everywhere (backfill-to-be)") {
     val dir = freshDir()
     Seq((1L, "x")).toDF("id", "text").write.mode("overwrite").parquet(dir)

@@ -61,6 +61,17 @@ class PartialStoreSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getAs[Long]("n") === 5L)
   }
 
+  test("prune refuses keep < 2 — the replay parent must survive") {
+    // keep=1 would delete the parent of the live version; a replayed
+    // newest batch would then rebuild the store from that batch alone,
+    // silently discarding all accumulated history
+    val store = Files.createTempDirectory("graft-pstore-k").toString
+    val e = intercept[IllegalArgumentException] {
+      PartialStore.prune(store, keep = 1)
+    }
+    assert(e.getMessage.contains("replay parent"))
+  }
+
   test("end-to-end through a real stream (MemoryStream + foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-pstore-s").toString

@@ -47,6 +47,28 @@ class RegexRewriteSpec extends SparkSpec {
     assert(g1.collect().map(_.getString(0)).toSeq === Seq("abc 1234 def"))
   }
 
+  test("legacy sizeOfNull mode is NOT rewritten (size(NULL) = -1 there)") {
+    // under spark.sql.legacy.sizeOfNull=true (effective only with ANSI
+    // off — Spark resolves it as legacy && !ansi), size(regexp_extract_
+    // all(NULL, p, 0)) is -1, so `> 0` is FALSE where RLIKE would be
+    // NULL — observable in projections; the rule must stand down
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val q = df.select(
+        (size(regexp_extract_all(col("s"), lit(pat), lit(0))) > 0).as("has"))
+      assert(optimized(q).contains("regexp_extract_all"),
+        "legacy-mode Size must not be rewritten to RLIKE")
+      // legacy semantics: the NULL row yields FALSE, not NULL
+      assert(q.collect().map(r => Option(r.getAs[Any]("has"))).toSeq ===
+        Seq(Some(true), Some(false), Some(false), Some(false)))
+    } finally {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    }
+  }
+
   test("projection context also rewrites (not only Filter)") {
     val q = df.select(
       (size(regexp_extract_all(col("s"), lit(pat), lit(0))) > 0).as("has"))
