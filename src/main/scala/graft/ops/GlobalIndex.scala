@@ -63,4 +63,35 @@ object GlobalIndex {
         .drop("__pid", "__off"))
     }
   }
+
+  /** Index-and-write in ONE pass: the warehouse-job shape promised in
+    * [[withGlobalIndex]]'s doc — number the rows and persist them to
+    * `path` without ever pinning a table-sized result in cache.
+    *
+    * Mechanics: range-repartition + in-partition sort once, then
+    * `zipWithIndex` over that RDD. zipWithIndex is exactly the two-phase
+    * prefix-sum — a count job over the shuffled partitions followed by a
+    * map job adding (partition offset + local position) — and both jobs
+    * hang off the SAME shuffle dependency, so the shuffle map stage runs
+    * once and the second job reads the existing shuffle files. No cache,
+    * no second shuffle, no driver-side rows beyond #partitions counts.
+    * The written table equals `withGlobalIndex` row-for-row (spec-gated:
+    * the parquet round-trip is compared against the pinned variant). */
+  def writeIndexed(df: DataFrame, path: String, idxCol: String,
+                   orderCols: Column*): Unit = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          idxCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+      .write.mode("overwrite").parquet(path)
+  }
 }

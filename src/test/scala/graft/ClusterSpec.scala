@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, lit, when}
 
 import graft.ops.{Cluster, Curation}
 
@@ -42,6 +42,76 @@ class ClusterSpec extends SparkSpec {
     val chain = (0L until 63L).map(i => (i, i + 1))
     val cc = components(chain)
     assert(cc.size === 64 && cc.values.forall(_ === 0L))
+  }
+
+  test("star graph (1 hub, 1e5 leaves): hot tiers engage, result unchanged") {
+    // hub 0 ~ every leaf: the hub's degree AND (after one round) the
+    // count of label-0 holders both blow past the threshold, so both the
+    // neighbor join and the jump join must route the hot key through the
+    // broadcast tier instead of one reducer
+    val n = 100000L
+    val star = (1L to n).map(i => (0L, i)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(star, "id_a", "id_b",
+      hotThreshold = 1000L)
+    val rows = cc.collect()
+    cc.unpersist(blocking = true)
+    assert(rows.length === (n + 1) && rows.forall(_.getLong(1) === 0L))
+  }
+
+  test("hot tiers are broadcast joins and equal the unsplit joins exactly") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def bhjCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize any adaptive plan first
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan) // AQE stages are leaves
+          case b: BroadcastHashJoinExec => 1 + b.children.map(walk).sum
+          case other => other.children.map(walk).sum
+        }) + p.subqueries.map(walk).sum
+      walk(df.queryExecution.executedPlan)
+    }
+    // directed-both-ways edge list of a small star + a normal pair
+    val pairs = ((1L to 50L).map(i => (0L, i)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val half = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = half.unionByName(
+      half.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node") + 1000) // non-trivial labels
+
+    val threshold = 10L
+    val hot = Cluster.hotNodes(edges, threshold)
+    assert(hot.collect().map(_.getLong(0)).toSeq === Seq(0L),
+      "only the hub exceeds the degree threshold")
+    val edgesNorm = edges.join(broadcast(hot),
+      edges("src") === col("hot_src"), "left_anti")
+    val edgesHot = edges.join(broadcast(hot), edges("src") === col("hot_src"))
+      .select(col("src"), col("dst"))
+
+    // equivalence: two-tier candidates == the plain unsplit join
+    val twoTier = Cluster.neighborCandidates(
+      edgesNorm, Some(edgesHot), hot, labels)
+    val plain = edges.join(labels, edges("src") === labels("node"))
+      .select(edges("dst").as("node"), labels("label"))
+    assert(twoTier.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === plain.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // ... and the hot tier really is broadcast (2 BHJs: label lookup + fan-out)
+    assert(bhjCount(twoTier) >= 2,
+      "hot neighbor tier must join via broadcast, not a hot shuffle key")
+
+    // jump tier: make label 0 hot (51 holders > threshold)
+    val converged = labels.withColumn("label",
+      when(col("node") <= 50L, lit(0L)).otherwise(col("node")))
+    val jump = Cluster.jumpCandidates(converged, threshold)
+    val jumpPlain = converged.as("l1")
+      .join(converged.as("l2"), col("l1.label") === col("l2.node"))
+      .select(col("l1.node").as("node"), col("l2.label").as("label"))
+    assert(jump.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === jumpPlain.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(bhjCount(jump) >= 2,
+      "hot jump tier must join via broadcast, not a hot shuffle key")
   }
 
   test("no cached RDDs leak after the caller releases the result") {
