@@ -92,7 +92,8 @@ object SparkEntry {
     "q74_label_centroids" -> (QualityQueries.q74LabelCentroids _),
     "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _),
     "q76_split_contamination" -> (ExtQueries.q76SplitContamination _),
-    "q77_decontaminate" -> (ExtQueries.q77Decontaminate _)
+    "q77_decontaminate" -> (ExtQueries.q77Decontaminate _),
+    "q79_audit_decontaminate" -> (ExtQueries.q79AuditDecontaminate _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,6 +192,7 @@ object SparkEntry {
     "q74_label_centroids" -> QualityQueries.q74Sql,
     "q75_editdist_pairs" -> QualityQueries.q75Sql,
     "q76_split_contamination" -> ExtQueries.q76Sql,
-    "q77_decontaminate" -> ExtQueries.q77Sql
+    "q77_decontaminate" -> ExtQueries.q77Sql,
+    "q79_audit_decontaminate" -> ExtQueries.q79Sql
   )
 }

@@ -44,4 +44,32 @@ object Decontaminate {
       .filter(splitOf(col(idCol)) === "train")
       .join(contaminated, col(idCol) === col("__contaminated"), "left_anti")
   }
+
+  /**
+   * Audit AND clean from ONE pair table: the contamination matrix (q76's
+   * shape — per ordered split-pair counts) and the decontaminated train
+   * split (q77's input), computed against the same `pairs` frame. The
+   * pair table is the expensive artifact (a full LSH pass over the
+   * corpus); running audit then decontaminate as separate pipelines pays
+   * it twice, so the production flow is: build pairs once (pinned, per
+   * the Dedup contract), call this, release pairs after consuming both
+   * outputs. Both returned frames are lazy views over `pairs` — the spec
+   * asserts they share the single cached pair stage.
+   */
+  def auditAndClean(docs: DataFrame, idCol: String,
+                    pairs: DataFrame, idA: String, idB: String,
+                    splitOf: Column => Column,
+                    protectedSplits: Seq[String] = Seq("val", "test"))
+      : (DataFrame, DataFrame) = {
+    val matrix = pairs
+      .withColumn("__sa", splitOf(col(idA)))
+      .withColumn("__sb", splitOf(col(idB)))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cleaned = dropContaminatedTrain(
+      docs, idCol, pairs, idA, idB, splitOf, protectedSplits)
+    (matrix, cleaned)
+  }
 }

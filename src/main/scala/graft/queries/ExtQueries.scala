@@ -755,4 +755,79 @@ object ExtQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** q79 — COMPOSED audit→decontaminate ([[graft.ops.Decontaminate
+    * .auditAndClean]]): the q76 contamination matrix AND the q77 cleaned-
+    * train manifest from ONE LSH pair pass. Run separately they pay the
+    * expensive pair table twice; composed, both consumers read the same
+    * pinned pair stage (spec-asserted single cache entry). Output is the
+    * §2.7 union+discriminator shape: `section` ∈ {matrix, manifest}. */
+  def q79AuditDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, k = 64, bands = 16, threshold = 0.5)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(c * lit(2654435761L), lit(1L << 32)) % 100
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    }
+    try {
+      val (matrix, cleaned) = graft.ops.Decontaminate.auditAndClean(
+        docs, "doc_id", pairs, "id_a", "id_b", splitOf)
+      val m = matrix.select(lit("matrix").as("section"),
+        col("split_a").as("key_a"), col("split_b").as("key_b"),
+        col("n_pairs").as("n"), lit(0L).as("sum_chars"))
+      val c = cleaned.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit("manifest").as("section"), col("source").as("key_a"),
+          lit("").as("key_b"), col("n"), col("sum_chars"))
+      graft.ops.CacheScope.pin(m.unionByName(c)
+        .orderBy(col("section"), col("key_a"), col("key_b")))
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  val q79Sql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |spl AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+       |           THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sz a JOIN sz b
+       |    ON a.id < b.id
+       |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+       |sp AS (
+       |  SELECT x.split AS sa, y.split AS sb, p.id_a, p.id_b
+       |  FROM pr p
+       |  JOIN spl x ON x.doc_id = p.id_a
+       |  JOIN spl y ON y.doc_id = p.id_b),
+       |bad AS (
+       |  SELECT CASE WHEN sa = 'train' THEN id_a ELSE id_b END AS doc_id
+       |  FROM sp
+       |  WHERE (sa = 'train' AND sb IN ('val', 'test'))
+       |     OR (sb = 'train' AND sa IN ('val', 'test'))),
+       |matrix AS (
+       |  SELECT 'matrix' AS section, least(sa, sb) AS key_a,
+       |    greatest(sa, sb) AS key_b, count(*) AS n,
+       |    CAST(0 AS BIGINT) AS sum_chars
+       |  FROM sp GROUP BY 2, 3),
+       |manifest AS (
+       |  SELECT 'manifest' AS section, source AS key_a, '' AS key_b,
+       |    count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM spl
+       |  WHERE split = 'train'
+       |    AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |  GROUP BY source)
+       |SELECT * FROM matrix
+       |UNION ALL
+       |SELECT * FROM manifest
+       |ORDER BY section, key_a, key_b""".stripMargin
 }
