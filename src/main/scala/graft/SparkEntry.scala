@@ -93,6 +93,7 @@ object SparkEntry {
     "q75_editdist_pairs" -> (QualityQueries.q75EditDistancePairs _),
     "q76_split_contamination" -> (ExtQueries.q76SplitContamination _),
     "q77_decontaminate" -> (ExtQueries.q77Decontaminate _),
+    "q78_streaming_ingest_twin" -> (ExtQueries.q78StreamingIngestTwin _),
     "q79_audit_decontaminate" -> (ExtQueries.q79AuditDecontaminate _)
   )
 
@@ -193,6 +194,7 @@ object SparkEntry {
     "q75_editdist_pairs" -> QualityQueries.q75Sql,
     "q76_split_contamination" -> ExtQueries.q76Sql,
     "q77_decontaminate" -> ExtQueries.q77Sql,
+    "q78_streaming_ingest_twin" -> ExtQueries.q78Sql,
     "q79_audit_decontaminate" -> ExtQueries.q79Sql
   )
 }

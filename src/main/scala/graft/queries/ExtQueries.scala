@@ -830,4 +830,89 @@ object ExtQueries {
        |UNION ALL
        |SELECT * FROM manifest
        |ORDER BY section, key_a, key_b""".stripMargin
+
+  /** q78 — the STREAMING ingest pipeline's batch twin
+    * ([[graft.streaming.IngestPipeline]]): docs split into a stocked
+    * corpus (doc_id%10 ∉ {0,5}, further divided by the q53 hash split
+    * into the TRAIN index and the frozen PROTECTED index) and two ingest
+    * micro-batches (doc_id%10 = 0, then = 5). Each batch runs the exact
+    * `processBatch` the stream invokes — internal dedup, incremental
+    * dedup vs the STORED index, decontamination vs the protected index,
+    * then the index-UPDATE append — so batch 1 dedups against batch 0's
+    * survivors through the store, and this gate proves the incremental
+    * flow equals the declarative one-shot semantics (the oracle states
+    * the three drop rules over brute-force Jaccard and replays the
+    * sequential index growth as CTEs). */
+  def q78StreamingIngestTwin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IngestPipeline
+    val docs = Tables.documents(spark, dir)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(c * lit(2654435761L), lit(1L << 32)) % 100
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    }
+    val stock = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val corpus = stock.filter(splitOf(col("doc_id")) === "train")
+    val prot = stock.filter(splitOf(col("doc_id")) =!= "train")
+    val b0 = docs.filter(col("doc_id") % 10 === 0)
+    val b1 = docs.filter(col("doc_id") % 10 === 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q78").toString
+    val indexDir = s"$tmp/index"
+    val outDir = s"$tmp/out"
+    IngestPipeline.writeIndexSlice(corpus, indexDir,
+      IngestPipeline.CorpusBatchId)
+    val protIdx = Dedup.buildMinhashIndex(prot, "doc_id", "text", n = 2)
+    IngestPipeline.processBatch(b0, 0L, indexDir, protIdx, outDir)
+    IngestPipeline.processBatch(b1, 1L, indexDir, protIdx, outDir)
+    IngestPipeline.readSurvivors(spark, outDir)
+      .select(col("ingest_batch").cast("long").as("ingest_batch"),
+        col("doc_id"), col("source"))
+      .orderBy(col("ingest_batch"), col("doc_id"))
+  }
+
+  val q78Sql: String =
+    s"""WITH sh AS (
+       |$shingleCte),
+       |sz AS (SELECT id, s, len(s) AS n FROM sh),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+       |           THEN 'train'
+       |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |role AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN d.doc_id % 10 = 0 THEN 'b0'
+       |         WHEN d.doc_id % 10 = 5 THEN 'b1'
+       |         WHEN x.split = 'train' THEN 'corpus'
+       |         ELSE 'prot' END AS role
+       |  FROM documents d JOIN spl x USING (doc_id)),
+       |sim AS (
+       |  SELECT a.id AS x, b.id AS y
+       |  FROM sz a JOIN sz b
+       |    ON a.id <> b.id
+       |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+       |surv0 AS (
+       |  SELECT r.doc_id, r.source FROM role r
+       |  WHERE r.role = 'b0'
+       |    AND NOT EXISTS (SELECT 1 FROM sim s JOIN role q ON q.doc_id = s.x
+       |      WHERE s.y = r.doc_id AND q.role = 'b0' AND s.x < s.y)
+       |    AND NOT EXISTS (SELECT 1 FROM sim s JOIN role q ON q.doc_id = s.y
+       |      WHERE s.x = r.doc_id AND q.role IN ('corpus', 'prot'))),
+       |surv1 AS (
+       |  SELECT r.doc_id, r.source FROM role r
+       |  WHERE r.role = 'b1'
+       |    AND NOT EXISTS (SELECT 1 FROM sim s JOIN role q ON q.doc_id = s.x
+       |      WHERE s.y = r.doc_id AND q.role = 'b1' AND s.x < s.y)
+       |    AND NOT EXISTS (SELECT 1 FROM sim s JOIN role q ON q.doc_id = s.y
+       |      WHERE s.x = r.doc_id AND q.role IN ('corpus', 'prot'))
+       |    AND NOT EXISTS (SELECT 1 FROM sim s JOIN surv0 v ON v.doc_id = s.y
+       |      WHERE s.x = r.doc_id))
+       |SELECT CAST(0 AS BIGINT) AS ingest_batch, doc_id, source FROM surv0
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT) AS ingest_batch, doc_id, source FROM surv1
+       |ORDER BY ingest_batch, doc_id""".stripMargin
 }

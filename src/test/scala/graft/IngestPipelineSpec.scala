@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.ops.Dedup
+import graft.streaming.IngestPipeline
+
+/**
+ * The streaming LLM-ingest pipeline end to end: a real Structured
+ * Streaming flow whose micro-batches dedup internally, against the
+ * stored corpus index, and against the frozen protected index; whose
+ * survivors extend the store (so batch 1 sees batch 0); and whose
+ * replayed batches converge byte-for-byte instead of double-writing.
+ */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word-block texts: docs of the same family are identical (J = 1.0 —
+  // LSH recall certain); different families share no bigram (J = 0)
+  private def text(fam: String) =
+    (1 to 40).map(i => s"$fam$i").mkString(" ")
+
+  test("stream: internal + cross-corpus + decontamination drops, index update, replay converges") {
+    val tmp = Files.createTempDirectory("graft-ingest").toString
+    val indexDir = s"$tmp/index"
+    val outDir = s"$tmp/out"
+    val checkpoint = s"$tmp/chk"
+
+    // corpus (train index): doc 100; protected (frozen val/test): doc 200
+    IngestPipeline.writeIndexSlice(
+      Seq((100L, text("ca"))).toDF("doc_id", "text"),
+      indexDir, IngestPipeline.CorpusBatchId)
+    val protIdx = Dedup.buildMinhashIndex(
+      Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = IngestPipeline.startIngest(docs, indexDir, protIdx, outDir,
+      checkpoint)
+    try {
+      // batch 0: 1 dups corpus, 2 dups protected, (3,4) internal pair,
+      // 5 unique → survivors {3, 5}
+      mem.addData((1L, text("ca")), (2L, text("pa")),
+        (3L, text("xa")), (4L, text("xa")), (5L, text("ua")))
+      q.processAllAvailable()
+      // batch 1: 6 dups batch-0 SURVIVOR 3 (visible only through the
+      // index-UPDATE step), 7 unique → survivors {7}
+      mem.addData((6L, text("xa")), (7L, text("va")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def survivors(): Seq[(Long, Long)] =
+      IngestPipeline.readSurvivors(spark, outDir)
+        .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = Seq((0L, 3L), (0L, 5L), (1L, 7L))
+    assert(survivors() === expected)
+
+    // REPLAY batch 1 (same id, same content — exactly what Structured
+    // Streaming re-invokes after a failure): output must converge, not
+    // double-write, and the replay must not see its own prior signatures
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    IngestPipeline.processBatch(
+      Seq((6L, text("xa")), (7L, text("va"))).toDF("doc_id", "text"),
+      1L, indexDir, protIdx, outDir)
+    assert(survivors() === expected, "replayed batch must converge")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"processBatch leaked cache entries: $leaked")
+
+    // the stored index now covers corpus + both batches' survivors only
+    val indexed = IngestPipeline
+      .readIndexBefore(spark, indexDir, Long.MaxValue)
+      .bands.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(100L, 3L, 5L, 7L),
+      "index must hold exactly corpus + survivors (never dropped docs)")
+  }
+
+  test("a replayed batch is blind to its own failed attempt's index slice") {
+    val tmp = Files.createTempDirectory("graft-ingest-r").toString
+    val indexDir = s"$tmp/index"
+    val outDir = s"$tmp/out"
+    IngestPipeline.writeIndexSlice(
+      Seq((100L, text("ca"))).toDF("doc_id", "text"),
+      indexDir, IngestPipeline.CorpusBatchId)
+    val protIdx = Dedup.buildMinhashIndex(
+      Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    val batch = Seq((10L, text("za")), (11L, text("wa"))).toDF("doc_id", "text")
+    // first attempt writes batch 0's slice...
+    IngestPipeline.processBatch(batch, 0L, indexDir, protIdx, outDir)
+    // ...replay must read index < 0 only (corpus), so 10/11 are compared
+    // against the corpus, NOT against their own failed-attempt signatures
+    // (which would self-suppress nothing here but WOULD change candidate
+    // sets on near-identical siblings); the partition-pruned read is the
+    // guarantee
+    val idx = IngestPipeline.readIndexBefore(spark, indexDir, beforeId = 0L)
+    assert(idx.bands.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(100L))
+    IngestPipeline.processBatch(batch, 0L, indexDir, protIdx, outDir)
+    val out = IngestPipeline.readSurvivors(spark, outDir)
+      .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(out === Seq((0L, 10L), (0L, 11L)))
+  }
+}
