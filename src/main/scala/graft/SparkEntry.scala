@@ -94,7 +94,8 @@ object SparkEntry {
     "q76_split_contamination" -> (ExtQueries.q76SplitContamination _),
     "q77_decontaminate" -> (ExtQueries.q77Decontaminate _),
     "q78_streaming_ingest_twin" -> (ExtQueries.q78StreamingIngestTwin _),
-    "q79_audit_decontaminate" -> (ExtQueries.q79AuditDecontaminate _)
+    "q79_audit_decontaminate" -> (ExtQueries.q79AuditDecontaminate _),
+    "q80_repetition_stats" -> (QualityQueries.q80RepetitionStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,6 +196,7 @@ object SparkEntry {
     "q76_split_contamination" -> ExtQueries.q76Sql,
     "q77_decontaminate" -> ExtQueries.q77Sql,
     "q78_streaming_ingest_twin" -> ExtQueries.q78Sql,
-    "q79_audit_decontaminate" -> ExtQueries.q79Sql
+    "q79_audit_decontaminate" -> ExtQueries.q79Sql,
+    "q80_repetition_stats" -> QualityQueries.q80Sql
   )
 }

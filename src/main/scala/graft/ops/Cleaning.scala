@@ -79,4 +79,63 @@ object Cleaning {
     df.withColumn("scrubbed", scrubbed)
       .withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
   }
+
+  /**
+   * Per-document repetition signals — the Gopher-report-style quality
+   * gate that catches degenerate generated/boilerplate text BEFORE the
+   * (much costlier) near-dup tiers: a doc that is one phrase looped is
+   * not a duplicate of anything, it is just garbage.
+   *
+   * All outputs are INTEGERS (counts, never ratios), so the gate's
+   * decision arithmetic is exact and engine-independent:
+   *  - n_words / n_distinct_words / top_word_count — word-level
+   *    concentration (`top_word_count * 5 > n_words` ≙ "top word over
+   *    20% of the doc");
+   *  - n_trigrams / n_distinct_trigrams — phrase-level looping
+   *    (`(n_trigrams − n_distinct_trigrams) * 2 > n_trigrams` ≙ "over
+   *    half the trigram stream is repeats").
+   * `is_repetitive` is the disjunction of the two.
+   *
+   * Scale shape: two explode → hash-aggregate pipelines keyed by
+   * (doc, token) with map-side partial aggregation, then a co-keyed
+   * per-doc join — linear in corpus size, per-key cardinality bounded by
+   * document length, no pairwise anything.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val base = df.select(col(idCol), ws.as("__ws"))
+    val trigramArr = when(size(col("__ws")) < 3,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("__ws")) - 3),
+        i => concat_ws(" ", element_at(col("__ws"), i + 1),
+          element_at(col("__ws"), i + 2), element_at(col("__ws"), i + 3))))
+    val wordStats = base
+      .select(col(idCol), explode(col("__ws")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("__c")).as("top_word_count"))
+    val triStats = base
+      .select(col(idCol), explode(trigramArr).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct_trigrams"))
+    df.select(col(idCol))
+      .join(wordStats, Seq(idCol), "left")
+      .join(triStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct_words"), lit(0L)).as("n_distinct_words"),
+        coalesce(col("top_word_count"), lit(0L)).as("top_word_count"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct_trigrams"), lit(0L))
+          .as("n_distinct_trigrams"))
+      .withColumn("is_repetitive",
+        (col("top_word_count") * 5 > col("n_words")) ||
+          ((col("n_trigrams") - col("n_distinct_trigrams")) * 2
+            > col("n_trigrams")))
+  }
 }

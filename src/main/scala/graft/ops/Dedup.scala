@@ -216,25 +216,32 @@ object Dedup {
     // index" stage every LSH pipeline materializes — and released once the
     // (small) verified-pair result is pinned. Caller owns the result's
     // unpersist().
-    val base = hashedShingleSets(docs, idCol, textCol, n)
-    val sigs = base
-      .withColumn("sig", minhashSignature(col("ih"), k))
-      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
-      .select(col("id"), col("band.band_idx"), col("band.band_hash"))
-    CacheScope.withStages(base, sigs) {
-      val okBuckets = sigs.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n").between(2, maxBucket))
-        .select(col("band_idx"), col("band_hash"))
-      val eligible = sigs.join(okBuckets, Seq("band_idx", "band_hash"))
-      val a = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-      val b = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      CacheScope.pin(verifyJaccardPairs(pairs, base, threshold))
+    val idx = buildMinhashIndex(docs, idCol, textCol, n, k, bands)
+    CacheScope.withStages(idx.base, idx.bands) {
+      CacheScope.pin(lshPairsWithin(idx, threshold, maxBucket))
     }
+  }
+
+  /** Verified near-dup pairs WITHIN a prebuilt index — the candidate +
+    * verify core of [[minhashLshPairs]] over caller-staged artifacts:
+    * LAZY (no pin, no staging here), so a pipeline that derives several
+    * pair sets from one batch index (graft.streaming.IngestPipeline)
+    * computes the signatures once. */
+  def lshPairsWithin(idx: MinhashIndex, threshold: Double,
+                     maxBucket: Int = 1000): DataFrame = {
+    val sigs = idx.bands
+    val okBuckets = sigs.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+      .select(col("band_idx"), col("band_hash"))
+    val eligible = sigs.join(okBuckets, Seq("band_idx", "band_hash"))
+    val a = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = eligible.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccardPairs(pairs, idx.base, threshold)
   }
 
   // --------------------------------------------- incremental MinHash+LSH
@@ -274,33 +281,39 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  n: Int = 3, k: Int = 64, bands: Int = 16,
                                  threshold: Double = 0.5): DataFrame = {
-    val newBase = hashedShingleSets(newDocs, idCol, textCol, n)
-    val newBands = newBase
-      .withColumn("sig", minhashSignature(col("ih"), k))
-      .withColumn("band", explode(lshBands(col("sig"), k, bands)))
-      .select(col("id").as("new_id"),
-        col("band.band_idx"), col("band.band_hash"))
+    val newIdx = buildMinhashIndex(newDocs, idCol, textCol, n, k, bands)
     // only the BATCH side is staged — the index is the stored artifact the
     // session reads, not something an ingest should re-cache
-    CacheScope.withStages(newBase) {
-      val pairs = newBands
-        .join(index.bands.withColumnRenamed("id", "corpus_id"),
-          Seq("band_idx", "band_hash"))
-        .filter(col("new_id") =!= col("corpus_id")) // tolerate re-ingest
-        .select(col("new_id"), col("corpus_id"))
-        .dropDuplicates("new_id", "corpus_id")
-      val a = newBase.select(col("id").as("new_id"),
-        col("ih").as("ih_a"), col("sz").as("sz_a"))
-      val b = index.base.select(col("id").as("corpus_id"),
-        col("ih").as("ih_b"), col("sz").as("sz_b"))
-      CacheScope.pin(pairs.join(a, "new_id").join(b, "corpus_id")
-        .withColumn("inter",
-          intersectSize(col("ih_a"), col("ih_b")).cast(DoubleType))
-        .withColumn("jaccard",
-          col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("new_id"), col("corpus_id"), col("jaccard")))
+    CacheScope.withStages(newIdx.base) {
+      CacheScope.pin(lshPairsAgainst(newIdx, index, threshold))
     }
+  }
+
+  /** Verified (new_id, corpus_id, jaccard) pairs of a prebuilt batch
+    * index against a corpus index — the core of
+    * [[minhashLshPairsIncremental]] over caller-staged artifacts; LAZY
+    * like [[lshPairsWithin]], for pipelines deriving several pair sets
+    * from one batch index. */
+  def lshPairsAgainst(newIdx: MinhashIndex, corpus: MinhashIndex,
+                      threshold: Double): DataFrame = {
+    val pairs = newIdx.bands
+      .select(col("id").as("new_id"), col("band_idx"), col("band_hash"))
+      .join(corpus.bands.withColumnRenamed("id", "corpus_id"),
+        Seq("band_idx", "band_hash"))
+      .filter(col("new_id") =!= col("corpus_id")) // tolerate re-ingest
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val a = newIdx.base.select(col("id").as("new_id"),
+      col("ih").as("ih_a"), col("sz").as("sz_a"))
+    val b = corpus.base.select(col("id").as("corpus_id"),
+      col("ih").as("ih_b"), col("sz").as("sz_b"))
+    pairs.join(a, "new_id").join(b, "corpus_id")
+      .withColumn("inter",
+        intersectSize(col("ih_a"), col("ih_b")).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
   // ------------------------------------------------------------- SimHash

@@ -341,4 +341,55 @@ object QualityQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |GROUP BY 1
       |ORDER BY dist""".stripMargin
+
+  /** q80 — Gopher-style repetition quality gate
+    * ([[graft.ops.Cleaning.repetitionStats]]): per-doc word/trigram
+    * concentration counts, all integers so the repetitiveness decision
+    * (`top word > 20%` ∨ `dup trigrams > 50%`) is exact in both engines.
+    * The linear pre-filter that runs BEFORE any pairwise dedup tier. */
+  def q80RepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Cleaning.repetitionStats(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q80Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |wc AS (
+      |  SELECT doc_id, u.w AS word, count(*) AS c
+      |  FROM w, UNNEST(ws) AS u(w) GROUP BY 1, 2),
+      |wstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |    count(*) AS n_distinct_words,
+      |    CAST(max(c) AS BIGINT) AS top_word_count
+      |  FROM wc GROUP BY 1),
+      |t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN []
+      |         ELSE list_transform(range(len(ws) - 2),
+      |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      |    END AS ts
+      |  FROM w),
+      |tc AS (
+      |  SELECT doc_id, u.t AS tri, count(*) AS c
+      |  FROM t, UNNEST(ts) AS u(t) GROUP BY 1, 2),
+      |tstats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+      |    count(*) AS n_distinct_trigrams
+      |  FROM tc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_words, 0) AS n_words,
+      |  COALESCE(n_distinct_words, 0) AS n_distinct_words,
+      |  COALESCE(top_word_count, 0) AS top_word_count,
+      |  COALESCE(n_trigrams, 0) AS n_trigrams,
+      |  COALESCE(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+      |  (COALESCE(top_word_count, 0) * 5 > COALESCE(n_words, 0))
+      |    OR ((COALESCE(n_trigrams, 0) - COALESCE(n_distinct_trigrams, 0))
+      |      * 2 > COALESCE(n_trigrams, 0)) AS is_repetitive
+      |FROM documents d
+      |LEFT JOIN wstats USING (doc_id)
+      |LEFT JOIN tstats USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -106,13 +106,14 @@ object IngestPipeline {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val corpusIdx = readIndexBefore(spark, indexDir, beforeId = batchId)
-    val internal = Dedup.minhashLshPairs(
-      batch, idCol, textCol, n, k, bands, threshold)
-    val cross = Dedup.minhashLshPairsIncremental(
-      batch, corpusIdx, idCol, textCol, n, k, bands, threshold)
-    val contam = Dedup.minhashLshPairsIncremental(
-      batch, protectedIdx, idCol, textCol, n, k, bands, threshold)
-    try {
+    // ONE batch index feeds all three pair tiers AND the survivor slice
+    // write: the signatures (the expensive map-side artifact) are staged
+    // once per micro-batch, never recomputed per consumer
+    val batchIdx = Dedup.buildMinhashIndex(batch, idCol, textCol, n, k, bands)
+    graft.ops.CacheScope.withStages(batchIdx.base, batchIdx.bands) {
+      val internal = Dedup.lshPairsWithin(batchIdx, threshold)
+      val cross = Dedup.lshPairsAgainst(batchIdx, corpusIdx, threshold)
+      val contam = Dedup.lshPairsAgainst(batchIdx, protectedIdx, threshold)
       val drops = internal.select(col("id_b").as("__drop"))
         .unionByName(cross.select(col("new_id").as("__drop")))
         .unionByName(contam.select(col("new_id").as("__drop")))
@@ -123,13 +124,13 @@ object IngestPipeline {
       try {
         writePartitioned(survivors.withColumn("ingest_batch", lit(batchId)),
           outDir)
-        writeIndexSlice(survivors, indexDir, batchId, idCol, textCol,
-          n, k, bands)
+        // survivor index slice from the SAME staged artifacts
+        val survIds = survivors.select(col(idCol).as("id"))
+        writePartitioned(batchIdx.bands.join(survIds, "id")
+          .withColumn("ingest_batch", lit(batchId)), bandsDir(indexDir))
+        writePartitioned(batchIdx.base.join(survIds, "id")
+          .withColumn("ingest_batch", lit(batchId)), baseDir(indexDir))
       } finally survivors.unpersist(blocking = false)
-    } finally {
-      internal.unpersist(blocking = false)
-      cross.unpersist(blocking = false)
-      contam.unpersist(blocking = false)
     }
   }
 

@@ -105,4 +105,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.filter(_._1 == 3L).map(_._2).toSeq === Seq("apple", "banana"))
     assert(top.find(t => t._1 == 1L && t._2 == "apple").get._3 === 3.0)
   }
+
+  test("repetitionStats: looped phrase flagged, varied text clean, short docs safe") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),     // trigram loop + top word
+      (2L, "the quick brown fox jumps over dogs"), // varied: clean
+      (3L, "hi"),                                  // < 3 words: no trigrams
+      (4L, " ")                                    // zero words after filter
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Cleaning.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // doc 1: 8 words {buy,now}x4 -> top=4; 6 trigrams, 2 distinct
+    assert(out(0) === ((1L, 8L, 2L, 4L, 6L, 2L, true)))
+    // doc 2: 7 words all distinct, 5 trigrams all distinct -> clean
+    assert(out(1) === ((2L, 7L, 7L, 1L, 5L, 5L, false)))
+    // doc 3: 1 word -> top_word_count*5 > n_words flags single-word docs
+    //        as degenerate (1*5 > 1) — the intended behavior for "hi"
+    assert(out(2) === ((3L, 1L, 1L, 1L, 0L, 0L, true)))
+    // doc 4: no words at all -> all zeros, not repetitive, no crash
+    assert(out(3) === ((4L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
 }

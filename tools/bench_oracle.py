@@ -29,6 +29,52 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def q43_iterative(con, sql):
+    """q43's recursive-CTE closure enumerates full reachability (node, r)
+    pairs — O(n x component size) rows through DuckDB's UNION-dedup
+    recursion, which does not complete at sf0.1. The floor instead times
+    the ITERATIVE min-label-propagation twin (temp-table loop to the
+    fixpoint), which computes the identical (node, component=min id)
+    result; the pairs CTE is reused verbatim from the oracle SQL so both
+    floors pay the same brute-force pair scan."""
+    prefix = sql[:sql.index(",\nedges AS (")].replace(
+        "WITH RECURSIVE", "WITH", 1)
+    con.execute("DROP TABLE IF EXISTS __pairs")
+    con.execute("DROP TABLE IF EXISTS __edges")
+    con.execute("DROP TABLE IF EXISTS __labels")
+    con.execute(f"CREATE TEMP TABLE __pairs AS {prefix} "
+                "SELECT id_a, id_b FROM pairs")
+    con.execute("CREATE TEMP TABLE __edges AS "
+                "SELECT id_a AS src, id_b AS dst FROM __pairs "
+                "UNION SELECT id_b, id_a FROM __pairs")
+    con.execute("CREATE TEMP TABLE __labels AS "
+                "SELECT DISTINCT src AS node, src AS label FROM __edges")
+    prev = None
+    while True:
+        con.execute("""CREATE TEMP TABLE __nxt AS
+            SELECT node, min(label) AS label FROM (
+              SELECT node, label FROM __labels
+              UNION ALL
+              SELECT e.dst AS node, l.label
+              FROM __edges e JOIN __labels l ON l.node = e.src
+            ) GROUP BY node""")
+        con.execute("DROP TABLE __labels")
+        con.execute("ALTER TABLE __nxt RENAME TO __labels")
+        s = con.execute(
+            "SELECT COALESCE(SUM(label), 0) FROM __labels").fetchone()[0]
+        if s == prev:
+            break
+        prev = s
+    return con.execute("SELECT node AS doc_id, label AS component "
+                       "FROM __labels ORDER BY doc_id").fetchall()
+
+
+# Oracles whose straight SQL cannot finish at bench scale get an
+# equivalent imperative runner; the timed work includes every shared
+# stage (the pair scan), so the floor stays honest.
+ITERATIVE_RUNNERS = {"q43_dedup_clusters": q43_iterative}
+
+
 def main(sf_dir, oracle_json, out="oracle_bench.json"):
     passes = max(1, int(os.environ.get("ORACLE_BENCH_PASSES", "2")))
     con = duckdb.connect()
@@ -56,7 +102,10 @@ def main(sf_dir, oracle_json, out="oracle_bench.json"):
         for _ in range(passes):
             t0 = time.monotonic()
             try:
-                con.execute(oracle[name]).fetchall()
+                if name in ITERATIVE_RUNNERS:
+                    ITERATIVE_RUNNERS[name](con, oracle[name])
+                else:
+                    con.execute(oracle[name]).fetchall()
                 dt = time.monotonic() - t0
             except Exception as e:
                 print(f"[oracle-bench] {name} FAILED: {e}", file=sys.stderr)
