@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries, QualityQueries, TextPipelineQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DomainQueries, ExtQueries, QualityQueries, ScaleQueries, TextPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -95,7 +95,10 @@ object SparkEntry {
     "q77_decontaminate" -> (ExtQueries.q77Decontaminate _),
     "q78_streaming_ingest_twin" -> (ExtQueries.q78StreamingIngestTwin _),
     "q79_audit_decontaminate" -> (ExtQueries.q79AuditDecontaminate _),
-    "q80_repetition_stats" -> (QualityQueries.q80RepetitionStats _)
+    "q80_repetition_stats" -> (QualityQueries.q80RepetitionStats _),
+    "q81_bloom_join" -> (ScaleQueries.q81BloomJoin _),
+    "q82_heavy_hitters" -> (ScaleQueries.q82HeavyHitters _),
+    "q83_inverted_index" -> (ScaleQueries.q83InvertedIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,6 +200,9 @@ object SparkEntry {
     "q77_decontaminate" -> ExtQueries.q77Sql,
     "q78_streaming_ingest_twin" -> ExtQueries.q78Sql,
     "q79_audit_decontaminate" -> ExtQueries.q79Sql,
-    "q80_repetition_stats" -> QualityQueries.q80Sql
+    "q80_repetition_stats" -> QualityQueries.q80Sql,
+    "q81_bloom_join" -> ScaleQueries.q81Sql,
+    "q82_heavy_hitters" -> ScaleQueries.q82Sql,
+    "q83_inverted_index" -> ScaleQueries.q83Sql
   )
 }

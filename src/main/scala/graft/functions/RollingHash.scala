@@ -71,12 +71,15 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     ensure("rolling_hash", exprs => RollingHash(exprs.head))
     ensure("vec_dot", exprs => DotProduct(exprs.head, exprs(1)))
+    ensure("cosine_sim", exprs => CosineSim(exprs.head, exprs(1)))
     ensure("simhash64", exprs => SimHash64(exprs.head))
     ensure("minhash_sig", exprs => MinHashSig(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
     ensure("sorted_intersect_size",
       exprs => SortedIntersectSize(exprs.head, exprs(1)))
     ensure("morton_key", exprs => MortonKey(exprs.head, exprs(1)))
+    ensure("bloom_contains", exprs => BloomMightContain(exprs.head,
+      exprs(1).eval().asInstanceOf[Array[Byte]]))
   }
 }
 
@@ -94,6 +97,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
@@ -110,6 +117,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("morton_key"),
       new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
       (exprs: Seq[Expression]) => MortonKey(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head,
+        exprs(1).eval().asInstanceOf[Array[Byte]])))
     // tier-c Catalyst extension: optimizer rewrites (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)
   }

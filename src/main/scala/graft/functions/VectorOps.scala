@@ -252,6 +252,105 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 /**
+ * Fused cosine similarity over two numeric array columns — the pair-verify
+ * hot path (q28/q35/q44 and every IVF/LSH re-rank) evaluates cosine once
+ * per candidate pair, which as a Column chain costs THREE [[DotProduct]]
+ * calls (dot(a,b), dot(a,a), dot(b,b)): three traversals of the same two
+ * buffers per pair. This expression accumulates all three sums in ONE loop
+ * over the buffers and applies the identical IEEE tail
+ * `d / (sqrt(na) * sqrt(nb))`.
+ *
+ * Bit-identical to `vec_dot(a,b)/(sqrt(vec_dot(a,a))*sqrt(vec_dot(b,b)))`
+ * on non-degenerate input (FunctionsSpec proves it): each accumulator sees
+ * the same additions in the same index order as its standalone loop, and
+ * the division/multiply tail is the same three IEEE ops — fusing changes
+ * the interleaving of independent accumulators, never the per-accumulator
+ * sequence. NULL if either array is NULL, contains a NULL element, or
+ * lengths differ (the chain's dot(a,b) is NULL then, which nulls the
+ * division). Deliberate divergence on a ZERO vector: this expression
+ * returns IEEE NaN (undefined direction), where the Column chain's Divide
+ * raises DIVIDE_BY_ZERO under Spark 4's ANSI default — a similarity score
+ * should not abort a 100 TB re-rank stage over one degenerate embedding;
+ * callers filter/flag NaN. Spec-locked in FunctionsSpec.
+ */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float|double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = xa.numElements()
+    if (n != xb.numElements()) return null
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      val va = if (ta == FloatType) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val vb = if (tb == FloatType) xb.getFloat(i).toDouble else xb.getDouble(i)
+      d += va * vb
+      na += va * va
+      nb += vb * vb
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, t: DataType, i: String): String =
+        if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $va = ${get(a, elemType(left).get, i)};
+         |    double $vb = ${get(b, elemType(right).get, i)};
+         |    $d += $va * $vb;
+         |    $na += $va * $va;
+         |    $nb += $vb * $vb;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d / (Math.sqrt($na) * Math.sqrt($nb)); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * |A ∩ B| for two SORTED-DISTINCT int arrays: a two-pointer merge count —
  * no hashing, no boxing, no output array. `size(array_intersect(a, b))`
  * builds a hash set AND materializes the common-elements array per pair;

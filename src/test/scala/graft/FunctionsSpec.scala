@@ -56,6 +56,43 @@ class FunctionsSpec extends SparkSpec {
     assert(nullElem.head.isNullAt(0))
   }
 
+  test("cosine_sim: fused single loop == three-vec_dot chain, bit-identical") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L)
+      .map(i => (i, Seq.fill(24)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val pairs = vecs.crossJoin(
+      vecs.select(col("id").as("id2"), col("v").as("w")))
+    val both = pairs.select(
+      graft.ops.Similarity.cosine(col("v"), col("w")).as("fused"),
+      graft.ops.Similarity.cosineChain(col("v"), col("w")).as("chain"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))) // incl. self-pairs (cos=1)
+    }
+    // null semantics match the chain: null array / length mismatch → NULL
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), null.asInstanceOf[Seq[Float]]),
+      (Seq(1.0f, 2.0f), Seq(3.0f))
+    ).toDF("a", "b")
+      .select(graft.ops.Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+    // DOCUMENTED DIVERGENCE on a zero vector: fused → IEEE NaN; the chain's
+    // Divide raises DIVIDE_BY_ZERO under Spark 4's ANSI default
+    val zdf = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val z = zdf
+      .select(graft.ops.Similarity.cosine(col("a"), col("b")).as("fused"))
+      .collect().head
+    assert(z.getDouble(0).isNaN)
+    val thrown = intercept[Exception] {
+      zdf.select(graft.ops.Similarity.cosineChain(col("a"), col("b")).as("c"))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
   test("simhash64: native fused loop == builtin 64-aggregate chain") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BloomJoin, Frequency, InvertedIndex}
+
+/** Round-5 shuffle-reduction / index ops: bloom semi-join pruning,
+  * sketch-verified heavy hitters, bounded inverted index. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BloomJoin: pruned join == plain join; probe side actually shrinks") {
+    val probe = (1L to 5000L).map(i => (i, i % 97)).toDF("pk", "payload")
+    // build side holds 50 of the 5000 probe keys
+    val build = (1L to 50L).map(i => (i * 100L, s"d$i")).toDF("bk", "name")
+
+    val plain = probe.join(build, col("pk") === col("bk"))
+      .orderBy("pk").collect()
+    val pruned = BloomJoin.prunedJoin(probe, build, "pk", "bk",
+        expectedItems = 100L, fpp = 0.01)
+      .orderBy("pk").collect()
+    assert(pruned.toSeq === plain.toSeq) // exact: fp's die in the join
+
+    // the filter itself: no false negatives, and the pass-through set is
+    // ~matches + fpp*non-matches, far below the full probe side
+    val digest = BloomJoin.keyFilter(build, "bk", 100L, 0.01)
+    val kept = probe.filter(BloomJoin.mightContain(digest, col("pk"))).count()
+    assert(kept >= 50, "bloom dropped a true match")
+    assert(kept < 500, s"bloom kept $kept of 5000 — no reduction")
+    // null probe key: NULL (never passes), mirroring join semantics
+    val n = Seq[Option[Long]](None).toDF("pk")
+      .select(BloomJoin.mightContain(digest, col("pk")).as("m")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("Frequency.heavyHitters == exact group-count over the threshold") {
+    // 10k rows: 'a' 4%, 'b' 1%, 'c' 0.5%, tail of ~9450 near-unique values
+    val rows = Seq.fill(400)("a") ++ Seq.fill(100)("b") ++ Seq.fill(50)("c") ++
+      (0 until 9450).map(i => s"t$i")
+    val df = rows.toDF("v").repartition(7) // arbitrary partitioning
+    val got = Frequency.heavyHitters(df, "v", support = 0.008)
+      .orderBy(desc("cnt")).collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c > 0.008 * n }
+      .toSeq.sortBy(-_._2)
+    assert(got.toSeq === want) // exact output despite sketch-first pass
+    assert(got.map(_._1).toSet === Set("a", "b"))
+  }
+
+  test("InvertedIndex: bounded postings, stable stats, admission floors") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie alpha delta"),
+      (2L, "charlie echo alpha"),
+      (3L, "bravo charlie charlie foxtrot"),
+      (4L, "zz short in")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text",
+      minTermLen = 5, minDocs = 2, postingsK = 2)
+    val rows = idx.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getInt(3), r.getLong(4), r.getInt(5)))
+    // charlie: df=3, tf=4, first two postings (1,3) then (2,1)
+    val charlie = rows.filter(_._1 == "charlie").sortBy(_._4)
+    assert(charlie.map(t => (t._2, t._3)).distinct === Seq((3L, 4L)))
+    assert(charlie.map(t => (t._4, t._5, t._6)) === Seq((1, 1L, 3), (2, 2L, 1)))
+    // bounded: no term carries more than K posting rows
+    assert(rows.groupBy(_._1).values.forall(_.size <= 2))
+    // admission: 'delta'/'echo'/'foxtrot' are df=1 → out; short terms out
+    assert(!rows.exists(t => Set("delta", "echo", "foxtrot", "zz", "in")(t._1)))
+    // positions count ALL tokens (not just admitted): alpha in doc 1 at 1, 4
+    val alpha = rows.filter(_._1 == "alpha").sortBy(_._4)
+    assert(alpha.map(t => (t._5, t._6)) === Seq((1L, 1), (1L, 4)))
+  }
+}
