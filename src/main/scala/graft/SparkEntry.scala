@@ -98,7 +98,9 @@ object SparkEntry {
     "q80_repetition_stats" -> (QualityQueries.q80RepetitionStats _),
     "q81_bloom_join" -> (ScaleQueries.q81BloomJoin _),
     "q82_heavy_hitters" -> (ScaleQueries.q82HeavyHitters _),
-    "q83_inverted_index" -> (ScaleQueries.q83InvertedIndex _)
+    "q83_inverted_index" -> (ScaleQueries.q83InvertedIndex _),
+    "q84_c4_clean" -> (ScaleQueries.q84C4Clean _),
+    "q86_merge_upsert" -> (ScaleQueries.q86MergeUpsert _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,6 +205,8 @@ object SparkEntry {
     "q80_repetition_stats" -> QualityQueries.q80Sql,
     "q81_bloom_join" -> ScaleQueries.q81Sql,
     "q82_heavy_hitters" -> ScaleQueries.q82Sql,
-    "q83_inverted_index" -> ScaleQueries.q83Sql
+    "q83_inverted_index" -> ScaleQueries.q83Sql,
+    "q84_c4_clean" -> ScaleQueries.q84Sql,
+    "q86_merge_upsert" -> ScaleQueries.q86Sql
   )
 }

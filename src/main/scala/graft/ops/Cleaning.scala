@@ -138,4 +138,46 @@ object Cleaning {
           ((col("n_trigrams") - col("n_distinct_trigrams")) * 2
             > col("n_trigrams")))
   }
+
+  /**
+   * C4-style line-level cleaning (the Raffel et al. heuristics, the
+   * standard pre-dedup pass for web corpora): keep a line iff it
+   *  - ends in terminal punctuation (`.` `!` `?`),
+   *  - has at least `minWords` whitespace-separated words, and
+   *  - contains none of the blocklist markers (lowercased substring
+   *    match — `javascript`, `lorem ipsum`, `cookie`, `{`);
+   * then keep the DOCUMENT iff at least `minLines` lines survive.
+   *
+   * Entirely MAP-ONLY: the line array never explodes into rows — split,
+   * nested `filter` lambdas and `concat_ws` run per-row inside one
+   * codegen stage, so the pass costs a scan regardless of corpus size
+   * (the boilerplate/repetition passes above are the ones that need
+   * shuffles; C4 rules are per-document by construction).
+   *
+   * Output: one row per input doc — n_lines (non-empty), n_kept,
+   * kept_chars, cleaned (kept lines re-joined with \n) and doc_kept.
+   */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def wordCount(l: Column): Column =
+      size(filter(split(l, " "), w => length(w) > 0))
+    val kept = filter(lines, l =>
+      right(l, lit(1)).isin(".", "!", "?") &&
+        wordCount(l) >= minWords &&
+        !contains(lower(l), lit("javascript")) &&
+        !contains(lower(l), lit("lorem ipsum")) &&
+        !contains(lower(l), lit("cookie")) &&
+        !contains(l, lit("{")))
+    df.select(col(idCol), lines.as("__lines"), kept.as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        aggregate(col("__kept"), lit(0L),
+          (acc, l) => acc + length(l)).as("kept_chars"),
+        concat_ws("\n", col("__kept")).as("cleaned"))
+      .withColumn("doc_kept", col("n_kept") >= minLines)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
-import graft.ops.{BloomJoin, Frequency, InvertedIndex}
+import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge}
 
 /**
  * Round-5 widening: shuffle-reduction and index-construction operators —
@@ -106,4 +106,109 @@ object ScaleQueries {
       |FROM ranked r JOIN stats s USING (term)
       |WHERE r.post_rank <= 3
       |ORDER BY r.term, r.post_rank""".stripMargin
+
+  /** q84 — C4-style line cleaning ([[Cleaning.c4LineFilter]]). The corpus
+    * ships single-line docs, so line structure is synthesized IN-QUERY
+    * (`" the "` → `".\n"`, both engines build the identical string — the
+    * q56 convention: the gate exercises the operator, not the
+    * synthesizer); the filter then applies the real Raffel-et-al rules:
+    * terminal punctuation, ≥ 5 words, blocklist, ≥ 3 surviving lines. */
+  def q84C4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.documents(spark, dir)
+      .withColumn("text", replace(col("text"), lit(" the "), lit(".\n")))
+    Cleaning.c4LineFilter(lined, "doc_id", "text", minWords = 5, minLines = 3)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("kept_chars"), md5(col("cleaned")).as("cleaned_md5"),
+        col("doc_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q84Sql: String =
+    """WITH lined AS (
+      |  SELECT doc_id, replace(text, ' the ', '.' || chr(10)) AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, list_filter(
+      |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |    l -> length(l) > 0) AS lines
+      |  FROM lined),
+      |k AS (
+      |  SELECT doc_id, lines, list_filter(lines, l ->
+      |      right(l, 1) IN ('.', '!', '?')
+      |      AND len(list_filter(string_split(l, ' '),
+      |        w -> length(w) > 0)) >= 5
+      |      AND NOT contains(lower(l), 'javascript')
+      |      AND NOT contains(lower(l), 'lorem ipsum')
+      |      AND NOT contains(lower(l), 'cookie')
+      |      AND NOT contains(l, '{')) AS kept
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS INTEGER) AS n_lines,
+      |  CAST(len(kept) AS INTEGER) AS n_kept,
+      |  CAST(coalesce(list_sum(list_transform(kept, l -> length(l))), 0)
+      |    AS BIGINT) AS kept_chars,
+      |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5,
+      |  len(kept) >= 3 AS doc_kept
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
+  /** q86 — keyed MERGE via changelog replay ([[Merge.applyChangelog]]):
+    * a deterministic CDC batch synthesized from `orders` (two update
+    * generations on overlapping keys — latest wins —, deletes, inserts
+    * on fresh keys) compacted and merged into the snapshot. The oracle
+    * replays the same changelog with window + anti-join SQL. */
+  def q86MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def ev(filterMod: Long, filterRes: Long, price: Column, status: Column,
+           op: String, seq: Long): DataFrame =
+      o.filter(col("o_orderkey") % filterMod === filterRes)
+        .select(col("o_orderkey"), price.as("o_totalprice"),
+          status.as("o_orderstatus"), lit(op).as("op"), lit(seq).as("seq"))
+    val changelog =
+      ev(10L, 3L, col("o_totalprice") * lit(1.1), col("o_orderstatus"), "U", 1L)
+        .unionByName(ev(100L, 3L, col("o_totalprice") * lit(1.2),
+          col("o_orderstatus"), "U", 2L))
+        .unionByName(ev(10L, 7L, col("o_totalprice"),
+          col("o_orderstatus"), "D", 1L))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+            lit(42.0).as("o_totalprice"), lit("N").as("o_orderstatus"),
+            lit("I").as("op"), lit(1L).as("seq")))
+    Merge.applyChangelog(o, changelog, Seq("o_orderkey"), "seq", "op",
+        broadcastChanges = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q86Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, o_totalprice * CAST(1.1 AS DOUBLE)
+      |      AS o_totalprice, o_orderstatus, 'U' AS op, 1 AS seq
+      |    FROM o WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * CAST(1.2 AS DOUBLE),
+      |      o_orderstatus, 'U', 2
+      |    FROM o WHERE o_orderkey % 100 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, 'D', 1
+      |    FROM o WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, CAST(42.0 AS DOUBLE), 'N', 'I', 1
+      |    FROM o WHERE o_orderkey % 1000 = 1),
+      |latest AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, op FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY seq DESC) AS rn FROM ch)
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+      |  FROM o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+      |  WHERE l.op IS NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus
+      |  FROM latest WHERE op <> 'D')
+      |SELECT * FROM merged
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{BloomJoin, Frequency, InvertedIndex}
+import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex}
 
 /** Round-5 shuffle-reduction / index ops: bloom semi-join pruning,
   * sketch-verified heavy hitters, bounded inverted index. */
@@ -69,5 +69,31 @@ class ScaleOpsSpec extends SparkSpec {
     // positions count ALL tokens (not just admitted): alpha in doc 1 at 1, 4
     val alpha = rows.filter(_._1 == "alpha").sortBy(_._4)
     assert(alpha.map(t => (t._5, t._6)) === Seq((1L, 1), (1L, 4)))
+  }
+
+  test("Cleaning.c4LineFilter: every rule fires; doc floor applies") {
+    val docs = Seq(
+      (1L, "Good first line with six words here.\n" +
+        "short line.\n" +                       // < 5 words → drop
+        "no terminal punctuation at all here\n" + // no ./!/? → drop
+        "Cookie banner text with enough words here.\n" + // blocklist
+        "function() { window.x = javascript }\n" +       // blocklist ×2
+        "Another proper line that should survive!\n" +
+        "A third good sentence keeps the doc alive?"),
+      (2L, "Only one good line with enough words."),     // < 3 kept → doc out
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Cleaning.c4LineFilter(docs, "doc_id", "text",
+        minWords = 5, minLines = 3)
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert((d1.getInt(1), d1.getInt(2)) === ((7, 3)))
+    assert(d1.getBoolean(5)) // doc_kept
+    assert(d1.getString(4).split("\n").length === 3)
+    val d2 = got(1)
+    assert((d2.getInt(1), d2.getInt(2), d2.getBoolean(5)) === ((1, 1, false)))
+    val d3 = got(2)
+    assert((d3.getInt(1), d3.getInt(2), d3.getLong(3)) === ((0, 0, 0L)))
+    assert(d3.getString(4) === "") // empty doc → empty cleaned, never null
   }
 }
