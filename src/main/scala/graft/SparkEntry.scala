@@ -100,7 +100,9 @@ object SparkEntry {
     "q82_heavy_hitters" -> (ScaleQueries.q82HeavyHitters _),
     "q83_inverted_index" -> (ScaleQueries.q83InvertedIndex _),
     "q84_c4_clean" -> (ScaleQueries.q84C4Clean _),
-    "q86_merge_upsert" -> (ScaleQueries.q86MergeUpsert _)
+    "q85_ivf_neardup" -> (ScaleQueries.q85IvfNearDup _),
+    "q86_merge_upsert" -> (ScaleQueries.q86MergeUpsert _),
+    "q87_shared_spans" -> (ScaleQueries.q87SharedSpans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,6 +209,8 @@ object SparkEntry {
     "q82_heavy_hitters" -> ScaleQueries.q82Sql,
     "q83_inverted_index" -> ScaleQueries.q83Sql,
     "q84_c4_clean" -> ScaleQueries.q84Sql,
-    "q86_merge_upsert" -> ScaleQueries.q86Sql
+    "q85_ivf_neardup" -> ScaleQueries.q85Sql,
+    "q86_merge_upsert" -> ScaleQueries.q86Sql,
+    "q87_shared_spans" -> ScaleQueries.q87Sql
   )
 }

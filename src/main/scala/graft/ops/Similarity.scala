@@ -260,6 +260,53 @@ object Similarity {
    * share a bucket"). Fewer planes ⇒ bigger blocks ⇒ higher recall at more
    * comparisons; same O(N²/2^nPlanes) shape as any single-table LSH block.
    */
+  /**
+   * IVF-style centroid assignment: each vector joins the cell of its
+   * most-similar centroid (argmax cosine; ties → lowest centroid index,
+   * the `array_position`-first-max rule). Centroids are caller-supplied
+   * literals — deterministic, plan-time constants, no k-means job and no
+   * collect — so scoring is MAP-ONLY: K fused-cosine evaluations per row
+   * inside one codegen stage.
+   */
+  def centroidAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Double]]): DataFrame = {
+    val sims = array(centroids.map(c =>
+      cosine(col(vecCol), array(c.map(lit): _*))): _*)
+    embeddings
+      .withColumn("__sims", sims)
+      .withColumn("cluster",
+        (array_position(col("__sims"), array_max(col("__sims"))) - 1)
+          .cast("int"))
+      .drop("__sims")
+  }
+
+  /**
+   * Semantic near-dup pairs, IVF-partitioned: same-cell self-join + exact
+   * cosine ≥ `threshold` — the coarse-quantizer variant of
+   * [[axisCosineNearDupPairs]] (data-adapted cells vs fixed sign planes).
+   * Cost is Σ |cell|² instead of n²; the recall contract is "pairs whose
+   * members quantize to the same cell" (cross-cell near-dups need
+   * multi-probe, same trade as every IVF index). One shuffle on the cell
+   * id; at 100 TB the cell census (q85's companion stats) is the skew
+   * check — an oversized cell means more centroids, not a bigger reducer.
+   */
+  def ivfNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Double]],
+                      threshold: Double): DataFrame = {
+    val base = centroidAssign(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", centroids)
+    val a = base.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = base.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cos_sim"))
+  }
+
   def axisCosineNearDupPairs(embeddings: DataFrame, idCol: String,
                              vecCol: String, threshold: Double,
                              nPlanes: Int, stride: Int): DataFrame = {

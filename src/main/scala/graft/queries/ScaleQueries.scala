@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
-import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge}
+import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge, Similarity, SpanDedup}
 
 /**
  * Round-5 widening: shuffle-reduction and index-construction operators —
@@ -151,6 +151,87 @@ object ScaleQueries {
       |  len(kept) >= 3 AS doc_kept
       |FROM k
       |ORDER BY doc_id""".stripMargin
+
+  /** q85/q85-oracle shared centroid formula: K=8 deterministic 64-dim
+    * centroids, c[j][d] = ((j·31 + d·17) mod 13 − 6) / 6 — literals in
+    * both engines, so assignment is engine-reproducible (no k-means). */
+  private val ivfCentroids: Seq[Seq[Double]] =
+    Seq.tabulate(8)(j => Seq.tabulate(64)(d =>
+      ((j * 31 + d * 17) % 13 - 6) / 6.0))
+
+  /** q85 — IVF-partitioned semantic near-dup ([[Similarity
+    * .ivfNearDupPairs]]): argmax-cosine cell assignment (map-only), then
+    * same-cell pairs with exact cosine ≥ 0.35 — Σ|cell|² work instead of
+    * n². The oracle replays assignment AND verify in SQL, so the gate
+    * covers the quantizer, the tie-break and the pair stage. */
+  def q85IvfNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", ivfCentroids, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q85Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(64), i ->
+         |      CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(64), i ->
+         |        CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform(range(64), i ->
+         |        CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))))"""
+        .stripMargin
+    s"""WITH cent AS (
+       |  SELECT j, list_transform(range(64), d ->
+       |    (CAST((j*31 + d*17) % 13 AS DOUBLE) - 6) / 6.0) AS c
+       |  FROM range(8) t(j)),
+       |scored AS (
+       |  SELECT vec_id, j, ${cos("embedding", "c")} AS cos
+       |  FROM embeddings CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, CAST(j AS INTEGER) AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, j) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       |    ${cos("ea.embedding", "eb.embedding")} AS cos_sim
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+       |SELECT id_a, id_b, cluster, cos_sim
+       |FROM pairs WHERE cos_sim >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q87 — verbatim shared-span pairs ([[SpanDedup.sharedSpanPairs]]):
+    * 12-token sliding windows, spans identifying iff in 2..20 docs
+    * (commoner = boilerplate, handled by the q54 dictionary), pair count
+    * per doc pair. Engine groups on the 64-bit span hash; the oracle
+    * groups on the span TEXT — the gate passing is the collision-freeness
+    * witness. */
+  def q87SharedSpans(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.sharedSpanPairs(Tables.documents(spark, dir), "doc_id",
+        "text", spanLen = 12, minDocs = 2, maxDocs = 20)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q87Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |sp AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[g:g+11], ' ') AS span
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 11)) AS u(g)
+      |  WHERE len(toks) >= 12),
+      |freq AS (
+      |  SELECT span FROM sp GROUP BY span
+      |  HAVING count(*) BETWEEN 2 AND 20)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
+      |FROM sp a
+      |JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+      |JOIN freq f ON a.span = f.span
+      |GROUP BY 1, 2
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q86 — keyed MERGE via changelog replay ([[Merge.applyChangelog]]):
     * a deterministic CDC batch synthesized from `orders` (two update

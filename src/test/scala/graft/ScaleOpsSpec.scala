@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex}
+import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Similarity, SpanDedup}
 
 /** Round-5 shuffle-reduction / index ops: bloom semi-join pruning,
   * sketch-verified heavy hitters, bounded inverted index. */
@@ -95,5 +95,40 @@ class ScaleOpsSpec extends SparkSpec {
     val d3 = got(2)
     assert((d3.getInt(1), d3.getInt(2), d3.getLong(3)) === ((0, 0, 0L)))
     assert(d3.getString(4) === "") // empty doc → empty cleaned, never null
+  }
+
+  test("SpanDedup: shared spans found, boilerplate cap excludes hot spans") {
+    val run = "alpha bravo charlie delta" // 4-token span shared verbatim
+    val docs = Seq(
+      (1L, s"unique one words here $run tail one"),
+      (2L, s"other beginning text $run different end"),
+      (3L, s"third unrelated document body with no overlap at all"),
+      // a 4-token span present in 4 docs → over maxDocs=3 → excluded
+      (4L, "hot hot2 hot3 hot4 x"), (5L, "hot hot2 hot3 hot4 y"),
+      (6L, "hot hot2 hot3 hot4 z"), (7L, "hot hot2 hot3 hot4 w")
+    ).toDF("doc_id", "text")
+    val pairs = SpanDedup.sharedSpanPairs(docs, "doc_id", "text",
+      spanLen = 4, minDocs = 2, maxDocs = 3)
+    val got = pairs.orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L))) // exactly the planted pair
+    pairs.unpersist()
+    // short docs (< spanLen tokens) contribute nothing, no crash
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+    val p2 = SpanDedup.sharedSpanPairs(short, "doc_id", "text", spanLen = 4)
+    assert(p2.count() === 0)
+    p2.unpersist()
+  }
+
+  test("Similarity.centroidAssign: nearest centroid wins; ties take lowest index") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)) // 2 == 0
+    val vecs = Seq(
+      (1L, Seq(5.0f, 0.1f)),  // → centroid 0 (and 2, tie → 0)
+      (2L, Seq(0.1f, 7.0f))   // → centroid 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidAssign(vecs, "vec_id", "embedding", cents)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((1L, 0), (2L, 1)))
   }
 }
