@@ -102,7 +102,9 @@ object SparkEntry {
     "q84_c4_clean" -> (ScaleQueries.q84C4Clean _),
     "q85_ivf_neardup" -> (ScaleQueries.q85IvfNearDup _),
     "q86_merge_upsert" -> (ScaleQueries.q86MergeUpsert _),
-    "q87_shared_spans" -> (ScaleQueries.q87SharedSpans _)
+    "q87_shared_spans" -> (ScaleQueries.q87SharedSpans _),
+    "q88_anomaly_days" -> (ScaleQueries.q88AnomalyDays _),
+    "q89_trailing_active" -> (ScaleQueries.q89TrailingActive _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,6 +213,8 @@ object SparkEntry {
     "q84_c4_clean" -> ScaleQueries.q84Sql,
     "q85_ivf_neardup" -> ScaleQueries.q85Sql,
     "q86_merge_upsert" -> ScaleQueries.q86Sql,
-    "q87_shared_spans" -> ScaleQueries.q87Sql
+    "q87_shared_spans" -> ScaleQueries.q87Sql,
+    "q88_anomaly_days" -> ScaleQueries.q88Sql,
+    "q89_trailing_active" -> ScaleQueries.q89Sql
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
-import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge, Similarity, SpanDedup}
+import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge, Similarity, SpanDedup, TimeSeries}
 
 /**
  * Round-5 widening: shuffle-reduction and index-construction operators —
@@ -292,4 +292,63 @@ object ScaleQueries {
       |  FROM latest WHERE op <> 'D')
       |SELECT * FROM merged
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q88 — per-type daily anomaly days ([[TimeSeries.anomalyDays]]):
+    * z-scores derived from exact integer sums (D, Σn, Σn²) so every
+    * double is one deterministic IEEE op from BIGINTs — no
+    * shuffle-order-dependent float aggregation, which is why the hash
+    * gate can cover a variance computation at all. */
+  def q88AnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.anomalyDays(Tables.events(spark, dir), "event_type", "ts",
+        zThresh = 2.0)
+      .orderBy(col("event_type"), col("day"))
+
+  val q88Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT daily.*, count(*) OVER w AS d,
+      |    CAST(sum(n) OVER w AS BIGINT) AS s,
+      |    CAST(sum(n*n) OVER w AS BIGINT) AS q
+      |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+      |z AS (
+      |  SELECT event_type, day, n,
+      |    CASE WHEN d >= 2 AND
+      |        CAST(d*q - s*s AS DOUBLE) / CAST(d*(d-1) AS DOUBLE) > 0
+      |      THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+      |        / sqrt(CAST(d*q - s*s AS DOUBLE) / CAST(d*(d-1) AS DOUBLE))
+      |    END AS zscore
+      |  FROM stats)
+      |SELECT event_type, day, n, zscore,
+      |  coalesce(abs(zscore) > 2.0, false) AS is_anomaly
+      |FROM z
+      |ORDER BY event_type, day""".stripMargin
+
+  /** q89 — trailing 7-day active users ([[TimeSeries
+    * .trailingActiveUsers]]): dedup to (user, day), map-side ×7 expand,
+    * one distinct-aggregate per observation day — exact sliding distinct
+    * with no range self-join and no per-day rescan. */
+  def q89TrailingActive(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.trailingActiveUsers(Tables.events(spark, dir), "ts",
+        "user_id", windowDays = 7)
+      .orderBy(col("day"))
+
+  val q89Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |expd AS (
+      |  SELECT u, CAST(o AS INTEGER) AS off,
+      |    day + CAST(o AS INTEGER) AS obs_day
+      |  FROM ud, UNNEST(generate_series(0, 6)) AS t(o)),
+      |agg AS (
+      |  SELECT obs_day, count(DISTINCT u) AS wau,
+      |    count(DISTINCT CASE WHEN off = 0 THEN u END) AS dau
+      |  FROM expd JOIN days d ON expd.obs_day = d.day
+      |  GROUP BY obs_day)
+      |SELECT obs_day AS day, wau, dau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM agg
+      |ORDER BY day""".stripMargin
 }

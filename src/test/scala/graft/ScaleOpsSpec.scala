@@ -120,6 +120,43 @@ class ScaleOpsSpec extends SparkSpec {
     p2.unpersist()
   }
 
+  test("TimeSeries.anomalyDays: exact-integer z; degenerate keys yield null z") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // key A: days 1..5 with counts 1,1,1,1,6 → day 5 is the anomaly
+    val rows =
+      (1 to 4).map(d => ("A", ts(d))) ++
+      Seq.fill(6)(("A", ts(5))) ++
+      Seq(("B", ts(1))) ++                   // single day → D=1 → null z
+      (1 to 3).map(d => ("C", ts(d)))        // constant series → var=0 → null z
+    val df = rows.toDF("k", "ts")
+    val got = graft.ops.TimeSeries.anomalyDays(df, "k", "ts", zThresh = 1.5)
+      .orderBy("k", "day").collect()
+    val a = got.filter(_.getString(0) == "A")
+    assert(a.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L, 1L, 6L))
+    // z reproduces the closed form: mean 2, var = (5*40-100)/20 = 5
+    val z5 = a.last.getDouble(3)
+    assert(math.abs(z5 - (6.0 - 2.0) / math.sqrt(5.0)) < 1e-15)
+    assert(a.last.getBoolean(4)) // |1.789| > 1.5
+    assert(a.init.forall(!_.getBoolean(4)))
+    assert(got.filter(_.getString(0) == "B").forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+    assert(got.filter(_.getString(0) == "C").forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+  }
+
+  test("TimeSeries.trailingActiveUsers: window math on a crafted week") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-02-$d%02d 09:00:00")
+    // u1 active day 1; u2 active days 1 and 9; u3 active day 9
+    val df = Seq((1L, ts(1)), (2L, ts(1)), (2L, ts(9)), (3L, ts(9)))
+      .toDF("user_id", "ts")
+    val got = graft.ops.TimeSeries.trailingActiveUsers(df, "ts", "user_id", 7)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // only days WITH data are reported; day 9 is > 7 days after day 1,
+    // so day-1 users fell out of its trailing window
+    assert(got.toSeq === Seq(("2024-02-01", 2L, 2L), ("2024-02-09", 2L, 2L)))
+  }
+
   test("Similarity.centroidAssign: nearest centroid wins; ties take lowest index") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)) // 2 == 0
     val vecs = Seq(
