@@ -88,7 +88,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=q21,...
+    // restricts the timed set (driver never sets it → full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = (only match {
+      case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
+      case None    => SparkEntry.queries
+    }).toSeq.sortBy(_._1)
     // an empty-but-parseable artifact exists from the first moment
     try flush(out, resultsJson(Nil, sfDir, partial = true))
     catch { case e: Throwable => System.err.println(s"[bench] flush $out failed: $e") }

@@ -78,4 +78,67 @@ object InvertedIndex {
   /** Column helper: admitted-token array for external callers. */
   def admittedTokens(textCol: Column, minTermLen: Int): Column =
     filter(split(lower(textCol), "[^a-z]+"), t => length(t) >= minTermLen)
+
+  /**
+   * BM25-shaped top-K retrieval for a LITERAL query — the scorer the
+   * inverted index exists for. Deliberate deviation from textbook BM25:
+   * the idf factor is the RATIONAL (N − df + 0.5)/(df + 0.5), not its
+   * logarithm — `ln` is libm, whose last-ulp behavior differs across
+   * engines and would break the cross-engine hash gate (same reason
+   * Tfidf uses tf·N/df); the ranking it induces is monotone-equivalent
+   * per term. Every score is a fixed sequence of IEEE ops on integers:
+   *
+   *   avgdl = double(Σdl) / N
+   *   idf_t = (double(N) − double(df_t) + 0.5) / (double(df_t) + 0.5)
+   *   tfn_t = tf_t·(k1+1) / (tf_t + k1·((1−b) + b·(dl/avgdl)))
+   *   score = Σ_t idf_t·tfn_t   — summed in QUERY-TERM ORDER via a
+   *           conditional pivot (a groupBy float sum would add in
+   *           shuffle order: nondeterministic across engines AND runs).
+   *
+   * Shape: the token table is staged once (feeds doc lengths and term
+   * frequencies); df (|Q| rows) and the (N, Σdl) totals (1 row) are
+   * broadcast; the only per-corpus shuffles are the two hash aggregates.
+   * Scoring touches only docs containing a query term. Top-K is
+   * TakeOrderedAndProject — K winners move, nothing else.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => length(t) > 0)).as("term"))
+    CacheScope.withStages(tok) {
+      val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = tok.filter(col("term").isin(queryTerms: _*))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double")
+        + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+      val tfn = col("tf").cast("double") * lit(k1 + 1) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, idCol)
+        .crossJoin(broadcast(totals))
+        .withColumn("score_t", idf * tfn)
+      // fixed-order pivot sum: term i's score lands in slot i, then the
+      // slots add left-to-right — deterministic, unlike sum() over rows
+      val slots = queryTerms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("score_t"))).as(s"__s$i")
+      }
+      val summed = queryTerms.indices
+        .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+        .reduceLeft(_ + _)
+      CacheScope.pin(scored
+        .groupBy(col(idCol))
+        .agg(slots.head, slots.tail: _*)
+        .withColumn("score", summed)
+        .select(col(idCol), col("score"))
+        .orderBy(col("score").desc, col(idCol))
+        .limit(topK))
+    }
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
-import graft.ops.{BloomJoin, Cleaning, Frequency, InvertedIndex, Merge, Similarity, SpanDedup, TimeSeries}
+import graft.ops.{BloomJoin, Cleaning, Dedup, Frequency, InvertedIndex, Merge, NgramLm, Similarity, SpanDedup, TimeSeries}
 
 /**
  * Round-5 widening: shuffle-reduction and index-construction operators —
@@ -351,4 +351,113 @@ object ScaleQueries {
       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
       |FROM agg
       |ORDER BY day""".stripMargin
+
+  /** q90 query terms — fixed order: the pivot sums term scores in THIS
+    * order on both engines (a float sum's order is part of the result). */
+  private val bm25Terms = Seq("stream", "vector", "window")
+
+  /** q90 — BM25-shaped top-20 retrieval ([[InvertedIndex.bm25TopK]]):
+    * rational idf (no libm log — documented deviation, monotone-
+    * equivalent per term), fixed-order pivot sum, k1=1.2 / b=0.75.
+    * 1.2+1 == 2.2 and 1−0.75 == 0.25 exactly in IEEE, so the SQL
+    * literals below are the engine's constants. */
+  def q90Bm25(spark: SparkSession, dir: String): DataFrame =
+    InvertedIndex.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+        bm25Terms, k1 = 1.2, b = 0.75, topK = 20)
+
+  val q90Sql: String = {
+    val slot = bm25Terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN score_t END), 0.0)")
+      .mkString("\n  + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-z]+'),
+       |    x -> length(x) > 0)) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |totals AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * 2.2
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+       |        * (CAST(dl AS DOUBLE)
+       |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      AS score_t
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN totals),
+       |piv AS (
+       |  SELECT doc_id,
+       |  $slot AS score
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, score FROM piv
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** q91 — Kneser–Ney bigram LM ([[NgramLm.kneserNeyBigrams]], d=0.75):
+    * real smoothed probabilities hash-gated across engines — possible
+    * because every pkn is a fixed IEEE-op sequence over exact integer
+    * counts. Full model (minCount 1) ordered by bigram. */
+  def q91KneserNey(spark: SparkSession, dir: String): DataFrame =
+    NgramLm.kneserNeyBigrams(Tables.documents(spark, dir), "text",
+        d = 0.75, minCount = 1L)
+      .orderBy(col("w1"), col("w2"))
+
+  val q91Sql: String =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |bi AS (
+      |  SELECT toks[g] AS w1, toks[g+1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(g)
+      |  WHERE len(toks) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |byw1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_w1
+      |  FROM c12 GROUP BY w1),
+      |byw2 AS (SELECT w2, count(*) AS n1p_cont FROM c12 GROUP BY w2),
+      |tot AS (SELECT count(*) AS n1p_total FROM c12)
+      |SELECT w1, w2, c12, c1,
+      |  greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+      |  + (0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+      |    * (CAST(n1p_cont AS DOUBLE) / CAST(n1p_total AS DOUBLE)) AS pkn
+      |FROM c12 JOIN byw1 USING (w1) JOIN byw2 USING (w2) CROSS JOIN tot
+      |ORDER BY w1, w2""".stripMargin
+
+  /** q92 — near-dup graph degree census: how many docs have how many
+    * near-dup partners (the shape a dedup rollout reviews before picking
+    * keep-one-per-cluster vs threshold changes). Pure composition over
+    * the gated q26 pair engine; the oracle wraps the q26 brute-force
+    * oracle as a CTE and aggregates the same census. */
+  def q92DegreeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 2, k = 64, bands = 16, threshold = 0.5)
+    val ends = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+    ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
+  // concatenated OUTSIDE any stripMargin literal: the embedded q26 oracle
+  // contains SQL `||` concatenation, which a re-strip would mangle
+  val q92Sql: String =
+    "WITH pairs AS (\n" + graft.queries.ExtQueries.q26Sql + "\n),\n" +
+      """ends AS (
+        |  SELECT id_a AS id FROM pairs
+        |  UNION ALL SELECT id_b FROM pairs),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+        |SELECT degree, count(*) AS n_docs
+        |FROM deg GROUP BY degree
+        |ORDER BY degree""".stripMargin
 }

@@ -157,6 +157,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("2024-02-01", 2L, 2L), ("2024-02-09", 2L, 2L)))
   }
 
+  test("NgramLm.kneserNeyBigrams: closed-form probabilities; mass sums to 1") {
+    val docs = Seq("a b a b a c").toDF("text")
+    val m = graft.ops.NgramLm.kneserNeyBigrams(docs, "text", d = 0.75)
+    val byPair = m.collect().map(r =>
+      ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    m.unpersist()
+    // counts: (a,b)=2 (a,c)=1 (b,a)=2; c1: a=3 b=2; N1+(a·)=2 N1+(b·)=1;
+    // N1+(·b)=1 N1+(·a)=1 N1+(·c)=1; N1+(··)=3
+    assert(byPair(("a", "b"))._1 === 2L)
+    assert(math.abs(byPair(("a", "b"))._3 - (1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3))) < 1e-15)
+    assert(math.abs(byPair(("a", "c"))._3 - (0.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3))) < 1e-15)
+    assert(math.abs(byPair(("b", "a"))._3 - (1.25 / 2 + (0.75 * 1 / 2) * (1.0 / 3))) < 1e-15)
+    // probability mass: observed rows + backoff mass of unobserved
+    // continuations telescopes to exactly 1 per context
+    val massA = byPair(("a", "b"))._3 + byPair(("a", "c"))._3 +
+      (0.75 * 2 / 3) * (1.0 / 3) // unobserved (a,a): cont(a)/total
+    assert(math.abs(massA - 1.0) < 1e-12)
+  }
+
+  test("InvertedIndex.bm25TopK: closed-form score, deterministic order") {
+    val docs = Seq(
+      (1L, "spark spark spark filler words"),
+      (2L, "spark alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = graft.ops.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+      Seq("spark"), k1 = 1.2, b = 0.75, topK = 3)
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.unpersist()
+    // N=3, df(spark)=2, dl=5 for all, avgdl=5 → length norm = 1
+    // idf = (3-2+0.5)/(2+0.5) = 0.6; only docs containing a query term
+    // are scored (doc 3 never enters the tf table)
+    val idf = (3.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    def tfn(tf: Double) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 1.0))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L)) // tf desc, then id
+    assert(math.abs(rows(0)._2 - idf * tfn(3)) < 1e-15)
+    assert(math.abs(rows(1)._2 - idf * tfn(1)) < 1e-15)
+  }
+
   test("Similarity.centroidAssign: nearest centroid wins; ties take lowest index") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)) // 2 == 0
     val vecs = Seq(
