@@ -33,6 +33,29 @@ object Sessionize {
    * order), `session_start`/`session_end` (min/max event time),
    * `n_events`, `duration_us`.
    */
+  /**
+   * Per-EVENT session labeling: the input rows plus `session_seq`
+   * (1-based per key, in time order). `tieCol` makes the ordering total so
+   * downstream per-session sequences (e.g. path extraction) are
+   * deterministic; the session ASSIGNMENT itself is tie-safe either way
+   * (zero gap never breaks a session).
+   */
+  def eventSessions(events: DataFrame, keyCol: String, timeCol: String,
+                    gapMinutes: Int, tieCol: String): DataFrame = {
+    val key = col(keyCol)
+    val ts = col(timeCol)
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(key).orderBy(ts, col(tieCol))
+    val prev = lag(ts, 1).over(w)
+    val brk = when(prev.isNull ||
+      unix_micros(ts) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("session_seq", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
   def sessions(events: DataFrame, keyCol: String, timeCol: String,
                gapMinutes: Int = 30): DataFrame = {
     val key = col(keyCol)

@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.ops.{Checksum, Scd, Sessionize, SetSimJoin, Skew}
+
+/**
+ * Round-5 second widening: the warehouse-operations surface — CUBE,
+ * mergeable-sketch reaggregation, RANGE-frame windows, session path
+ * mining, exact prefix-filtered set-similarity join, order-independent
+ * table checksums, skew-proof salted aggregation, declared-domain
+ * histograms. Every query oracle-gated (DuckDB twin on the same parquet).
+ */
+object WarehouseQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q93 — CUBE over (returnflag, linestatus): all four grouping
+    * combinations from ONE Expand + hash aggregate pass (completes the
+    * grouping family next to q48 ROLLUP / q72 GROUPING SETS). DECIMAL
+    * sums; grouping_id pins which subtotal each row is. */
+  def q93CubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val q93Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin
+
+  /** q94 — mergeable-sketch reaggregation: per-DAY HLL sketches of
+    * distinct users are UNIONED into weekly estimates — the pattern that
+    * lets a 100 TB warehouse answer "weekly uniques" from kilobyte daily
+    * partials instead of rescanning raw events (sketch union is exactly
+    * what exact distinct counts cannot do: they don't merge). Gated the
+    * q58 way: the output carries the EXACT weekly count plus a boolean
+    * asserting the merged estimate landed within 5 % (integer-exact
+    * comparison: |est − exact|·20 ≤ exact), and the oracle states the
+    * exact count and TRUE — sketch drift fails the round. */
+  def q94HllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week_start"),
+        to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("week_start"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily.groupBy(col("week_start"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("week_start"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(weekly, "week_start")
+      .select(col("week_start"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("approx_ok"))
+      .orderBy(col("week_start"))
+  }
+
+  val q94Sql: String =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_ok
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY week_start""".stripMargin
+
+  /** q95 — RANGE-frame trailing window: per-user trailing-7-day value sum
+    * over the daily aggregate, frame defined by the ORDER-BY VALUE
+    * (`rangeBetween`), not row offsets — gaps in the calendar shrink the
+    * frame, which ROWS BETWEEN cannot express and q89's expansion trick
+    * does not need to: the whole op is one shuffle + one sort, zero row
+    * multiplication. DECIMAL day sums keep the frame sum order-free. */
+  def q95RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("day_val"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val trail = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day"),
+        col("day_val").cast(DoubleType).as("day_value"),
+        sum(col("day_val")).over(trail).cast(DoubleType).as("trail7"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q95Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS day_val
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(day_val AS DOUBLE) AS day_value,
+      |  CAST(sum(day_val) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY date_diff('day', DATE '1970-01-01', day)
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+      |FROM daily
+      |ORDER BY user_id, day""".stripMargin
+
+  /** q96 — session path mining ([[graft.ops.Sessionize.eventSessions]]):
+    * label events with 30-min-gap sessions, extract each session's ordered
+    * event-type path (capped at 10 steps; ties broken by event_id so the
+    * sequence is total), count sessions per path. The "what do users DO"
+    * query every product-analytics warehouse runs; one key shuffle for the
+    * labeling + one hash agg for the census. */
+  def q96SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Sessionize.eventSessions(Tables.events(spark, dir),
+      "user_id", "ts", gapMinutes = 30, tieCol = "event_id")
+    labeled
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), 1, 10), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  val q96Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |lab AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |        THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM ordered),
+      |paths AS (
+      |  SELECT user_id, session_seq,
+      |    array_to_string(
+      |      (list(event_type ORDER BY ts, event_id))[1:10], '>') AS path
+      |  FROM lab GROUP BY user_id, session_seq)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path""".stripMargin
+
+  /** q97 — EXACT set-similarity self-join ([[graft.ops.SetSimJoin]]):
+    * every document pair whose 3-word-shingle sets have Jaccard ≥ 0.6,
+    * found by rarest-first prefix filtering — the deterministic complement
+    * to q26's MinHash (no recall contract: completeness is a theorem, and
+    * the brute-force oracle checks it on this corpus). */
+  def q97SetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.ops.Dedup.shingles(col("text"), 3).as("shingles"))
+    SetSimJoin.prefixJaccardJoin(docs, "doc_id", "shingles",
+        thetaNum = 6, thetaDen = 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q97Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |    x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |    ELSE list_transform(range(len(w) - 2),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END) AS toks
+      |  FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |    AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
+      |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q98 — order-independent table checksum ([[graft.ops.Checksum]]): per
+    * source, row count + exact DECIMAL sum of 48-bit md5 row digests. The
+    * copy-verification primitive: compare two tables in O(groups) with one
+    * hash aggregate each, no sort — commutative addition makes the result
+    * independent of row order and partitioning, which is the whole point
+    * at 100 TB. */
+  def q98TableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Checksum.tableChecksum(Tables.documents(spark, dir),
+        Seq("source"),
+        Seq(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+      // gate as a STRING: sums exceed 2^53, and both the pandas bridge and
+      // parquet→float paths silently round big decimals — digits don't
+      .withColumn("checksum", col("checksum").cast("string"))
+      .orderBy(col("source"))
+
+  val q98Sql: String =
+    """SELECT source, count(*) AS n_rows,
+      |  CAST(CAST(sum(CAST(CAST(concat('0x',
+      |      substr(md5(concat_ws('|', doc_id, lang, n_chars, text)), 1, 12))
+      |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** q99 — skew-proof salted aggregation ([[graft.ops.Skew]]): the
+    * two-phase (key, salt) partial → key merge plan whose result is
+    * PROVABLY the plain groupBy (that plain groupBy IS the oracle).
+    * Five event types over 10⁵ rows is exactly the mega-key shape that
+    * serializes five reducers unsalted; algebraic partials make the salt
+    * assignment irrelevant to the answer. */
+  def q99SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(Tables.events(spark, dir), col("event_type"),
+        buckets = 32,
+        aggs = scala.collection.immutable.ListMap(
+          "n" -> Skew.countAll,
+          "sum_value" -> Skew.sumOf(dec(col("value"))),
+          "max_value" -> Skew.maxOf(col("value"))))
+      .withColumn("sum_value", col("sum_value").cast(DoubleType))
+      .orderBy(col("event_type"))
+
+  val q99Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q100 — declared-domain equi-width histogram: value binned into
+    * [0,50) buckets per event type, counts + bin extrema — the profiling
+    * primitive behind every data-quality dashboard. Map-only binning into
+    * one hash aggregate; the declared domain means NO discovery pass over
+    * the data (the q61 pivot convention). */
+  def q100Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bin", floor(col("value") / 50).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("bin_min"),
+        max(col("value")).as("bin_max"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val q100Sql: String =
+    """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+      |  count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
+      |FROM events
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
+  /** q101 — SCD Type 2 dimension build ([[graft.ops.Scd.scd2]]): the
+    * per-user event-type change stream compressed into validity intervals
+    * (valid_from inclusive, valid_to exclusive, null = current), with
+    * same-state runs collapsed — the standard warehouse dimension-history
+    * shape. One key shuffle; the run-detect and interval-close windows
+    * share a single (user | ts, event_id) sort. (user_id, ts) is
+    * collision-free in this corpus, so (user_id, valid_from) totalizes
+    * the output order.*/
+  def q101Scd2(spark: SparkSession, dir: String): DataFrame =
+    Scd.scd2(Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_type", "event_id")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  val q101Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM runs)
+      |SELECT user_id, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM iv
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** q102 — snapshot diff ([[graft.ops.Scd.snapshotDiff]]): two versions
+    * of the documents table reduced to an insert/update/delete changelog
+    * by comparing 48-bit row digests in ONE full outer join — O(1) row
+    * compare regardless of width, the inverse of q86's changelog MERGE.
+    * The after-side is synthesized in-query from arithmetic on doc_id
+    * (the q56/q84 convention: both engines build the identical snapshot;
+    * the gate exercises the diff, not the synthesizer). */
+  def q102SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val before = docs.select(col("doc_id"), col("source"), col("text"))
+    val after = docs
+      .filter(col("doc_id") % 7 =!= 0) // deletes
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text")) // updates
+      .unionByName(docs.filter(col("doc_id") % 11 === 0) // inserts
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          col("text")))
+    Scd.snapshotDiff(before, after, "doc_id", Seq("source", "text"))
+      .select(col("doc_id"), col("op"), col("source"))
+      .orderBy(col("doc_id"), col("op"))
+  }
+
+  val q102Sql: String =
+    """WITH before_t AS (
+      |  SELECT doc_id, source, text FROM documents),
+      |after_t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, text
+      |  FROM documents WHERE doc_id % 11 = 0)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN b.doc_id IS NULL THEN 'insert'
+      |       WHEN a.doc_id IS NULL THEN 'delete'
+      |       WHEN a.text <> b.text OR a.source <> b.source THEN 'update'
+      |  END AS op,
+      |  a.source AS source
+      |FROM after_t a FULL OUTER JOIN before_t b USING (doc_id)
+      |WHERE b.doc_id IS NULL OR a.doc_id IS NULL
+      |   OR a.text <> b.text OR a.source <> b.source
+      |ORDER BY doc_id, op""".stripMargin
+
+  /** q103 — correlated-scalar-subquery shape: customers whose total order
+    * spend exceeds their nation's average customer spend. Decorrelated
+    * into one aggregate + one window over nation — no per-row subquery
+    * execution, the optimizer-friendly form of the classic SQL pattern.
+    * The average is stated as CAST(sum AS DOUBLE)/n on BOTH sides (engine
+    * AVG() return types differ on DECIMAL; a stated division does not). */
+  def q103AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("total"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    cust.join(totals, col("c_custkey") === col("o_custkey"))
+      .withColumn("nation_avg",
+        (sum(col("total")).over(byNation).cast(DoubleType) /
+          count(lit(1)).over(byNation)))
+      .filter(col("total").cast(DoubleType) > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("total").cast(DoubleType).as("total"), col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q103Sql: String =
+    """WITH totals AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (
+      |  SELECT c_custkey, c_nationkey, total,
+      |    CAST(sum(total) OVER (PARTITION BY c_nationkey) AS DOUBLE) /
+      |      count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      |  FROM customer JOIN totals ON c_custkey = o_custkey)
+      |SELECT c_custkey, c_nationkey, CAST(total AS DOUBLE) AS total,
+      |  nation_avg
+      |FROM j
+      |WHERE CAST(total AS DOUBLE) > nation_avg
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q104 — deterministic EWMA (α = 1/2) of each user's daily value
+    * series: the fold runs over the SORTED day array with the first day
+    * as seed, so every output is a FIXED sequence of IEEE multiply-by-0.5
+    * and add — bit-reproducible across engines (the q74/q88 discipline
+    * applied to a sequential recurrence, which no order-free aggregate
+    * can express). Spark `aggregate` over `sort_array(collect_list)` ≙
+    * DuckDB `list_reduce(list(... ORDER BY day))` — both seed from the
+    * first element. One key shuffle, arrays bounded by the day span. */
+  def q104Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).cast(DoubleType).as("x"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .select(col("user_id"), size(col("xs")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("x"),
+          (acc, e) => acc * 0.5 + e.getField("x") * 0.5).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  val q104Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_days,
+      |  list_reduce(list(x ORDER BY day), (acc, x) -> acc * 0.5 + x * 0.5)
+      |    AS ewma
+      |FROM daily
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+}
