@@ -78,9 +78,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val doWarmup = envFlag("SPARK_GRAFT_BENCH_WARMUP", default = true)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // shuffle parallelism defaults to the core count but can be scaled
+    // independently — at N× the data the partition count is the knob that
+    // keeps per-partition volume constant (see SCALING_r5.json)
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

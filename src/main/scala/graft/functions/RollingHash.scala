@@ -122,7 +122,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head,
         exprs(1).eval().asInstanceOf[Array[Byte]])))
-    // tier-c Catalyst extension: optimizer rewrites (see graft.plans)
+    // tier-c Catalyst extensions: optimizer rewrites + the native as-of
+    // physical operator (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

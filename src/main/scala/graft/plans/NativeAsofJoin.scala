@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/**
+ * Tier-(c) Catalyst extension: a NATIVE as-of join operator — logical
+ * node + planner strategy + physical sort-merge execution — for the one
+ * relational shape Spark's built-in operators cannot express directly
+ * (the DataFrame-level rewrites in `ops/Joins` express it via
+ * union+window or time-bucketing; this is the whole-operator form the
+ * builder prompt's preference list names).
+ *
+ * Physical contract: both children hash-clustered on the key
+ * (`requiredChildDistribution` — EnsureRequirements inserts co-partitioned
+ * exchanges exactly as for a shuffled join) and sorted by (key, time)
+ * (`requiredChildOrdering` — sorts are planned only if the child isn't
+ * already sorted, so a bucketed+sorted source joins with ZERO extra
+ * passes). Execution is then ONE forward merge per partition pair:
+ * O(|L| + |R|) with a single buffered right row — no per-key grouping, no
+ * window state, no row expansion, the textbook merge as-of.
+ *
+ * Semantics = `ops/Joins.asofJoin` (LEFT OUTER, backward, inclusive):
+ * every left row is emitted, joined to the LATEST right row with an equal
+ * key and right.time ≤ left.time, or nulls if none. Right rows with NULL
+ * key or time never match (SQL join semantics); duplicate right (key,
+ * time) pairs should be pre-deduplicated by the caller for a
+ * deterministic payload (same contract as the DataFrame variant).
+ */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinPlan]] to [[AsofJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (see
+  * [[graft.functions.GraftExtensions]]). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the key, like any shuffled join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // (key, time) sort per side: the merge is then a single forward pass
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // left rows stream through in their incoming order
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  @inline private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    val schema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val project = UnsafeProjection.create(schema, schema)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      // last right row consumed whose (key, time) ≤ the current left's —
+      // copied because physical children reuse row buffers
+      var bufKey: Any = null
+      var bufRow: InternalRow = null
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var rHeadTime: Any = null
+      def advanceRightHead(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKey.eval(r); val t = rTime.eval(r)
+          if (k != null && t != null) { // null keys/times never match
+            rHead = r; rHeadKey = k; rHeadTime = t
+          }
+        }
+      }
+      advanceRightHead()
+      lIter.map { lRow =>
+        val lk = lKey.eval(lRow); val lt = lTime.eval(lRow)
+        if (lk != null && lt != null) {
+          // consume right rows up to (lk, lt) inclusive, buffering the last
+          var continue = rHead != null
+          while (continue) {
+            val ck = cmp(rHeadKey, lk)
+            if (ck < 0 || (ck == 0 && cmp(rHeadTime, lt) <= 0)) {
+              bufKey = rHeadKey
+              bufRow = rHead.copy()
+              advanceRightHead()
+              continue = rHead != null
+            } else continue = false
+          }
+        }
+        val matched = lk != null && bufRow != null && cmp(bufKey, lk) == 0
+        project(joined(lRow, if (matched) bufRow else nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame-level entry point for the native operator. */
+object NativeAsof {
+
+  /**
+   * LEFT-OUTER backward as-of join through [[AsofJoinExec]]: `right`'s
+   * columns (except its key/time, which are dropped after the merge)
+   * arrive `prefix`-renamed, mirroring `ops/Joins.asofJoin`'s surface.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.graft.PlanOps.ensureStrategy(
+      left.sparkSession, AsofJoinStrategy)
+    val r = right.select(
+      Seq(col(keyCol).as("__asof_k"), col(timeCol).as("__asof_t")) ++
+        payloadCols.map(c => col(c).as(prefix + c)): _*)
+    val lPlan = org.apache.spark.sql.graft.PlanOps.analyzed(left)
+    val rPlan = org.apache.spark.sql.graft.PlanOps.analyzed(r)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val plan = AsofJoinPlan(lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
+      attr(lPlan, timeCol), attr(rPlan, "__asof_t"))
+    org.apache.spark.sql.graft.PlanOps.ofRows(left.sparkSession, plan)
+      .drop("__asof_k", "__asof_t")
+  }
+}

@@ -410,4 +410,33 @@ object WarehouseQueries {
       |FROM daily
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** q105 — the NATIVE as-of operator ([[graft.plans.NativeAsof]]): the
+    * tier-(c) Catalyst extension (custom LogicalPlan + planner Strategy +
+    * physical sort-merge exec) doing the q42 semantics in one O(L+R)
+    * merge per partition — no union, no window state, no row expansion.
+    * Oracle = DuckDB's native ASOF LEFT JOIN, a third independent
+    * implementation of the same semantics. */
+  def q105NativeAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.plans.NativeAsof.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q105Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, p.value AS asof_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
 }

@@ -26,4 +26,23 @@ object PlanOps {
     classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], stripped)
   }
+
+  /** The analyzed logical plan of `df` (for composing custom nodes). */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a logical plan as a DataFrame on `spark`. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Ensure a planner strategy is active on the session — idempotent, so
+    * operator entry points can self-install without requiring
+    * `spark.sql.extensions` wiring. */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession,
+                     strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ strategy
+  }
 }

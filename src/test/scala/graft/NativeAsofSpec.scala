@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+import graft.plans.{AsofJoinExec, NativeAsof}
+
+/** The native sort-merge as-of operator must (a) match the DataFrame
+  * rewrite row-for-row, (b) plan exactly one AsofJoin node fed by
+  * exchange+sort on each side, (c) handle the semantic edges the merge
+  * loop is responsible for: no-match keys, null keys/times, inclusive
+  * ties, and key changes mid-partition. */
+class NativeAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("matches ops/Joins.asofJoin on the events corpus") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("value"))
+    val expected = Joins.asofJoin(views, purchases, "user_id", "ts", Seq("value"))
+      .select($"event_id", $"asof_value").orderBy($"event_id").collect().toSeq
+    val got = NativeAsof.asofJoin(views, purchases, "user_id", "ts", Seq("value"))
+      .select($"event_id", $"asof_value").orderBy($"event_id").collect().toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("plans one AsofJoinExec with clustered+sorted children") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    val plan = NativeAsof.asofJoin(l, r, "k", "t", Seq("v"))
+      .queryExecution.executedPlan
+    val asofs = plan.collect { case a: AsofJoinExec => a }
+    assert(asofs.length === 1)
+    // each side must arrive sorted by (key, time) — EnsureRequirements
+    // satisfied the declared ordering requirement
+    asofs.head.children.foreach { child =>
+      assert(child.outputOrdering.length >= 2,
+        s"child not sorted: ${child.outputOrdering}")
+    }
+  }
+
+  test("merge edges: inclusive tie, backward pick-latest, no-match nulls") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "tie"),      // == right @10:00 -> 20.0
+      (1L, ts("2024-01-01 11:00:00"), "between"),  // latest ≤ 11:00 -> 20.0
+      (1L, ts("2024-01-01 09:00:00"), "before"),   // before all -> null
+      (2L, ts("2024-01-01 12:00:00"), "nokey"),    // key with no rights
+      (3L, ts("2024-01-01 12:00:00"), "k3"))       // later key matches its own
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0),
+      (3L, ts("2024-01-01 11:00:00"), 30.0))
+      .toDF("k", "t", "v")
+    val out = NativeAsof.asofJoin(l, r, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    assert(out === Map(
+      "tie" -> Some(20.0), "between" -> Some(20.0), "before" -> None,
+      "nokey" -> None, "k3" -> Some(30.0)))
+  }
+
+  test("null keys and times never match but left rows survive") {
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
+      (None, Some(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Some(1L), None, "nulltime"))
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 08:00:00")), 99.0),
+      (Some(1L), None, 98.0))
+      .toDF("k", "t", "v")
+    val out = NativeAsof.asofJoin(l, r, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    assert(out === Map(
+      "ok" -> Some(1.0), "nullkey" -> None, "nulltime" -> None))
+  }
+}
