@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
  */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,15 +49,16 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * [[graft.functions.GraftExtensions]]). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -67,10 +69,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // (key, time) sort per side: the merge is then a single forward pass
+  // (key, time) sort per side: the merge is then a single pass. Backward
+  // walks time ascending (buffering the latest right ≤ t); FORWARD walks
+  // it descending, so the same buffer-last loop yields the earliest ≥ t.
+  private def timeDir = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, timeDir)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, timeDir)))
 
   // left rows stream through in their incoming order
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -118,7 +123,9 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           var continue = rHead != null
           while (continue) {
             val ck = cmp(rHeadKey, lk)
-            if (ck < 0 || (ck == 0 && cmp(rHeadTime, lt) <= 0)) {
+            val timeOk =
+              if (forward) cmp(rHeadTime, lt) >= 0 else cmp(rHeadTime, lt) <= 0
+            if (ck < 0 || (ck == 0 && timeOk)) {
               bufKey = rHeadKey
               bufRow = rHead.copy()
               advanceRightHead()
@@ -143,7 +150,18 @@ object NativeAsof {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_"): DataFrame =
+    build(left, right, keyCol, timeCol, payloadCols, prefix, forward = false)
+
+  /** FORWARD variant: earliest right row with time ≥ the left's. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, payloadCols: Seq[String],
+                      prefix: String = "asof_"): DataFrame =
+    build(left, right, keyCol, timeCol, payloadCols, prefix, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame, keyCol: String,
+                    timeCol: String, payloadCols: Seq[String],
+                    prefix: String, forward: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     org.apache.spark.sql.graft.PlanOps.ensureStrategy(
       left.sparkSession, AsofJoinStrategy)
@@ -157,7 +175,7 @@ object NativeAsof {
         throw new IllegalArgumentException(s"column $name not found"))
     val plan = AsofJoinPlan(lPlan, rPlan,
       attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
-      attr(lPlan, timeCol), attr(rPlan, "__asof_t"))
+      attr(lPlan, timeCol), attr(rPlan, "__asof_t"), forward)
     org.apache.spark.sql.graft.PlanOps.ofRows(left.sparkSession, plan)
       .drop("__asof_k", "__asof_t")
   }

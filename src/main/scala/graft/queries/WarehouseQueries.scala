@@ -439,4 +439,64 @@ object WarehouseQueries {
       |SELECT c.event_id, c.user_id, p.value AS asof_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** q106 — PMI-style term co-occurrence ([[graft.ops.Cooccurrence]]):
+    * document-level collocations ranked by the exact rational
+    * N·n_xy / (n_x·n_y) — log-free (log is monotone, the RANKING is
+    * identical) so real association scores survive the cross-engine hash
+    * gate; the SET complement of q91's sequential bigram statistics. */
+  def q106PmiPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccurrence.pmiPairs(Tables.documents(spark, dir),
+        "doc_id", "text", minTermLen = 5, minPairDocs = 60)
+      .orderBy(col("score").desc, col("t1"), col("t2"))
+
+  val q106Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> length(x) >= 5))) AS term
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |dfreq AS (SELECT term, count(*) AS n_t FROM tok GROUP BY term),
+      |pairs AS (
+      |  SELECT a.term AS t1, b.term AS t2, count(*) AS n_xy
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY 1, 2 HAVING count(*) >= 60)
+      |SELECT t1, t2, n_xy, dx.n_t AS n_x, dy.n_t AS n_y,
+      |  CAST(n.n_docs * n_xy AS DOUBLE) / (dx.n_t * dy.n_t) AS score
+      |FROM pairs
+      |JOIN dfreq dx ON dx.term = t1
+      |JOIN dfreq dy ON dy.term = t2
+      |CROSS JOIN n
+      |ORDER BY score DESC, t1, t2""".stripMargin
+
+  /** q107 — the native as-of operator's FORWARD direction: each click
+    * picks up the user's NEXT error event value (the time-to-failure /
+    * next-action primitive). Same [[graft.plans.AsofJoinExec]] merge with
+    * time walked descending; oracle = DuckDB ASOF on negated epochs (the
+    * q65 convention). */
+  def q107NativeAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.plans.NativeAsof.asofJoinForward(clicks, errors, "user_id", "ts",
+        Seq("value"))
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q107Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id,
+      |    -epoch_us(CAST(ts AS TIMESTAMP)) AS nt
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (
+      |  SELECT user_id, -epoch_us(CAST(ts AS TIMESTAMP)) AS nt,
+      |    MAX(value) AS value
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, e.value AS asof_value
+      |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.nt >= e.nt
+      |ORDER BY c.event_id""".stripMargin
 }

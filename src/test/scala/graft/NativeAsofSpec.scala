@@ -33,9 +33,18 @@ class NativeAsofSpec extends SparkSpec {
   test("plans one AsofJoinExec with clustered+sorted children") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
-    val plan = NativeAsof.asofJoin(l, r, "k", "t", Seq("v"))
-      .queryExecution.executedPlan
-    val asofs = plan.collect { case a: AsofJoinExec => a }
+    val df = NativeAsof.asofJoin(l, r, "k", "t", Seq("v"))
+    df.collect() // finalize the adaptive plan before inspecting it
+    // descend through AQE wrappers/stages, which plain collect treats as leaves
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findAsofs(p: SparkPlan): Seq[AsofJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findAsofs(a.executedPlan)
+      case q: QueryStageExec => findAsofs(q.plan)
+      case a: AsofJoinExec => a +: a.children.flatMap(findAsofs)
+      case other => other.children.flatMap(findAsofs)
+    }
+    val asofs = findAsofs(df.queryExecution.executedPlan)
     assert(asofs.length === 1)
     // each side must arrive sorted by (key, time) — EnsureRequirements
     // satisfied the declared ordering requirement
@@ -65,6 +74,26 @@ class NativeAsofSpec extends SparkSpec {
     assert(out === Map(
       "tie" -> Some(20.0), "between" -> Some(20.0), "before" -> None,
       "nokey" -> None, "k3" -> Some(30.0)))
+  }
+
+  test("forward direction picks the EARLIEST right ≥ t, inclusive") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "tie"),     // == right @10:00 -> 20.0
+      (1L, ts("2024-01-01 09:45:00"), "between"), // earliest ≥ -> 20.0
+      (1L, ts("2024-01-01 11:00:00"), "after"),   // after all -> null
+      (2L, ts("2024-01-01 12:00:00"), "nokey"))
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0))
+      .toDF("k", "t", "v")
+    val out = NativeAsof.asofJoinForward(l, r, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    assert(out === Map(
+      "tie" -> Some(20.0), "between" -> Some(20.0), "after" -> None,
+      "nokey" -> None))
   }
 
   test("null keys and times never match but left rows survive") {
