@@ -499,4 +499,124 @@ object WarehouseQueries {
       |SELECT c.event_id, c.user_id, e.value AS asof_value
       |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.nt >= e.nt
       |ORDER BY c.event_id""".stripMargin
+
+  /** q108 — entity resolution end to end: q75's blocked edit-distance
+    * pairs (dist ≤ 2, the "same entity, typo'd" band) closed into
+    * clusters by q43's skew-safe label propagation, reported as the
+    * cluster census a master-data pipeline reviews (component id,
+    * member count, canonical = lexicographic-min name). Composition of
+    * two gated operators; oracle = blocked Levenshtein + an independent
+    * recursive-CTE closure (components here are typo clusters — a few
+    * members each — so full reachability recursion is tractable where
+    * q43's mega-clusters needed the iterative runner). */
+  def q108EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val pairs = graft.ops.StringSim.editDistancePairs(parts,
+      "p_partkey", "p_name",
+      s => concat_ws("#", element_at(split(s, " "), -1),
+        expr("length(p_name) div 2").cast("string")), maxDist = 2)
+    graft.ops.Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .join(parts, col("node") === col("p_partkey"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("p_name")).as("canonical_name"))
+      .orderBy(col("component"))
+  }
+
+  val q108Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT p_partkey, p_name,
+      |    regexp_extract(p_name, '([^ ]+)$', 1) || '#' ||
+      |      (length(p_name) // 2) AS blk
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, dst AS r FROM edges
+      |  UNION
+      |  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON rr.r = e.src),
+      |comp AS (
+      |  SELECT node, least(node, min(r)) AS component
+      |  FROM reach GROUP BY node)
+      |SELECT component, count(*) AS n_members, min(p.p_name)
+      |  AS canonical_name
+      |FROM comp JOIN p ON p.p_partkey = comp.node
+      |GROUP BY component
+      |ORDER BY component""".stripMargin
+
+  /** q109 — robust outlier profile (median + MAD): the q55 exact-rank
+    * discipline applied twice — per-type lower median of `value`, then
+    * lower median of |value − med|, then an exact outlier count at the
+    * 3·MAD fence. Every double is the same IEEE subtract/compare in both
+    * engines, so even the robust-statistics fence is hash-gated. Two
+    * sorts on the same (type | value-ish) key; no sketch, no
+    * approximation. */
+  def q109RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val medians = ev
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+        .as("med"))
+    val dev = ev.join(medians, "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mads = dev
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("dev"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dev")))
+          .as("mad"))
+    dev.join(mads.select(col("event_type"), col("mad")), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(when(col("dev") > col("mad") * 3, lit(1)))
+        .as("n_outliers"))
+      .join(mads, "event_type")
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q109Sql: String =
+    """WITH med AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+      |  FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY value, event_id) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM events)
+      |  GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, max(n) AS n, max(med) AS med,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+      |  FROM (
+      |    SELECT event_type, dev, med,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY dev, event_id) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  GROUP BY event_type)
+      |SELECT d.event_type, max(m.n) AS n, max(m.med) AS med,
+      |  max(m.mad) AS mad,
+      |  count(CASE WHEN d.dev > m.mad * 3 THEN 1 END) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
 }
