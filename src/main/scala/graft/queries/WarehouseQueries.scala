@@ -85,7 +85,10 @@ object WarehouseQueries {
     * does not need to: the whole op is one shuffle + one sort, zero row
     * multiplication. DECIMAL day sums keep the frame sum order-free. */
   def q95RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    // one user_id partitioning serves BOTH the (user_id, day) aggregate
+    // (subset-clustering rule) and the per-user window — no second shuffle
     val daily = Tables.events(spark, dir)
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(dec(col("value"))).as("day_val"))
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))

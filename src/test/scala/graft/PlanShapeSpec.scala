@@ -21,6 +21,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q93 CUBE plans exactly one Expand pass") {
+    val plan = queries.WarehouseQueries.q93CubeAgg(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length === 1, plan.take(1500))
+  }
+
+  test("scd2's run-detect and interval-close windows share ONE sort") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val plan = ops.Scd.scd2(ev, "user_id", "ts", "event_type", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 2, plan.take(1500))
+    assert("Sort \\[".r.findAllIn(plan).length === 1, plan.take(1500))
+  }
+
+  test("q95's single user_id partitioning feeds both aggregate and window") {
+    val plan = queries.WarehouseQueries.q95RangeWindow(spark, dir)
+      .queryExecution.executedPlan.toString
+    // spread + the declared repartition + the final ORDER BY range
+    // exchange — the agg and the window add NO exchange of their own
+    assert("Exchange".r.findAllIn(plan).length <= 3, plan.take(2000))
+    assert("Window".r.findAllIn(plan).length === 1, plan.take(1500))
+  }
+
   test("filters and pruning reach the parquet scan through Tables.spread") {
     val q = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45)
