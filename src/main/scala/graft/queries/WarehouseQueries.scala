@@ -592,6 +592,105 @@ object WarehouseQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q110 — INTERPOLATED percentiles (SQL-standard percentile_cont
+    * semantics) per event type: pos = (n−1)·p held as the exact integer
+    * pair (pos div den, pos mod den), the two bracketing order statistics
+    * selected by exact rank (q55 discipline), then ONE fixed IEEE
+    * interpolation v_lo + frac·(v_hi − v_lo) — the continuous complement
+    * to q55's lower-rank selection, hash-gated because both engines run
+    * the identical stated arithmetic (neither engine's own
+    * percentile_cont/quantile_cont is trusted). */
+  def q110PercentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+    def cont(p: Int, den: Int, alias: String): Column = {
+      // pos = (n-1)*p/den; lo = 1 + pos div den (1-based), frac = (pos mod den)/den
+      val posNum = (col("n") - 1) * p
+      val lo = expr(s"1 + CAST(((n - 1) * $p) DIV $den AS BIGINT)")
+      val fracNum = posNum % den
+      val vLo = max(when(col("rn") === lo, col("value")))
+      val vHi = max(when(col("rn") === lo + 1, col("value")))
+      val frac = max(fracNum).cast("double") / den
+      (vLo + frac * (coalesce(vHi, vLo) - vLo)).as(alias)
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(cont(50, 100, "p50"), cont(90, 100, "p90"), cont(99, 100, "p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val q110Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = 1 + ((n-1) * 50) // 100 THEN value END)
+      |    + (CAST(max(((n-1) * 50) % 100) AS DOUBLE) / 100) *
+      |      (coalesce(max(CASE WHEN rn = 2 + ((n-1) * 50) // 100 THEN value END),
+      |                max(CASE WHEN rn = 1 + ((n-1) * 50) // 100 THEN value END))
+      |       - max(CASE WHEN rn = 1 + ((n-1) * 50) // 100 THEN value END)) AS p50,
+      |  max(CASE WHEN rn = 1 + ((n-1) * 90) // 100 THEN value END)
+      |    + (CAST(max(((n-1) * 90) % 100) AS DOUBLE) / 100) *
+      |      (coalesce(max(CASE WHEN rn = 2 + ((n-1) * 90) // 100 THEN value END),
+      |                max(CASE WHEN rn = 1 + ((n-1) * 90) // 100 THEN value END))
+      |       - max(CASE WHEN rn = 1 + ((n-1) * 90) // 100 THEN value END)) AS p90,
+      |  max(CASE WHEN rn = 1 + ((n-1) * 99) // 100 THEN value END)
+      |    + (CAST(max(((n-1) * 99) % 100) AS DOUBLE) / 100) *
+      |      (coalesce(max(CASE WHEN rn = 2 + ((n-1) * 99) // 100 THEN value END),
+      |                max(CASE WHEN rn = 1 + ((n-1) * 99) // 100 THEN value END))
+      |       - max(CASE WHEN rn = 1 + ((n-1) * 99) // 100 THEN value END)) AS p99
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q111 — multi-source reconciliation: when the same doc arrives from
+    * several sources, keep exactly one copy chosen by declared source
+    * priority, ties broken by doc_id — the struct-max argmax (A3
+    * discipline) applied to the "which copy wins" decision every
+    * multi-feed warehouse makes. Duplicate keys are synthesized in-query
+    * (doc_id div 3 collapses neighbors into one logical entity — both
+    * engines build the identical multi-source view). */
+  def q111SourceReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val prio = when(col("source").isin("src0", "src1", "src2"), 3)
+      .when(col("source").isin("src3", "src4", "src5"), 2)
+      .otherwise(1)
+    Tables.documents(spark, dir)
+      .select(expr("doc_id DIV 3").as("entity_id"),
+        col("doc_id"), col("source"), prio.as("prio"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("prio"), col("doc_id"), col("source"))).as("w"))
+      .select(col("entity_id"), col("n_copies"),
+        col("w.doc_id").as("kept_doc"), col("w.source").as("kept_source"),
+        col("w.prio").as("kept_prio"))
+      .orderBy(col("entity_id"))
+  }
+
+  val q111Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id // 3 AS entity_id, doc_id, source,
+      |    CASE WHEN source IN ('src0','src1','src2') THEN 3
+      |         WHEN source IN ('src3','src4','src5') THEN 2
+      |         ELSE 1 END AS prio
+      |  FROM documents),
+      |r AS (
+      |  SELECT entity_id, doc_id, source, prio,
+      |    row_number() OVER (PARTITION BY entity_id
+      |      ORDER BY prio DESC, doc_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY entity_id) AS n_copies
+      |  FROM v)
+      |SELECT entity_id, n_copies, prio AS kept_prio, doc_id AS kept_doc,
+      |  source AS kept_source
+      |FROM r WHERE rn = 1
+      |ORDER BY entity_id""".stripMargin
+
   val q109Sql: String =
     """WITH med AS (
       |  SELECT event_type,
