@@ -416,8 +416,12 @@ object Dedup {
    */
   def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 2, maxDist: Int = 15,
-                           threshold: Double = 0.5): DataFrame = {
-    val bands = 8; val probeBits = 1
+                           threshold: Double = 0.5,
+                           bands: Int = 8, probeBits: Int = 1): DataFrame = {
+    // Band width is the corpus-size calibration knob: fixed-width bands
+    // collide at random ∝ n²/2^bandBits, so past ~10⁵ docs widen the
+    // bands (fewer of them) and lower maxDist accordingly — the 10×
+    // scaling run (SCALING_r5.json, q27) measures exactly this growth.
     require(maxDist < (probeBits + 1) * bands,
       s"recall guaranteed only for maxDist ≤ ${(probeBits + 1) * bands - 1}")
     val bandBits = 64 / bands
