@@ -691,6 +691,49 @@ object WarehouseQueries {
       |FROM r WHERE rn = 1
       |ORDER BY entity_id""".stripMargin
 
+  /** q112 — the bucketed-storage join tier, oracle-gated end to end:
+    * orders and lineitem are WRITTEN as bucketed+sorted tables (external,
+    * temp-path data; the shuffle paid once at write time), then joined
+    * through [[graft.ops.Bucketing.colocatedJoin]] — zero exchange on
+    * either side (BucketingSpec asserts the plan; this gate proves the
+    * RESULT equals the plain join on the raw parquet). The oracle knows
+    * nothing of buckets — it joins the original files, so any bucketing
+    * bug (row loss, bucket-pruning error, sort-merge mismatches) breaks
+    * the hash. */
+  def q112BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q112").toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+        col("l_discount"))
+    orders.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$tmp/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("q112_orders")
+    li.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", s"$tmp/lineitem")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("q112_lineitem")
+    graft.ops.Bucketing.colocatedJoin(spark, "q112_orders", "q112_lineitem",
+        "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q112Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val q109Sql: String =
     """WITH med AS (
       |  SELECT event_type,
