@@ -725,6 +725,43 @@ object WarehouseQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q113 — event-type transition matrix: Markov-chain estimation over
+    * each user's event stream (lead over the (user | ts, event_id) total
+    * order, then one hash aggregate); `p` is the exact rational
+    * n / row_total emitted through ONE IEEE division — q91's estimation
+    * discipline applied to the events stream instead of document text. */
+  def q113TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    steps
+      .withColumn("p",
+        col("n").cast(DoubleType) / sum(col("n")).over(byFrom))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q113Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |FROM m
+      |ORDER BY from_type, to_type""".stripMargin
+
   val q112Sql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
