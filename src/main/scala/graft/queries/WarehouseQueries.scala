@@ -747,6 +747,94 @@ object WarehouseQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q114 — first-touch attribution: each 30-min session is attributed
+    * to its FIRST event type (min over the (ts, event_id, type) struct —
+    * one aggregate, no second window pass), and per touch type the query
+    * reports sessions, converted sessions (≥ 1 purchase) and the
+    * conversion rate as one stated IEEE division. The composition of the
+    * gated sessionizer with the A3 struct-min argmax — marketing
+    * attribution, the query every growth team runs. */
+  def q114Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Sessionize.eventSessions(Tables.events(spark, dir),
+      "user_id", "ts", gapMinutes = 30, tieCol = "event_id")
+    labeled
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast(DoubleType) / col("n_sessions"))
+      .orderBy(col("first_touch"))
+  }
+
+  val q114Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |lab AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |        THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    max(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM (
+      |    SELECT user_id, session_seq, event_type,
+      |      row_number() OVER (PARTITION BY user_id, session_seq
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM lab)
+      |  GROUP BY user_id, session_seq)
+      |SELECT first_touch, count(*) AS n_sessions,
+      |  sum(converted) AS n_converted,
+      |  CAST(sum(converted) AS DOUBLE) / count(*) AS conv_rate
+      |FROM sess
+      |GROUP BY first_touch
+      |ORDER BY first_touch""".stripMargin
+
+  /** q115 — ordered LISTAGG (SQL:2023 string aggregation): per source,
+    * the three smallest doc ids concatenated in order — rank-filter
+    * bounds the list BEFORE aggregation (WindowGroupLimit pushes it
+    * down), so no group ever buffers unbounded strings; rides Spark 4's
+    * SQL surface (`listagg ... WITHIN GROUP`) against DuckDB's
+    * `string_agg(... ORDER BY)` — two independent implementations of the
+    * standard. */
+  def q115OrderedListagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("__q115_docs")
+    spark.sql(
+      """SELECT source,
+        |  listagg(doc_id, ',') WITHIN GROUP (ORDER BY doc_id) AS top3_ids
+        |FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM __q115_docs)
+        |WHERE rn <= 3
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  val q115Sql: String =
+    """SELECT source,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS top3_ids
+      |FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val q113Sql: String =
     """WITH s AS (
       |  SELECT event_type AS from_type,
