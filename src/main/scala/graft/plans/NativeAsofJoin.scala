@@ -35,7 +35,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        forward: Boolean = false)
+                        forward: Boolean = false,
+                        toleranceUs: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +50,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * [[graft.functions.GraftExtensions]]). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -58,8 +59,13 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        forward: Boolean = false)
+                        forward: Boolean = false,
+                        toleranceUs: Option[Long] = None)
     extends BinaryExecNode {
+  // the tolerance bound subtracts raw time values, which is only
+  // meaningful for long-backed types (TimestampType evaluates to epoch
+  // micros, LongType to itself)
+  toleranceUs.foreach { t => require(t >= 0, s"tolerance must be >= 0: $t") }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -101,6 +107,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       // last right row consumed whose (key, time) ≤ the current left's —
       // copied because physical children reuse row buffers
       var bufKey: Any = null
+      var bufTime: Any = null
       var bufRow: InternalRow = null
       var rHead: InternalRow = null
       var rHeadKey: Any = null
@@ -127,13 +134,23 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               if (forward) cmp(rHeadTime, lt) >= 0 else cmp(rHeadTime, lt) <= 0
             if (ck < 0 || (ck == 0 && timeOk)) {
               bufKey = rHeadKey
+              bufTime = rHeadTime
               bufRow = rHead.copy()
               advanceRightHead()
               continue = rHead != null
             } else continue = false
           }
         }
-        val matched = lk != null && bufRow != null && cmp(bufKey, lk) == 0
+        val matched = lk != null && bufRow != null && cmp(bufKey, lk) == 0 &&
+          (toleranceUs match {
+            case None => true
+            case Some(tol) =>
+              // buffered row's time was re-evaluated at buffer time; the
+              // diff direction follows the join direction
+              val bt = bufTime.asInstanceOf[java.lang.Long].longValue()
+              val ltl = lt.asInstanceOf[java.lang.Long].longValue()
+              (if (forward) bt - ltl else ltl - bt) <= tol
+          })
         project(joined(lRow, if (matched) bufRow else nullRight))
       }
     }
@@ -159,9 +176,21 @@ object NativeAsof {
                       prefix: String = "asof_"): DataFrame =
     build(left, right, keyCol, timeCol, payloadCols, prefix, forward = true)
 
+  /** Bounded-staleness variant (pandas merge_asof `tolerance`): the match
+    * must additionally be within `toleranceUs` microseconds of the left
+    * time — an out-of-tolerance nearest row yields nulls, the left row
+    * survives. Time columns must be long-backed (timestamp / long). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+                        timeCol: String, payloadCols: Seq[String],
+                        toleranceUs: Long, prefix: String = "asof_",
+                        forward: Boolean = false): DataFrame =
+    build(left, right, keyCol, timeCol, payloadCols, prefix, forward,
+      Some(toleranceUs))
+
   private def build(left: DataFrame, right: DataFrame, keyCol: String,
                     timeCol: String, payloadCols: Seq[String],
-                    prefix: String, forward: Boolean): DataFrame = {
+                    prefix: String, forward: Boolean,
+                    toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     org.apache.spark.sql.graft.PlanOps.ensureStrategy(
       left.sparkSession, AsofJoinStrategy)
@@ -175,7 +204,7 @@ object NativeAsof {
         throw new IllegalArgumentException(s"column $name not found"))
     val plan = AsofJoinPlan(lPlan, rPlan,
       attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
-      attr(lPlan, timeCol), attr(rPlan, "__asof_t"), forward)
+      attr(lPlan, timeCol), attr(rPlan, "__asof_t"), forward, toleranceUs)
     org.apache.spark.sql.graft.PlanOps.ofRows(left.sparkSession, plan)
       .drop("__asof_k", "__asof_t")
   }

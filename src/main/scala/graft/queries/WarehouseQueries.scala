@@ -772,6 +772,38 @@ object WarehouseQueries {
       .orderBy(col("first_touch"))
   }
 
+  /** q116 — bounded-staleness as-of (pandas merge_asof `tolerance`):
+    * clicks pick up the latest purchase value only if it happened within
+    * the last hour — an out-of-tolerance nearest match yields nulls but
+    * keeps the left row. Same single-pass merge; the tolerance check is
+    * one long subtraction on the buffered match (the nearest row is the
+    * only candidate that can be within bound). Oracle = DuckDB ASOF with
+    * the bound stated as a CASE over the epoch difference. */
+  def q116AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.plans.NativeAsof.asofJoinTolerance(clicks, purchases,
+        "user_id", "ts", Seq("value"), toleranceUs = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q116Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id,
+      |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+      |       THEN p.value END AS asof_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val q114Sql: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, event_id, event_type,

@@ -96,6 +96,22 @@ class NativeAsofSpec extends SparkSpec {
       "nokey" -> None))
   }
 
+  test("tolerance: out-of-bound nearest match nulls out, in-bound passes") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "inbound"),   // 30 min after -> match
+      (1L, ts("2024-01-01 12:30:00"), "stale"),     // 2.5 h after -> null
+      (1L, ts("2024-01-01 10:00:00"), "exact"))     // 0 diff -> match
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "t", "v")
+    val out = NativeAsof.asofJoinTolerance(l, r, "k", "t", Seq("v"),
+        toleranceUs = 3600L * 1000000L)
+      .select($"tag", $"asof_v").collect()
+      .map(row => row.getString(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    assert(out === Map(
+      "inbound" -> Some(5.0), "stale" -> None, "exact" -> Some(5.0)))
+  }
+
   test("null keys and times never match but left rows survive") {
     val l = Seq(
       (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
