@@ -146,8 +146,15 @@ object Bench {
 
     val json = resultsJson(results.toSeq, sfDir, partial = false)
     println(json)
-    // stdout arrives wrapped in sbt [info] decoration — the bare JSON line
-    // in the file is what the driver machine-parses
+    // The driver captures a bounded TAIL of stdout: past ~110 queries the
+    // full per-query line exceeds that window and arrives head-truncated
+    // (r5's BENCH artifact parsed null). Print a compact totals-only line
+    // LAST so the tail always ends with one complete parseable JSON object;
+    // the full per-query map stays in the line above and in the artifact
+    // file (SPARK_GRAFT_BENCH_OUT).
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""n_queries":${results.size},"sf":"$sfDir","partial":false}""")
     try flush(out, json)
     catch { case e: Throwable => System.err.println(s"[bench] flush $out failed: $e") }
     spark.stop()

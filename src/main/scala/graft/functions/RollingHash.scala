@@ -80,6 +80,10 @@ object GraftFunctions {
     ensure("morton_key", exprs => MortonKey(exprs.head, exprs(1)))
     ensure("bloom_contains", exprs => BloomMightContain(exprs.head,
       exprs(1).eval().asInstanceOf[Array[Byte]]))
+    ensure("hamming_bucket_pairs", exprs => HammingBucketPairs(exprs.head,
+      exprs(1), exprs(2).eval().asInstanceOf[Int]))
+    ensure("ngram_hashes", exprs => NgramHashes(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
   }
 }
 
@@ -122,6 +126,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head,
         exprs(1).eval().asInstanceOf[Array[Byte]])))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_bucket_pairs"),
+      new ExpressionInfo(classOf[HammingBucketPairs].getName,
+        "hamming_bucket_pairs"),
+      (exprs: Seq[Expression]) => HammingBucketPairs(exprs.head,
+        exprs(1), exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (exprs: Seq[Expression]) => NgramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     // tier-c Catalyst extensions: optimizer rewrites + the native as-of
     // physical operator (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)

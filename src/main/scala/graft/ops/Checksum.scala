@@ -24,12 +24,26 @@ import org.apache.spark.sql.types.DecimalType
  */
 object Checksum {
 
+  /** Injective per-column canonicalization: NULL → the sentinel `N`
+    * (which no length-prefixed value can produce), anything else →
+    * `<charLength>:<value>`. The length prefix makes the joined row
+    * string prefix-free-decodable, so values containing the join
+    * delimiter — or NULL/empty asymmetries like ('a', NULL) vs
+    * (NULL, 'a') — can never collide. Twin of the CASE/`||` form the
+    * q98 oracle states in DuckDB SQL. */
+  private def canon(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+  }
+
   /** 48-bit md5-prefix digest of the row canonicalized as a '|'-joined
-    * string of `cols` (cast to string; engine-portable for string and
-    * integer columns — float/timestamp columns should be canonicalized by
-    * the caller, string formatting differs across engines). */
+    * string of length-prefixed, NULL-sentineled `cols` (cast to string;
+    * engine-portable for string and integer columns — float/timestamp
+    * columns should be canonicalized by the caller, string formatting
+    * differs across engines). NULLs digest as a distinct sentinel, so
+    * NULL-vs-empty and column-transposition corruptions are visible. */
   def rowDigest(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+    conv(substring(md5(concat_ws("|", cols.map(canon): _*)), 1, 12), 16, 10)
       .cast(DecimalType(38, 0))
 
   /** Per-group (count, checksum) over the canonicalized `rowCols`. */

@@ -45,6 +45,18 @@ object Dedup {
         i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
   }
 
+  /** 64-bit hashes of the word n-gram shingles of `text`, via the fused
+    * native expression (graft.functions.NgramHashes) — bit-identical to
+    * `transform(shingles(text, n), s => xxhash64(s))` but one primitive
+    * loop per row instead of three interpreted higher-order functions per
+    * window. Use when downstream only needs set identity (joins,
+    * Jaccard), never the shingle text itself. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("ngram_hashes", TextAnalysis.words(text), lit(n))
+  }
+
   /** Jaccard similarity of two shingle-array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
@@ -418,10 +430,16 @@ object Dedup {
                            n: Int = 2, maxDist: Int = 15,
                            threshold: Double = 0.5,
                            bands: Int = 8, probeBits: Int = 1): DataFrame = {
-    // Band width is the corpus-size calibration knob: fixed-width bands
-    // collide at random ∝ n²/2^bandBits, so past ~10⁵ docs widen the
-    // bands (fewer of them) and lower maxDist accordingly — the 10×
-    // scaling run (SCALING_r5.json, q27) measures exactly this growth.
+    // Scale calibration note (r6): band collisions grow ∝ n²·probes/2^bandBits
+    // no matter the width — and WIDENING bands cannot help without losing
+    // recall, because the pigeonhole guarantee ties maxDist to
+    // (probeBits+1)·bands−1 (4 bands of 16 bits at probe 1 guarantees only
+    // h ≤ 7, below the corpus's observed true-pair tail h = 12). The r6
+    // answer is to make each unavoidable collision ~1ns instead of a
+    // materialized joined row: see the bucket-kernel stage below
+    // (HammingBucketPairs). Past ~10⁷ docs per bucket-value even that
+    // saturates and the honest move is the probabilistic-recall MinHash
+    // path (minhashLshPairs), whose banding DOES calibrate with n.
     require(maxDist < (probeBits + 1) * bands,
       s"recall guaranteed only for maxDist ≤ ${(probeBits + 1) * bands - 1}")
     val bandBits = 64 / bands
@@ -448,14 +466,23 @@ object Dedup {
       val probed = banded.withColumn("band_val",
         explode(array((lit(0L) +: (0 until bandBits).map(k => lit(1L << k)))
           .map(m => col("band_val").bitwiseXOR(m)): _*)))
-      val a = banded.select(col("band_idx"), col("band_val"),
-        col("id").as("id_a"), col("fp").as("fp_a"))
-      val b = probed.select(col("band_idx"), col("band_val"),
-        col("id").as("id_b"), col("fp").as("fp_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_val"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxDist)
-        .select(col("id_a"), col("id_b"))
+      // Bucket-kernel candidate stage: the blocking join's OUTPUT is the
+      // quadratic term (~n²·probes/2^bandBits random collisions — 3.7e8
+      // rows for 27.5k survivors at 50k docs), so instead of materializing
+      // every collision as a joined row that dies in a bit_count filter,
+      // group each (band_idx, band_val) bucket to ONE row per side and run
+      // the cross-check inside graft.functions.HammingBucketPairs — a
+      // primitive XOR/POPCNT loop that only allocates for survivors. Same
+      // pairs, same recall guarantee; the per-candidate cost drops from a
+      // joined-row materialization to ~1ns of register arithmetic.
+      val aBuckets = banded.groupBy(col("band_idx"), col("band_val"))
+        .agg(collect_list(struct(col("id"), col("fp"))).as("av"))
+      val bBuckets = probed.groupBy(col("band_idx"), col("band_val"))
+        .agg(collect_list(struct(col("id"), col("fp"))).as("bv"))
+      val pairs = aBuckets.join(bBuckets, Seq("band_idx", "band_val"))
+        .select(explode(call_function("hamming_bucket_pairs",
+          col("av"), col("bv"), lit(maxDist))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
         .dropDuplicates("id_a", "id_b")
       CacheScope.pin(verifyJaccardPairs(pairs, base, threshold))
     }

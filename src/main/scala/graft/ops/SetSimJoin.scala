@@ -55,7 +55,7 @@ object SetSimJoin {
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <=
         col("sz") - expr(s"CAST((sz * $thetaNum + ${thetaDen - 1}) DIV $thetaDen AS INT)") + 1)
-      .select(col("t"), col("id"), col("sz"))
+      .select(col("t"), col("id"), col("sz"), col("pos"))
 
     // `base` (the tokenization, typically the expensive parent) feeds the
     // token explode AND both verify sides; `prefix` feeds both candidate
@@ -64,12 +64,26 @@ object SetSimJoin {
     CacheScope.withStages(base, prefix) {
       // candidates: share a prefix token + pass the length filter
       // (J ≥ θ ⇒ min/max ≥ θ, checked as θ·max ≤ 1·min in integers)
-      val a = prefix.select(col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
-      val b = prefix.select(col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
+      val a = prefix.select(col("t"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("pos").as("pos_a"))
+      val b = prefix.select(col("t"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("pos").as("pos_b"))
+      // PPJoin positional filter (r6): at the pair's FIRST shared token the
+      // achievable overlap is bounded by 1 + min(remaining tokens on each
+      // side); a true pair needs α ≥ ceil(θ/(1+θ)·(sz_a+sz_b)), and its
+      // first-shared-token row always satisfies the bound (no shared token
+      // precedes it), so keeping a pair iff ANY row passes is exact. The
+      // filter is row-local (runs inside the join stage, before the
+      // distinct() shuffle), which is where the superlinear candidate mass
+      // was going at 10× docs — most same-token collisions die here instead
+      // of shuffling into dedup + verify.
       val cand = a.join(b, Seq("t"))
         .filter(col("id_a") < col("id_b"))
         .filter(greatest(col("sz_a"), col("sz_b")) * thetaNum <=
           least(col("sz_a"), col("sz_b")) * thetaDen)
+        .filter((lit(1) + least(col("sz_a") - col("pos_a"),
+            col("sz_b") - col("pos_b"))) * (thetaNum + thetaDen) >=
+          (col("sz_a") + col("sz_b")) * thetaNum)
         .select(col("id_a"), col("id_b"))
         .distinct()
 

@@ -36,7 +36,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         forward: Boolean = false,
-                        toleranceUs: Option[Long] = None)
+                        toleranceUs: Option[Long] = None,
+                        nearest: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -50,8 +51,9 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * [[graft.functions.GraftExtensions]]). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd, tol, near) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol,
+        near) :: Nil
     case _ => Nil
   }
 }
@@ -60,12 +62,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         forward: Boolean = false,
-                        toleranceUs: Option[Long] = None)
+                        toleranceUs: Option[Long] = None,
+                        nearest: Boolean = false)
     extends BinaryExecNode {
-  // the tolerance bound subtracts raw time values, which is only
-  // meaningful for long-backed types (TimestampType evaluates to epoch
-  // micros, LongType to itself)
+  // the tolerance bound (and the nearest-direction distance) subtracts
+  // raw time values, which is only meaningful for long-backed types
+  // (TimestampType evaluates to epoch micros, LongType to itself)
   toleranceUs.foreach { t => require(t >= 0, s"tolerance must be >= 0: $t") }
+  require(!(nearest && forward), "nearest and forward are exclusive")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -123,35 +127,66 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
       advanceRightHead()
+      @inline def withinTol(dist: Long): Boolean = toleranceUs match {
+        case None => true
+        case Some(tol) => dist <= tol
+      }
       lIter.map { lRow =>
         val lk = lKey.eval(lRow); val lt = lTime.eval(lRow)
         if (lk != null && lt != null) {
-          // consume right rows up to (lk, lt) inclusive, buffering the last
+          // consume right rows up to (lk, lt) inclusive, buffering the
+          // last (nearest walks ascending like backward, so the head
+          // left unconsumed IS the forward candidate for this left row)
           var continue = rHead != null
           while (continue) {
             val ck = cmp(rHeadKey, lk)
             val timeOk =
               if (forward) cmp(rHeadTime, lt) >= 0 else cmp(rHeadTime, lt) <= 0
             if (ck < 0 || (ck == 0 && timeOk)) {
-              bufKey = rHeadKey
-              bufTime = rHeadTime
+              // copy FIRST, then derive key/time from the copy: the
+              // consumed row's buffer is reused by the upstream
+              // sorter/shuffle reader, so values eval'd from rHead (e.g.
+              // UTF8String keys pointing into that buffer) can mutate
+              // once rIter advances
               bufRow = rHead.copy()
+              bufKey = rKey.eval(bufRow)
+              bufTime = rTime.eval(bufRow)
               advanceRightHead()
               continue = rHead != null
             } else continue = false
           }
         }
-        val matched = lk != null && bufRow != null && cmp(bufKey, lk) == 0 &&
-          (toleranceUs match {
-            case None => true
-            case Some(tol) =>
-              // buffered row's time was re-evaluated at buffer time; the
-              // diff direction follows the join direction
-              val bt = bufTime.asInstanceOf[java.lang.Long].longValue()
-              val ltl = lt.asInstanceOf[java.lang.Long].longValue()
-              (if (forward) bt - ltl else ltl - bt) <= tol
-          })
-        project(joined(lRow, if (matched) bufRow else nullRight))
+        val joinRow: InternalRow =
+          if (lk == null || lt == null) nullRight
+          else if (nearest) {
+            // nearest = min |Δt| of {last ≤ t, first ≥ t}; equidistant
+            // tie pinned to the BACKWARD (earlier) row
+            val ltl = lt.asInstanceOf[java.lang.Long].longValue()
+            val backDist =
+              if (bufRow != null && cmp(bufKey, lk) == 0)
+                ltl - bufTime.asInstanceOf[java.lang.Long].longValue()
+              else Long.MinValue
+            val fwdDist =
+              if (rHead != null && cmp(rHeadKey, lk) == 0)
+                rHeadTime.asInstanceOf[java.lang.Long].longValue() - ltl
+              else Long.MinValue
+            val backOk = backDist != Long.MinValue && withinTol(backDist)
+            val fwdOk = fwdDist != Long.MinValue && withinTol(fwdDist)
+            if (backOk && (!fwdOk || backDist <= fwdDist)) bufRow
+            else if (fwdOk) rHead
+            else nullRight
+          } else {
+            val matched = bufRow != null && cmp(bufKey, lk) == 0 &&
+              (toleranceUs match {
+                case None => true
+                case Some(_) =>
+                  val bt = bufTime.asInstanceOf[java.lang.Long].longValue()
+                  val ltl = lt.asInstanceOf[java.lang.Long].longValue()
+                  withinTol(if (forward) bt - ltl else ltl - bt)
+              })
+            if (matched) bufRow else nullRight
+          }
+        project(joined(lRow, joinRow))
       }
     }
   }
@@ -187,10 +222,23 @@ object NativeAsof {
     build(left, right, keyCol, timeCol, payloadCols, prefix, forward,
       Some(toleranceUs))
 
+  /** NEAREST variant (pandas merge_asof `direction='nearest'`): the right
+    * row minimizing |Δt| among {latest ≤ t, earliest ≥ t}; equidistant
+    * ties pin to the backward (earlier) row. Optional tolerance bounds
+    * the distance. Time columns must be long-backed (timestamp / long),
+    * since the distance is an epoch-micros subtraction. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                      timeCol: String, payloadCols: Seq[String],
+                      toleranceUs: Option[Long] = None,
+                      prefix: String = "asof_"): DataFrame =
+    build(left, right, keyCol, timeCol, payloadCols, prefix,
+      forward = false, toleranceUs, nearest = true)
+
   private def build(left: DataFrame, right: DataFrame, keyCol: String,
                     timeCol: String, payloadCols: Seq[String],
                     prefix: String, forward: Boolean,
-                    toleranceUs: Option[Long] = None): DataFrame = {
+                    toleranceUs: Option[Long] = None,
+                    nearest: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     org.apache.spark.sql.graft.PlanOps.ensureStrategy(
       left.sparkSession, AsofJoinStrategy)
@@ -204,7 +252,8 @@ object NativeAsof {
         throw new IllegalArgumentException(s"column $name not found"))
     val plan = AsofJoinPlan(lPlan, rPlan,
       attr(lPlan, keyCol), attr(rPlan, "__asof_k"),
-      attr(lPlan, timeCol), attr(rPlan, "__asof_t"), forward, toleranceUs)
+      attr(lPlan, timeCol), attr(rPlan, "__asof_t"), forward, toleranceUs,
+      nearest)
     org.apache.spark.sql.graft.PlanOps.ofRows(left.sparkSession, plan)
       .drop("__asof_k", "__asof_t")
   }

@@ -41,6 +41,21 @@ class ChecksumSpec extends SparkSpec {
     assert(a("s2")._1 === 2L && b("s2")._1 === 1L)
   }
 
+  test("digest distinguishes NULL position, NULL-vs-empty and delimiter injection") {
+    def digestOf(a: Option[String], b: Option[String]): java.math.BigDecimal =
+      Seq((a.orNull, b.orNull)).toDF("x", "y")
+        .select(Checksum.rowDigest(Seq($"x", $"y")).as("d"))
+        .collect().head.getDecimal(0)
+    // ('a', NULL) vs (NULL, 'a') — concat_ws alone collapses both to "a"
+    assert(digestOf(Some("a"), None) !== digestOf(None, Some("a")))
+    // NULL vs empty string
+    assert(digestOf(Some(""), None) !== digestOf(None, None))
+    // delimiter smuggling: ("a|b", "c") vs ("a", "b|c")
+    assert(digestOf(Some("a|b"), Some("c")) !== digestOf(Some("a"), Some("b|c")))
+    // boundary smuggling across the length prefix: ("1", "1:1") vs ("1:1", "1")
+    assert(digestOf(Some("1"), Some("1:1")) !== digestOf(Some("1:1"), Some("1")))
+  }
+
   test("row digest stays within 48 bits and is non-negative") {
     val ds = base.select(Checksum.rowDigest(Seq($"id", $"payload")).as("d"))
       .collect().map(_.getDecimal(0))

@@ -158,6 +158,64 @@ class FunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("ngram_hashes: fused window hashing == builtin transform/slice/concat_ws/xxhash64 chain") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",                     // fewer words than n -> one whole-doc shingle
+      "single",
+      "",                            // zero words -> hash of empty string
+      "a a a a a",                   // repeated words
+      "héllo ✓ unicode twice héllo ✓")
+      .toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val bad = docs.select(
+          graft.ops.Dedup.shingleHashes(col("text"), n).as("fused"),
+          transform(graft.ops.Dedup.shingles(col("text"), n),
+            s => xxhash64(s)).as("chain"))
+        .filter(not(col("fused") <=> col("chain"))).count()
+      assert(bad === 0L, s"n=$n diverged")
+    }
+    // null text propagates
+    val nulls = Seq[String](null).toDF("text")
+      .select(graft.ops.Dedup.shingleHashes(col("text"), 3)).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("hamming_bucket_pairs: bucket kernel == equi-join + bit_count filter") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    // clustered fingerprints so some pairs fall within the bound
+    val rows = (0 until 400).map { i =>
+      val centroid = Array(0L, -1L, 0x5555555555555555L)(rnd.nextInt(3))
+      val fp = (0 until rnd.nextInt(20)).foldLeft(centroid)(
+        (f, _) => f ^ (1L << rnd.nextInt(64)))
+      (i.toLong, fp, rnd.nextInt(4)) // bucket key 0-3
+    }
+    val df = rows.toDF("id", "fp", "bkt")
+    val maxDist = 15
+    val joined = df.as("a").join(df.as("b"), col("a.bkt") === col("b.bkt"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = df.groupBy("bkt")
+      .agg(collect_list(struct(col("id"), col("fp"))).as("av"))
+    val kernel = grouped.join(grouped.withColumnRenamed("av", "bv")
+          .withColumnRenamed("bkt", "bkt2"), col("bkt") === col("bkt2"))
+      .select(explode(call_function("hamming_bucket_pairs",
+        col("av"), col("bv"), lit(maxDist))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === joined && kernel.nonEmpty)
+    // empty buckets yield empty arrays, and null input yields null
+    val empty = Seq((Seq.empty[(Long, Long)], Seq.empty[(Long, Long)]))
+      .toDF("av", "bv")
+      .select(size(call_function("hamming_bucket_pairs",
+        col("av"), col("bv"), lit(3)))).collect()
+    assert(empty.head.getInt(0) === 0)
+  }
+
   test("morton_key: fused native expression == builtin shift/mask chain") {
     GraftFunctions.register(spark)
     val corners = Seq(0L, 1L, 2L, 3L, 255L, 256L, 65535L, 65536L, -1L, -65536L)

@@ -79,6 +79,61 @@ class IngestPipelineSpec extends SparkSpec {
       "index must hold exactly corpus + survivors (never dropped docs)")
   }
 
+  test("index roll-up: sealed partitions consolidate; drop decisions, replay and store content unchanged") {
+    // identical batch sequence through two stores — one rolled up
+    // mid-stream, one not — must yield identical survivors, identical
+    // logical index content, and a smaller file count on the rolled store
+    def runFlow(rollupAt: Option[Long]): (Seq[(Long, Long)], Set[Long], Int, String) = {
+      val tmp = Files.createTempDirectory("graft-rollup").toString
+      val indexDir = s"$tmp/index"; val outDir = s"$tmp/out"
+      IngestPipeline.writeIndexSlice(
+        Seq((100L, text("ca"))).toDF("doc_id", "text"),
+        indexDir, IngestPipeline.CorpusBatchId)
+      val protIdx = Dedup.buildMinhashIndex(
+        Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      // b0: both unique; b1: 3 dups the corpus; b2: 5 dups b0's survivor 1
+      // (visible only through the index — the roll-up must preserve it),
+      // 6 unique
+      IngestPipeline.processBatch(batch((1L, text("aa")), (2L, text("ba"))),
+        0L, indexDir, protIdx, outDir)
+      IngestPipeline.processBatch(batch((3L, text("ca")), (4L, text("da"))),
+        1L, indexDir, protIdx, outDir)
+      rollupAt.foreach(sb => IngestPipeline.rollupIndexStore(spark, indexDir,
+        sealedBefore = sb, targetBytes = 64L * 1024 * 1024))
+      val b2 = batch((5L, text("aa")), (6L, text("ea")))
+      IngestPipeline.processBatch(b2, 2L, indexDir, protIdx, outDir)
+      // replay batch 2 ACROSS the roll-up boundary: must converge
+      IngestPipeline.processBatch(b2, 2L, indexDir, protIdx, outDir)
+      val surv = IngestPipeline.readSurvivors(spark, outDir)
+        .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val ids = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+        .bands.select("id").distinct().collect().map(_.getLong(0)).toSet
+      (surv, ids, IngestPipeline.storeFileCount(s"$indexDir/bands"), indexDir)
+    }
+    val (survPlain, idsPlain, filesPlain, _) = runFlow(None)
+    val (survRolled, idsRolled, filesRolled, rolledDir) = runFlow(Some(2L))
+    val expected = Seq((0L, 1L), (0L, 2L), (1L, 4L), (2L, 6L))
+    assert(survPlain === expected)
+    assert(survRolled === survPlain, "roll-up changed drop decisions")
+    assert(idsRolled === idsPlain && idsRolled === Set(100L, 1L, 2L, 4L, 6L))
+    assert(filesRolled < filesPlain,
+      s"roll-up must shrink the store: $filesRolled vs $filesPlain files")
+    // sealed dirs really consolidated: only the label (1) and the open
+    // batch (2) partitions remain
+    val dirs = new java.io.File(s"$rolledDir/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch=")).sorted.toSeq
+    assert(dirs === Seq("ingest_batch=1", "ingest_batch=2"))
+    // idempotence: a second roll-up at the same seal point is a no-op
+    val before = IngestPipeline.readIndexBefore(spark, rolledDir, Long.MaxValue)
+      .bands.collect().map(_.toString).sorted.toSeq
+    IngestPipeline.rollupIndexStore(spark, rolledDir, sealedBefore = 2L)
+    val after = IngestPipeline.readIndexBefore(spark, rolledDir, Long.MaxValue)
+      .bands.collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
   test("a replayed batch is blind to its own failed attempt's index slice") {
     val tmp = Files.createTempDirectory("graft-ingest-r").toString
     val indexDir = s"$tmp/index"

@@ -57,12 +57,27 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             ok = False
         else:
-            try:
-                pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
-                                              check_exact=True)
-            except AssertionError as e:
-                print(f"FAIL {name}: values differ\n{str(e)[:600]}")
-                ok = False
+            # HUGEINT/typing guard: the driver's gate hashes the pandas
+            # RENDERING of each value, so an oracle aggregate that
+            # reaches pandas as float64 (DuckDB sum(int) -> HUGEINT ->
+            # float64) against a Spark integer column hash-misses even
+            # when every value is numerically identical (round-5 q114).
+            # Fail loudly on any int-vs-float kind mismatch so the
+            # self-gate can never be greener than the driver's gate.
+            for c in spark_df.columns:
+                sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+                if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+                    print(f"FAIL {name}: dtype bridge col={c} "
+                          f"spark={spark_df[c].dtype} duck={duck_df[c].dtype} "
+                          "(CAST the oracle aggregate to the Spark type)")
+                    ok = False
+            if ok:
+                try:
+                    pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                                  check_exact=True)
+                except AssertionError as e:
+                    print(f"FAIL {name}: values differ\n{str(e)[:600]}")
+                    ok = False
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
         else:
