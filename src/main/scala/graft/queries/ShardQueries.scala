@@ -8,11 +8,12 @@ import graft.Tables
 import graft.ops.{Packing, TextAnalysis}
 
 /**
- * q118-q121 — the training-shard preparation tier: the operations that sit
- * BETWEEN a curated corpus and a training run (pack into token-budget
- * shards, scrub a deny-list, hit a source-mix plan, quantize embeddings).
- * Reference scope: these extend the LLM-pipeline surface the builder brief
- * names; the trends reference itself (trends.go) has no equivalent tier.
+ * q118-q123 — the pipeline-tail tier: the operations that sit BETWEEN a
+ * curated corpus and a training run (pack into token-budget shards, scrub
+ * a deny-list, hit a source-mix plan, quantize embeddings, score novelty
+ * against a reference slice, winsorize length outliers). Reference scope:
+ * these extend the LLM-pipeline surface the builder brief names; the
+ * trends reference itself (trends.go) has no equivalent tier.
  */
 object ShardQueries {
 
@@ -157,6 +158,142 @@ object ShardQueries {
         max(col("scale")).as("max_scale"))
       .orderBy(col("label"))
   }
+
+  /** q122 — n-gram novelty against a reference slice: what fraction of
+    * each candidate document's distinct 3-gram set is ABSENT from the
+    * frozen reference corpus (src0/src1) — the "is this new data or a
+    * paraphrase of what we already have" curation signal. 100 TB shape:
+    * the reference gram set seeds a broadcast bloom digest
+    * ([[graft.ops.BloomJoin]]); tokens failing the bloom are
+    * definitely-novel WITHOUT touching the join, only the bloom-passers
+    * probe the exact set (false positives die there), so the composition
+    * is exact while the join's shuffle carries ~|reference∩candidate|
+    * instead of every token. Aggregates are pure integer counts; the one
+    * double is a single final division. */
+  def q122NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isRef = col("source").isin("src0", "src1")
+    val grams3 = array_distinct(graft.ops.Dedup.shingleHashes(col("text"), 3))
+    val refGrams = docs.filter(isRef)
+      .select(explode(grams3).as("g")).distinct()
+    val candTok = docs.filter(!isRef)
+      .select(col("source"), col("doc_id"), explode(grams3).as("g"))
+    graft.ops.CacheScope.withStages(refGrams, candTok) {
+      val digest = graft.ops.BloomJoin.keyFilter(refGrams, "g",
+        expectedItems = 1L << 20)
+      val flagged = candTok.withColumn("maybe",
+        graft.ops.BloomJoin.mightContain(digest, col("g")))
+      // bloom-pass tokens that MISS the exact set are novel too
+      val passMiss = flagged.filter(col("maybe"))
+        .join(refGrams, Seq("g"), "left_anti")
+        .select(col("source"), col("doc_id"))
+      val novel = flagged.filter(!col("maybe"))
+        .select(col("source"), col("doc_id"))
+        .unionByName(passMiss)
+      val totals = candTok.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("total"))
+      val novels = novel.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("novel"))
+      graft.ops.CacheScope.pin(totals
+        .join(novels, Seq("source", "doc_id"), "left")
+        .withColumn("novel", coalesce(col("novel"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("novel")).cast("long").as("n_novel"),
+          sum(col("total")).cast("long").as("n_grams"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_grams"))
+        .orderBy(col("source")))
+    }
+  }
+
+  val q122Sql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    list_distinct(CASE WHEN len(words) < 3
+      |      THEN [array_to_string(words, ' ')]
+      |      ELSE list_transform(range(len(words) - 2),
+      |        i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+      |    END) AS s
+      |  FROM (SELECT source, doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents)),
+      |ref AS (
+      |  SELECT DISTINCT unnest(s) AS g FROM sh
+      |  WHERE source IN ('src0', 'src1')),
+      |tok AS (
+      |  SELECT source, doc_id, unnest(s) AS g FROM sh
+      |  WHERE source NOT IN ('src0', 'src1')),
+      |per AS (
+      |  SELECT t.source, t.doc_id, count(*) AS total,
+      |    count(*) FILTER (r.g IS NULL) AS novel
+      |  FROM tok t LEFT JOIN ref r ON t.g = r.g
+      |  GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(novel) AS BIGINT) AS n_novel,
+      |  CAST(sum(total) AS BIGINT) AS n_grams,
+      |  CAST(sum(novel) AS DOUBLE) / sum(total) AS novelty
+      |FROM per
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** q123 — winsorized length statistics: per source, the nearest-rank
+    * 5th/95th percentile of n_chars (exact INTEGER percentiles — no
+    * interpolation, so every engine agrees bit-for-bit), the count of
+    * docs clamped at each tail, and the exact integer sum of the clamped
+    * lengths — the outlier-capping step before length-based curriculum
+    * or loss weighting. One window + two hash aggregates. */
+  def q123WinsorizedLengths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val pcts = ranked.groupBy(col("source"))
+      .agg(max(when(col("rn") ===
+          greatest(lit(1), ceil(col("n") * 0.05).cast("int")),
+        col("n_chars"))).as("p05"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("int"),
+          col("n_chars"))).as("p95"))
+    ranked.join(pcts, "source")
+      .withColumn("clamped",
+        least(greatest(col("n_chars"), col("p05")), col("p95")))
+      .groupBy(col("source"))
+      .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).cast("long")
+          .as("n_below"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).cast("long")
+          .as("n_above"),
+        sum(col("clamped")).cast("long").as("sum_clamped"))
+      .orderBy(col("source"))
+  }
+
+  val q123Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |pcts AS (
+      |  SELECT source,
+      |    max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS INT))
+      |        THEN n_chars END) AS p05,
+      |    max(CASE WHEN rn = CAST(ceil(n * 0.95) AS INT)
+      |        THEN n_chars END) AS p95
+      |  FROM ranked GROUP BY source)
+      |SELECT r.source, max(p.p05) AS p05, max(p.p95) AS p95,
+      |  CAST(sum(CASE WHEN r.n_chars < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(sum(CASE WHEN r.n_chars > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  CAST(sum(least(greatest(r.n_chars, p.p05), p.p95)) AS BIGINT)
+      |    AS sum_clamped
+      |FROM ranked r JOIN pcts p USING (source)
+      |GROUP BY r.source
+      |ORDER BY r.source""".stripMargin
 
   val q121Sql: String =
     """WITH e AS (

@@ -134,6 +134,52 @@ class IngestPipelineSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("roll-up crash window: a committed staged slice is recovered on the next roll-up") {
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-rollup-crash").toString
+    val indexDir = s"$tmp/index"; val outDir = s"$tmp/out"
+    IngestPipeline.writeIndexSlice(
+      Seq((100L, text("ca"))).toDF("doc_id", "text"),
+      indexDir, IngestPipeline.CorpusBatchId)
+    val protIdx = Dedup.buildMinhashIndex(
+      Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    IngestPipeline.processBatch(
+      Seq((1L, text("aa"))).toDF("doc_id", "text"), 0L, indexDir, protIdx, outDir)
+    IngestPipeline.processBatch(
+      Seq((2L, text("ba"))).toDF("doc_id", "text"), 1L, indexDir, protIdx, outDir)
+    val before = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+      .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
+
+    // simulate the worst crash window of rollupIndexStore: phase 1 staged
+    // and committed (_SUCCESS), sealed partition dirs ALREADY DELETED,
+    // phase-2 move never ran — the store read alone would lose rows
+    for (sub <- Seq("bands", "base")) {
+      val dir = s"$indexDir/$sub"
+      val staging = Paths.get(dir, ".rollup_staging")
+      F.createDirectories(staging)
+      // stage = the exact consolidated slice phase 1 writes
+      spark.read.parquet(dir).filter($"ingest_batch" < 2).drop("ingest_batch")
+        .repartition(1).write.mode("overwrite").parquet(staging.toString)
+      assert(F.exists(staging.resolve("_SUCCESS")))
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("ingest_batch=") &&
+          f.getName.stripPrefix("ingest_batch=").toLong < 2)
+        .foreach(f => {
+          val s = F.walk(f.toPath)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => F.deleteIfExists(p))
+          finally s.close()
+        })
+    }
+    // next roll-up entry must complete the move BEFORE anything else
+    IngestPipeline.rollupIndexStore(spark, indexDir, sealedBefore = 2L)
+    val after = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+      .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
+    assert(after === before, "recovery must restore the full sealed slice")
+    assert(!F.exists(Paths.get(s"$indexDir/bands/.rollup_staging")),
+      "staging must be cleared after recovery")
+  }
+
   test("a replayed batch is blind to its own failed attempt's index slice") {
     val tmp = Files.createTempDirectory("graft-ingest-r").toString
     val indexDir = s"$tmp/index"
