@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Maximal Marginal Relevance (MMR) selection — the diversity-aware top-k
+ * used to build evaluation/demo slices from an embedded corpus: greedily
+ * pick the candidate maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`,
+ * i.e. relevance penalized by similarity to what is already selected
+ * (Carbonell & Goldstein, SIGIR'98).
+ *
+ * 100 TB shape: the GREEDY loop is inherently sequential, but its input
+ * never needs to be the corpus — relevance pruning is admissible
+ * (`score ≤ λ·rel`, so nothing outside the top-⌈k/λ⌉… in practice a few
+ * hundred… can ever win a round once that many better-rel candidates
+ * exist; we take candN ≫ k). So: one DISTRIBUTED exact top-candN pass over
+ * the corpus (TakeOrderedAndProject — only candN winners move), then k
+ * argmax rounds over the tiny cached candidate set, each a one-row job —
+ * the [[Frequency]] convention of collecting only provably-bounded
+ * results. Selected vectors re-enter each round as broadcast literals.
+ *
+ * All scoring is fixed-order double arithmetic over the same fused cosine
+ * the q28 gate proved bit-identical to the SQL fold — ties broken by id.
+ */
+object Mmr {
+
+  /**
+   * Greedy MMR top-k against the query vector of row `queryId`: returns
+   * (rank, id, rel, mmr_score) for the k winners, in pick order.
+   * `candN` bounds the relevance-pruned candidate pool.
+   *
+   * `lambda` and `penaltyWeight` are BOTH stated explicitly rather than
+   * deriving one from the other: `1.0 - 0.7` is 0.30000000000000004 in
+   * binary64 while a cross-engine SQL literal `0.3` is not — the derived
+   * weight would diverge from any oracle's stated constant by 1 ulp and
+   * break exact score parity.
+   */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, lambda: Double, penaltyWeight: Double,
+              candN: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    val cands = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), v => v.cast(DoubleType)).as("e"),
+        Similarity.cosine(col(vecCol), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(candN)
+      .cache()
+    try {
+      var picked = Vector.empty[(Int, Long, Double, Double)]
+      var pickedVecs = Vector.empty[Seq[Double]]
+      for (step <- 1 to k) {
+        val sims = pickedVecs.map(s =>
+          Similarity.cosine(col("e"), array(s.map(lit): _*)))
+        val penalty = sims match {
+          case Seq()  => lit(0.0)
+          case Seq(s) => s // Spark's greatest requires >= 2 args
+          case many   => greatest(many: _*)
+        }
+        val row = cands
+          .filter(!col("id").isInCollection(picked.map(_._2) match {
+            case e if e.isEmpty => Seq(-1L); case ids => ids
+          }))
+          .select(col("id"), col("e"), col("rel"),
+            (lit(lambda) * col("rel") - lit(penaltyWeight) * penalty)
+              .as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(1)
+          .collect()(0)
+        picked :+= ((step, row.getLong(0), row.getDouble(2), row.getDouble(3)))
+        pickedVecs :+= row.getSeq[Double](1)
+      }
+      picked.toDF("rank", "id", "rel", "mmr_score")
+    } finally cands.unpersist(blocking = false)
+  }
+}
