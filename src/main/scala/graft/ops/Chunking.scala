@@ -37,4 +37,36 @@ object Chunking {
         length(piece).as("chunk_len"),
         piece.as("chunk"))
   }
+
+  /**
+   * Fill-in-the-middle (FIM) sample construction (Bavarian et al. 2022):
+   * split each document's word sequence into (prefix, middle, suffix) at
+   * DETERMINISTIC points — prefix = first ⌊nw/2⌋ words, middle = next
+   * ⌊nw/4⌋, suffix = the rest — so the transform is reproducible across
+   * engines, partitionings and retries (the training-data requirement;
+   * rand() splits are not replayable). Docs under `minWords` pass through
+   * untransformed (`is_fim = false`, whole text as prefix, empty
+   * middle/suffix).
+   *
+   * Map-only: words → two integer split points → three `slice`s, zero
+   * shuffle; chunking 100 TB of documents into FIM triples co-partitions
+   * with the scan.
+   */
+  def fimSplit(df: DataFrame, textCol: String,
+               minWords: Int = 4): DataFrame = {
+    val keep = df.columns.filterNot(_ == textCol).map(col).toSeq
+    val p = expr("size(__ws) div 2")
+    val m = expr("size(__ws) div 4")
+    df.withColumn("__ws", TextAnalysis.words(col(textCol)))
+      .select(keep ++ Seq(
+        size(col("__ws")).cast("long").as("nw"),
+        (size(col("__ws")) >= minWords).as("is_fim"),
+        when(size(col("__ws")) >= minWords, slice(col("__ws"), lit(1), p))
+          .otherwise(col("__ws")).as("prefix_w"),
+        when(size(col("__ws")) >= minWords, slice(col("__ws"), p + 1, m))
+          .otherwise(array().cast("array<string>")).as("middle_w"),
+        when(size(col("__ws")) >= minWords,
+            slice(col("__ws"), p + m + 1, size(col("__ws")) - p - m))
+          .otherwise(array().cast("array<string>")).as("suffix_w")): _*)
+  }
 }
