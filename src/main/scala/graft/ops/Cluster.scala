@@ -202,4 +202,40 @@ object Cluster {
       }
     }
   }
+
+  /**
+   * Two-hop reach census over an undirected pair list: per node, the
+   * exact count of distinct neighbors (`n1`) and of distinct nodes at
+   * graph distance EXACTLY 2 (`n2` — neighbors-of-neighbors minus self
+   * minus direct neighbors). The cheap integer-exact local-centrality
+   * signal ("how embedded is this doc in its near-dup neighborhood")
+   * where iterative float centralities couldn't be hash-gated.
+   *
+   * Cost is Σ_v deg(v)² candidate rows into the distinct — the standard
+   * two-path bound. Near-dup graphs keep degrees small by construction
+   * (they're built from banded/verified pairs, not all-pairs); a hub
+   * that breaks that assumption is the same hub [[connectedComponents]]
+   * promotes to its broadcast tier, and capping it belongs in the pair
+   * engine (frequency caps, as SpanDedup does), not here.
+   */
+  def twoHopCensus(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    CacheScope.withStages(e) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+      val twoPaths = e.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst").as("far")), "mid")
+        .filter(col("src") =!= col("far"))
+        .select(col("src"), col("far"))
+        .distinct()
+      val exactlyTwo = twoPaths
+        .join(e.select(col("src"), col("dst").as("far")), Seq("src", "far"),
+          "left_anti")
+        .groupBy(col("src")).agg(count(lit(1)).as("n2"))
+      CacheScope.pin(deg.join(exactlyTwo, Seq("src"), "left_outer")
+        .select(col("src").as("node"), col("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2")))
+    }
+  }
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Cluster, Dedup, FeatureHash, Privacy}
+
+/**
+ * q135-q138 — the governance-and-graph tier: privacy auditing, stateless
+ * vectorization, deletion-cascade planning, and local graph centrality —
+ * the compliance/observability operations a production corpus warehouse
+ * runs beside its analytics. Reference scope: extends the LLM-pipeline
+ * surface the builder brief names; the trends reference (trends.go) has
+ * no equivalent.
+ */
+object GovernanceQueries {
+
+  /** q135 — k-anonymity audit ([[graft.ops.Privacy]], Sweeney 2002) of
+    * customer over the quasi-identifier pair (mktsegment, nationkey) at
+    * k = 5, reported per segment: rows, QI groups, attained k (the
+    * minimum group size), and sub-k groups/rows. Two hash aggregates,
+    * the second over the already-tiny group table; all-integer. */
+  def q135KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymityAudit(Tables.customer(spark, dir),
+        Seq("c_mktsegment", "c_nationkey"), "c_mktsegment", k = 5L)
+      .orderBy(col("c_mktsegment"))
+
+  val q135Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey, count(*) AS gs
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_mktsegment,
+      |  CAST(sum(gs) AS BIGINT) AS n_rows,
+      |  count(*) AS n_groups,
+      |  min(gs) AS min_group_size,
+      |  CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risky_groups,
+      |  CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT)
+      |    AS n_risky_rows
+      |FROM g
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q136 — hashing-trick source signatures ([[graft.ops.FeatureHash]],
+    * Weinberger et al. '09): 16-dim signed-hash vectors per source —
+    * every component an exact integer sum under the engine-portable
+    * 48-bit md5 hash — then the pairwise source cosine matrix (integer
+    * dot/norms, two sqrt + one division at the end). The
+    * vocabulary-free "which sources look alike" signal. */
+  def q136FeatureHashCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = FeatureHash.hashedGroupVectors(
+      Tables.documents(spark, dir), "source", "text", dim = 16)
+    FeatureHash.cosineMatrix(vecs, "source", dim = 16)
+      .select(col("g_a").as("source_a"), col("g_b").as("source_b"),
+        col("cos_sim"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q136Sql: String = {
+    val dim = 16
+    val slots = (0 until dim).map(j =>
+      s"""coalesce(sum(CASE WHEN h % $dim = $j THEN
+         |      CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END END), 0)
+         |      AS s$j""".stripMargin).mkString(",\n    ")
+    def dot(x: String, y: String) =
+      (0 until dim).map(j => s"$x.s$j * $y.s$j").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT source,
+       |    CAST(concat('0x', substr(md5(t), 1, 12)) AS BIGINT) AS h
+       |  FROM tok),
+       |v AS (
+       |  SELECT source,
+       |    $slots
+       |  FROM h GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(${dot("a", "b")} AS DOUBLE)
+       |    / (sqrt(CAST(${dot("a", "a")} AS DOUBLE))
+       |       * sqrt(CAST(${dot("b", "b")} AS DOUBLE))) AS cos_sim
+       |FROM v a JOIN v b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** q137 — deletion-cascade audit (the GDPR erasure planning pass):
+    * given the deny-set `c_acctbal < 100`, count per nation the
+    * customers, orders and line items a cascade would erase plus the
+    * affected revenue (decimal-exact sum, final cast). Broadcast-sized
+    * deny/nation dims; the only big-table work is two hash joins that
+    * AQE can reorder. */
+  def q137DeletionCascade(spark: SparkSession, dir: String): DataFrame = {
+    val deny = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 100.0)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ordersD = Tables.orders(spark, dir)
+      .join(broadcast(deny), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val liAgg = Tables.lineitem(spark, dir)
+      .join(broadcast(ordersD), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue_affected"))
+    deny.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .join(ordersD.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders")), Seq("c_nationkey"), "left_outer")
+      .join(liAgg, Seq("c_nationkey"), "left_outer")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        coalesce(col("revenue_affected"), lit(0.0)).as("revenue_affected"))
+      .orderBy(col("n_name"))
+  }
+
+  val q137Sql: String =
+    """WITH deny AS (
+      |  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal < 100.0),
+      |od AS (
+      |  SELECT o_orderkey, c_nationkey
+      |  FROM orders JOIN deny ON o_custkey = c_custkey),
+      |li AS (
+      |  SELECT c_nationkey, count(*) AS n_lineitems,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS revenue_affected
+      |  FROM lineitem JOIN od ON l_orderkey = o_orderkey
+      |  GROUP BY c_nationkey),
+      |dc AS (
+      |  SELECT c_nationkey, count(*) AS n_customers
+      |  FROM deny GROUP BY c_nationkey),
+      |oc AS (
+      |  SELECT c_nationkey, count(*) AS n_orders
+      |  FROM od GROUP BY c_nationkey)
+      |SELECT n_name, n_customers,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(n_lineitems, 0) AS n_lineitems,
+      |  coalesce(revenue_affected, 0.0) AS revenue_affected
+      |FROM dc
+      |LEFT JOIN oc USING (c_nationkey)
+      |LEFT JOIN li USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** q138 — two-hop reach census ([[Cluster.twoHopCensus]]) over the
+    * q26 near-dup graph: per node, exact distinct-neighbor count and
+    * exact distance-2 count — the integer-gateable local-centrality
+    * signal (iterative float centralities can't cross the hash gate).
+    * Oracle: the same census via independent SQL joins over the
+    * brute-force pair scan. */
+  def q138TwoHopCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 2, k = 64, bands = 16, threshold = 0.5)
+    try Cluster.twoHopCensus(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("n1"), col("n2"))
+      .orderBy(col("doc_id"))
+    finally pairs.unpersist(blocking = false)
+  }
+
+  val q138Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+      |    END) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents)),
+      |sz AS (SELECT id, s, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sz a JOIN sz b
+      |    ON a.id < b.id
+      |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT s, count(*) AS n1 FROM edges GROUP BY s),
+      |tp AS (
+      |  SELECT DISTINCT e1.s, e2.d AS f
+      |  FROM edges e1 JOIN edges e2 ON e1.d = e2.s
+      |  WHERE e2.d <> e1.s),
+      |x2 AS (
+      |  SELECT tp.s, count(*) AS n2
+      |  FROM tp LEFT JOIN edges e ON tp.s = e.s AND tp.f = e.d
+      |  WHERE e.s IS NULL
+      |  GROUP BY tp.s)
+      |SELECT deg.s AS doc_id, deg.n1, coalesce(x2.n2, 0) AS n2
+      |FROM deg LEFT JOIN x2 ON deg.s = x2.s
+      |ORDER BY doc_id""".stripMargin
+}
