@@ -148,20 +148,17 @@ object CurationQueries {
     * lookups + one hash aggregate. */
   def q126CrossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 2, k = 64, bands = 16, threshold = 0.5)
-    try {
-      val src = docs.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("s_a")), "id_a")
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("s_b")), "id_b")
-        .select(least(col("s_a"), col("s_b")).as("source_lo"),
-          greatest(col("s_a"), col("s_b")).as("source_hi"),
-          col("jaccard"))
-        .groupBy(col("source_lo"), col("source_hi"))
-        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
-        .orderBy(col("source_lo"), col("source_hi"))
-    } finally pairs.unpersist(blocking = false)
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("s_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("s_b")), "id_b")
+      .select(least(col("s_a"), col("s_b")).as("source_lo"),
+        greatest(col("s_a"), col("s_b")).as("source_hi"),
+        col("jaccard"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
   }
 
   val q126Sql: String =
@@ -294,22 +291,19 @@ object CurationQueries {
     * (q43's independent algorithm) + window argmax. */
   def q129CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 2, k = 64, bands = 16, threshold = 0.5)
-    try {
-      Cluster.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("component"))
-        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_chars").as("chars"),
-            (-col("doc_id")).as("neg_id"))).as("best"))
-        .select(col("component"),
-          (-col("best.neg_id")).as("canonical_id"),
-          col("best.chars").as("canonical_chars"),
-          col("n_members"))
-        .orderBy(col("component"))
-    } finally pairs.unpersist(blocking = false)
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("chars"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("component"),
+        (-col("best.neg_id")).as("canonical_id"),
+        col("best.chars").as("canonical_chars"),
+        col("n_members"))
+      .orderBy(col("component"))
   }
 
   val q129Sql: String =

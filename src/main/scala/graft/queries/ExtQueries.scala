@@ -441,12 +441,10 @@ object ExtQueries {
     * computing the transitive closure of the same brute-force pair list —
     * an independent implementation of reachability, not a transliteration. */
   def q43DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
-      "doc_id", "text", n = 2, threshold = 0.5)
-    try Cluster.connectedComponents(pairs, "id_a", "id_b")
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    Cluster.connectedComponents(pairs, "id_a", "id_b")
       .select(col("node").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
-    finally pairs.unpersist(blocking = false)
   }
 
   val q43Sql: String =

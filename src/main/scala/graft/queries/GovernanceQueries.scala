@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Cluster, Dedup, FeatureHash, Privacy}
+import graft.ops.{Cluster, FeatureHash, Privacy}
 
 /**
  * q135-q138 — the governance-and-graph tier: privacy auditing, stateless
@@ -153,12 +153,10 @@ object GovernanceQueries {
     * Oracle: the same census via independent SQL joins over the
     * brute-force pair scan. */
   def q138TwoHopCensus(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
-      "doc_id", "text", n = 2, k = 64, bands = 16, threshold = 0.5)
-    try Cluster.twoHopCensus(pairs, "id_a", "id_b")
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    Cluster.twoHopCensus(pairs, "id_a", "id_b")
       .select(col("node").as("doc_id"), col("n1"), col("n2"))
       .orderBy(col("doc_id"))
-    finally pairs.unpersist(blocking = false)
   }
 
   val q138Sql: String =

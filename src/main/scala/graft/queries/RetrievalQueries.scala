@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Checksum, Chunking, Cluster, Dedup, Fusion, InvertedIndex,
+import graft.ops.{Checksum, Chunking, Cluster, Fusion, InvertedIndex,
   Similarity, TextAnalysis}
 
 /**
@@ -236,9 +236,8 @@ object RetrievalQueries {
     * independent recursive-CTE closure. */
   def q133NetTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      n = 2, k = 64, bands = 16, threshold = 0.5)
-    try {
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    locally {
       val mem = Cluster.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("component"))
       val canon = mem
@@ -266,7 +265,7 @@ object RetrievalQueries {
           (col("total_tokens") - coalesce(col("dropped_tokens"), lit(0L)))
             .as("net_tokens"))
         .orderBy(col("source"))
-    } finally pairs.unpersist(blocking = false)
+    }
   }
 
   val q133Sql: String =

@@ -440,8 +440,7 @@ object ScaleQueries {
     * the gated q26 pair engine; the oracle wraps the q26 brute-force
     * oracle as a CTE and aggregates the same census. */
   def q92DegreeCensus(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir),
-      "doc_id", "text", n = 2, k = 64, bands = 16, threshold = 0.5)
+    val pairs = PairStore.nearDupPairs(spark, dir)
     val ends = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
     ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
