@@ -367,10 +367,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size requires two array<int> arguments, got " +
+        s"sorted_intersect_size requires two array<int> or two " +
+          s"array<bigint> arguments, got " +
           s"${l.catalogString} and ${r.catalogString}")
     }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -379,10 +385,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (na, nb) = (xa.numElements(), xb.numElements())
+    val long = isLong
     var (i, j, n) = (0, 0, 0)
     while (i < na && j < nb) {
       if (xa.isNullAt(i) || xb.isNullAt(j)) return null
-      val (va, vb) = (xa.getInt(i), xb.getInt(j))
+      val (va, vb) =
+        if (long) (xa.getLong(i), xb.getLong(j))
+        else (xa.getInt(i).toLong, xb.getInt(j).toLong)
       if (va == vb) { n += 1; i += 1; j += 1 }
       else if (va < vb) i += 1
       else j += 1
@@ -398,13 +407,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val va = ctx.freshName("va")
       val vb = ctx.freshName("vb")
       val bad = ctx.freshName("bad")
+      val (jt, get) = if (isLong) ("long", "getLong") else ("int", "getInt")
       s"""
          |int $i = 0; int $j = 0; int $n = 0;
          |boolean $bad = false;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { $bad = true; break; }
-         |  int $va = $a.getInt($i);
-         |  int $vb = $b.getInt($j);
+         |  $jt $va = $a.$get($i);
+         |  $jt $vb = $b.$get($j);
          |  if ($va == $vb) { $n++; $i++; $j++; }
          |  else if ($va < $vb) { $i++; } else { $j++; }
          |}

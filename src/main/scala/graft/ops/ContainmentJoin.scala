@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
  */
 object ContainmentJoin {
 
+  /** Set-table rows below which the verify stage broadcasts the token
+    * sets instead of shuffling them to every candidate pair. */
+  val BroadcastDocLimit: Long = 1L << 20
+
   /**
    * All pairs (id_a < id_b) whose DISTINCT-token overlap coefficient is
    * ≥ thetaNum/thetaDen, with sizes, exact intersection and the one
@@ -44,8 +48,13 @@ object ContainmentJoin {
                             thetaNum: Int, thetaDen: Int): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta must be in (0,1]: $thetaNum/$thetaDen")
+    // sorted-distinct once per set: the verify stage's intersection runs
+    // as the native two-pointer merge (sorted_intersect_size) instead of
+    // a per-pair hash set — the pair count, not the set size, is the big
+    // number in that stage
     val base = docs
-      .select(col(idCol).as("id"), array_distinct(col(toksCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(col(toksCol))).as("toks"))
       .withColumn("sz", size(col("toks")))
       .filter(col("sz") > 0)
 
@@ -71,28 +80,51 @@ object ContainmentJoin {
 
       // a valid pair's smaller side must fire as the probe; equal sizes fire
       // both ways and the normalized distinct collapses them
-      val cand = probe.join(index, Seq("t"))
+      val candRaw = probe.join(index, Seq("t"))
         .filter(col("id_p") =!= col("id_i") && col("sz_p") <= col("sz_i"))
         .filter((lit(1) + least(col("sz_p") - col("pos_p"),
             col("sz_i") - col("pos_i"))) * thetaDen >=
           col("sz_p") * thetaNum)
         .select(least(col("id_p"), col("id_i")).as("id_a"),
           greatest(col("id_p"), col("id_i")).as("id_b"))
-        .distinct()
 
-      // exact verification on the full sets: inter·den ≥ num·min(sz)
-      val setsA = base.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("sz").as("sz_a"))
-      val setsB = base.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("sz").as("sz_b"))
-      CacheScope.pin(cand.join(setsA, "id_a").join(setsB, "id_b")
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // exact verification on the full sets: inter·den ≥ num·min(sz).
+      // The candidate pair list is the BIG side of these joins (on dense
+      // vocabularies it approaches all-pairs — measured 8.3M pairs for
+      // 5k docs), so the plan branches on whether the SET TABLE fits a
+      // broadcast (~400 B/doc at default shingle sizes):
+      //  - broadcastable: verify runs MAP-SIDE over the RAW candidate
+      //    stream (duplicate hits included — the per-row merge is cheaper
+      //    than the 10⁷-entry pre-distinct hash aggregate it replaces),
+      //    and only the tiny survivor set is deduplicated;
+      //  - past the bound (10⁹-doc corpora): candidates are de-duplicated
+      //    FIRST so the two shuffle joins move each pair once.
+      val small = base.count() <= BroadcastDocLimit
+      val maybeBroadcast: DataFrame => DataFrame =
+        if (small) broadcast else identity
+      val cand = if (small) candRaw else candRaw.distinct()
+      val setsA = maybeBroadcast(base.select(col("id").as("id_a"),
+        col("toks").as("toks_a"), col("sz").as("sz_a")))
+      val setsB = maybeBroadcast(base.select(col("id").as("id_b"),
+        col("toks").as("toks_b"), col("sz").as("sz_b")))
+      // int/long token sets verify through the native two-pointer merge;
+      // other element types (e.g. raw string shingles) fall back to the
+      // builtin hash-set intersect
+      import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+      val inter = base.schema("toks").dataType match {
+        case ArrayType(IntegerType | LongType, _) =>
+          Dedup.intersectSize(col("toks_a"), col("toks_b"))
+        case _ => size(array_intersect(col("toks_a"), col("toks_b")))
+      }
+      val verified = cand.join(setsA, "id_a").join(setsB, "id_b")
+        .withColumn("inter", inter)
         .filter(col("inter") * thetaDen >=
           least(col("sz_a"), col("sz_b")) * thetaNum)
         .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
           col("inter"),
           (col("inter").cast("double") /
-            least(col("sz_a"), col("sz_b"))).as("containment")))
+            least(col("sz_a"), col("sz_b"))).as("containment"))
+      CacheScope.pin(if (small) verified.distinct() else verified)
     }
   }
 }

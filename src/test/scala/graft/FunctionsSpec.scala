@@ -158,6 +158,21 @@ class FunctionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("sorted_intersect_size: long-array variant == size(array_intersect)") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    // negative values included: the merge must order by signed long
+    val rows = (0 until 50).map(_ => (
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong - 10L).distinct.sorted,
+      Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong - 10L).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      graft.ops.Dedup.intersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("ngram_hashes: fused window hashing == builtin transform/slice/concat_ws/xxhash64 chain") {
     GraftFunctions.register(spark)
     val docs = Seq(
