@@ -153,4 +153,73 @@ object Multimodal {
           (col("frame_idx") * (length(col(bytesCol)) / nFrames) + 1).cast(IntegerType),
           greatest((length(col(bytesCol)) / nFrames).cast(IntegerType), lit(1))))
       .withColumn("frame_features", decodeStub(col("frame_bytes"), 4))
+
+  // ------------------------------------------------------------- audio tier
+
+  /** Deterministic synthetic audio for the real-decode tier: per id, a
+    * variable-length int16 sample stream the oracle can recompute in
+    * closed form (same convention as [[pxR]]/[[pxG]]/[[pxB]]). */
+  def wavSampleCount(id: Long): Int = 256 + (id % 64).toInt
+  @inline def wavSample(id: Long, i: Int): Int =
+    (((id * 31L + i * 17L) % 65536L) - 32768L).toInt
+
+  /** Rows of (id) → (id, real RIFF/WAVE PCM payload) via [[Wav.encode]] —
+    * one codec pass per partition, the [[withPpmMedia]] shape. */
+  def withWavMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = wavSampleCount(id)
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = wavSample(id, i).toShort; i += 1 }
+          (id, Wav.encode(s))
+        }
+      }
+      .toDF(idCol, "media_wav")
+  }
+
+  /** Typed result of the WAV parse → feature-extract pass. Every field is
+    * an exact integer (rms stays as the integer sum of squares; take the
+    * one sqrt downstream), so the features hash-gate across engines. */
+  final case class WavStats(doc_id: Long, n_samples: Long, duration_us: Long,
+                            peak_abs: Long, sum_sq: Long,
+                            zero_crossings: Long, sum_every4: Long)
+
+  /**
+   * REAL audio decode kernel: strict-parse the RIFF container
+   * ([[Wav.decode]] — magic, PCM tag, mono, 16-bit, chunk bounds all
+   * validated), then one pass over the samples for peak / energy /
+   * zero-crossing / every-4th-sample-resample features. Batched per
+   * partition like [[decodePpmStats]]; map-only, co-partitioned with the
+   * scan at any scale.
+   */
+  def decodeWavStats(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    import spark.implicits._
+    withMedia.select(col("doc_id").cast(LongType), col("media_wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val s = Wav.decode(bytes)
+          var i = 0
+          var peak = 0L; var sumSq = 0L; var zc = 0L; var every4 = 0L
+          while (i < s.length) {
+            val v = s(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+            if (i % 4 == 0) every4 += v
+            i += 1
+          }
+          WavStats(id, s.length.toLong,
+            s.length.toLong * 1000000L / Wav.SampleRate,
+            peak, sumSq, zc, every4)
+        }
+      }
+      .toDF()
+  }
 }
