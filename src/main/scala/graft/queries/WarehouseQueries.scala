@@ -1028,4 +1028,50 @@ object WarehouseQueries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type
       |ORDER BY d.event_type""".stripMargin
+
+  /** q141 — point-in-time ("as was") reconstruction over the q101 SCD2
+    * dimension: every user's state at the fixed instant T =
+    * 2024-01-15 12:00:00 (interval containing T: valid_from ≤ T <
+    * valid_to, open intervals included), rolled up per state with user
+    * extremes — the bitemporal read every SCD2 table exists to answer.
+    * Plan: the SCD2 build's one key shuffle, then a map-side interval
+    * filter + one hash aggregate; T prunes to exactly one row per user
+    * active before T. */
+  def q141AsWasState(spark: SparkSession, dir: String): DataFrame = {
+    val t = lit(java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
+    graft.ops.Scd.scd2(Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_type", "event_id")
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy(col("event_type"))
+  }
+
+  val q141Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type FROM o
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM runs)
+      |SELECT event_type, count(*) AS n_users,
+      |  min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM iv
+      |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+      |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
