@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
  */
 object ContainmentJoin {
 
-  /** Set-table rows below which the verify stage broadcasts the token
-    * sets instead of shuffling them to every candidate pair. */
-  val BroadcastDocLimit: Long = 1L << 20
+  /** TOTAL TOKENS (Σ sz over all sets) below which the verify stage
+    * broadcasts the token sets instead of shuffling them to every
+    * candidate pair. Token-based, not doc-based: per-doc arrays are
+    * unbounded, so a row-count bound would blindly broadcast a corpus of
+    * few huge documents. 2²⁵ longs ≈ 256 MB serialized per broadcast
+    * (the plan builds one relation per join side), comfortably inside
+    * executor memory while covering every gate-scale corpus. */
+  val BroadcastTokenLimit: Long = 1L << 25
 
   /**
    * All pairs (id_a < id_b) whose DISTINCT-token overlap coefficient is
@@ -92,14 +97,16 @@ object ContainmentJoin {
       // The candidate pair list is the BIG side of these joins (on dense
       // vocabularies it approaches all-pairs — measured 8.3M pairs for
       // 5k docs), so the plan branches on whether the SET TABLE fits a
-      // broadcast (~400 B/doc at default shingle sizes):
+      // broadcast (token-sum bound — see BroadcastTokenLimit):
       //  - broadcastable: verify runs MAP-SIDE over the RAW candidate
       //    stream (duplicate hits included — the per-row merge is cheaper
       //    than the 10⁷-entry pre-distinct hash aggregate it replaces),
       //    and only the tiny survivor set is deduplicated;
-      //  - past the bound (10⁹-doc corpora): candidates are de-duplicated
-      //    FIRST so the two shuffle joins move each pair once.
-      val small = base.count() <= BroadcastDocLimit
+      //  - past the bound (corpus-scale token mass): candidates are
+      //    de-duplicated FIRST so the two shuffle joins move each pair
+      //    once.
+      val small = base.agg(coalesce(sum(col("sz")), lit(0L)))
+        .head.getLong(0) <= BroadcastTokenLimit
       val maybeBroadcast: DataFrame => DataFrame =
         if (small) broadcast else identity
       val cand = if (small) candRaw else candRaw.distinct()

@@ -11,15 +11,22 @@ import org.apache.spark.sql.types.DoubleType
  * i.e. relevance penalized by similarity to what is already selected
  * (Carbonell & Goldstein, SIGIR'98).
  *
- * 100 TB shape: the GREEDY loop is inherently sequential, but its input
- * never needs to be the corpus — relevance pruning is admissible
- * (`score ≤ λ·rel`, so nothing outside the top-⌈k/λ⌉… in practice a few
- * hundred… can ever win a round once that many better-rel candidates
- * exist; we take candN ≫ k). So: one DISTRIBUTED exact top-candN pass over
- * the corpus (TakeOrderedAndProject — only candN winners move), then k
- * argmax rounds over the tiny cached candidate set, each a one-row job —
- * the [[Frequency]] convention of collecting only provably-bounded
- * results. Selected vectors re-enter each round as broadcast literals.
+ * CONTRACT: this is MMR over the top-candN-BY-RELEVANCE candidate pool,
+ * not over the whole corpus — the standard practical restriction
+ * (rerank-the-retrieved). The prune is NOT admissible in general: a
+ * document just outside the pool with low similarity to the selected set
+ * can have a higher true MMR score than every penalized pool member, and
+ * with negative similarities a score can even exceed λ·rel. Callers pick
+ * candN as the retrieval depth they would rerank anyway (candN ≫ k makes
+ * the corner rare); the q127 oracle states the SAME pool, so the gate
+ * proves pool-restricted MMR exactly.
+ *
+ * 100 TB shape: the greedy loop is inherently sequential, but its input
+ * is the pool, never the corpus — one DISTRIBUTED exact top-candN pass
+ * (TakeOrderedAndProject — only candN winners move), then k argmax
+ * rounds over the tiny cached candidate set, each a one-row job — the
+ * [[Frequency]] convention of collecting only provably-bounded results.
+ * Selected vectors re-enter each round as broadcast literals.
  *
  * All scoring is fixed-order double arithmetic over the same fused cosine
  * the q28 gate proved bit-identical to the SQL fold — ties broken by id.
@@ -28,8 +35,10 @@ object Mmr {
 
   /**
    * Greedy MMR top-k against the query vector of row `queryId`: returns
-   * (rank, id, rel, mmr_score) for the k winners, in pick order.
-   * `candN` bounds the relevance-pruned candidate pool.
+   * (rank, id, rel, mmr_score) for the winners, in pick order. `candN`
+   * bounds the relevance-pruned candidate pool; if the pool (or the
+   * corpus) holds fewer than k candidates, the result is the exhausted
+   * pool in pick order (fewer than k rows), not an error.
    *
    * `lambda` and `penaltyWeight` are BOTH stated explicitly rather than
    * deriving one from the other: `1.0 - 0.7` is 0.30000000000000004 in
@@ -56,7 +65,8 @@ object Mmr {
     try {
       var picked = Vector.empty[(Int, Long, Double, Double)]
       var pickedVecs = Vector.empty[Seq[Double]]
-      for (step <- 1 to k) {
+      var exhausted = false
+      for (step <- 1 to k if !exhausted) {
         val sims = pickedVecs.map(s =>
           Similarity.cosine(col("e"), array(s.map(lit): _*)))
         val penalty = sims match {
@@ -64,7 +74,7 @@ object Mmr {
           case Seq(s) => s // Spark's greatest requires >= 2 args
           case many   => greatest(many: _*)
         }
-        val row = cands
+        val rows = cands
           .filter(!col("id").isInCollection(picked.map(_._2) match {
             case e if e.isEmpty => Seq(-1L); case ids => ids
           }))
@@ -73,9 +83,14 @@ object Mmr {
               .as("score"))
           .orderBy(col("score").desc, col("id"))
           .limit(1)
-          .collect()(0)
-        picked :+= ((step, row.getLong(0), row.getDouble(2), row.getDouble(3)))
-        pickedVecs :+= row.getSeq[Double](1)
+          .collect()
+        if (rows.isEmpty) exhausted = true
+        else {
+          val row = rows(0)
+          picked :+= ((step, row.getLong(0), row.getDouble(2),
+            row.getDouble(3)))
+          pickedVecs :+= row.getSeq[Double](1)
+        }
       }
       picked.toDF("rank", "id", "rel", "mmr_score")
     } finally cands.unpersist(blocking = false)

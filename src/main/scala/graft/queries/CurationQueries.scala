@@ -26,20 +26,35 @@ object CurationQueries {
   private val stop10 = Seq("the", "a", "an", "and", "or",
     "of", "to", "in", "is", "it")
 
-  /** Per-doc integer text features (one pass over the words array, all
-    * codegen'd builtins): word count, summed word length, distinct words,
-    * distinct stopwords present, stopword occurrences, top-word frequency. */
+  /** Per-doc integer text features (map-only, all codegen'd builtins):
+    * word count, summed word length, distinct words, distinct stopwords
+    * present, stopword occurrences, top-word frequency. Every term is
+    * O(nw) or O(nw log nw) per document — maxfreq is the longest run in
+    * the SORTED array via one fold (the naive
+    * transform(distinct, w → count) form is O(nd·nw), quadratic on
+    * mostly-distinct long documents). */
   private def featureCols(text: org.apache.spark.sql.Column) = {
     val ws = TextAnalysis.words(text)
     val stopArr = array(stop10.map(lit): _*)
+    // (prev, run, best) fold over the sorted words; words() never yields
+    // "" so the empty-string sentinel cannot collide
+    val maxfreq = aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     Seq(
       size(ws).as("nw"),
       aggregate(ws, lit(0), (acc, w) => acc + length(w)).as("sumlen"),
       size(array_distinct(ws)).as("nd"),
       size(array_intersect(ws, stopArr)).as("nstop_d"),
       size(filter(ws, w => w.isInCollection(stop10))).as("nstop_o"),
-      coalesce(array_max(transform(array_distinct(ws),
-        w => size(filter(ws, x => x === w)))), lit(0)).as("maxfreq"))
+      maxfreq.as("maxfreq"))
   }
 
   private val featureSqlCte =
@@ -51,8 +66,8 @@ object CurationQueries {
       |      ['the','a','an','and','or','of','to','in','is','it'])) AS nstop_d,
       |    len(list_filter(ws, x -> x IN
       |      ('the','a','an','and','or','of','to','in','is','it'))) AS nstop_o,
-      |    coalesce(list_max(list_transform(list_distinct(ws),
-      |      w -> len(list_filter(ws, x -> x = w)))), 0) AS maxfreq
+      |    coalesce(list_max(map_values(list_aggregate(ws, 'histogram'))), 0)
+      |      AS maxfreq
       |  FROM (SELECT source, doc_id,
       |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
       |        FROM documents)""".stripMargin

@@ -88,18 +88,20 @@ object GovernanceQueries {
   /** q137 — deletion-cascade audit (the GDPR erasure planning pass):
     * given the deny-set `c_acctbal < 100`, count per nation the
     * customers, orders and line items a cascade would erase plus the
-    * affected revenue (decimal-exact sum, final cast). Broadcast-sized
-    * deny/nation dims; the only big-table work is two hash joins that
-    * AQE can reorder. */
+    * affected revenue (decimal-exact sum, final cast). The deny set is
+    * ~10% of customers (acctbal is uniform), so neither it nor the
+    * cascaded order set is hinted broadcast — both scale with the fact
+    * tables, and AQE's runtime statistics pick the join strategies; only
+    * the 25-row nation dim carries an explicit hint. */
   def q137DeletionCascade(spark: SparkSession, dir: String): DataFrame = {
     val deny = Tables.customer(spark, dir)
       .filter(col("c_acctbal") < 100.0)
       .select(col("c_custkey"), col("c_nationkey"))
     val ordersD = Tables.orders(spark, dir)
-      .join(broadcast(deny), col("o_custkey") === col("c_custkey"))
+      .join(deny, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     val liAgg = Tables.lineitem(spark, dir)
-      .join(broadcast(ordersD), col("l_orderkey") === col("o_orderkey"))
+      .join(ordersD, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_lineitems"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")

@@ -1038,7 +1038,10 @@ object WarehouseQueries {
     * filter + one hash aggregate; T prunes to exactly one row per user
     * active before T. */
   def q141AsWasState(spark: SparkSession, dir: String): DataFrame = {
-    val t = lit(java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
+    // to_timestamp resolves in the SESSION time zone (pinned UTC) — a
+    // java.sql.Timestamp literal would parse in the JVM default zone and
+    // silently shift T on non-UTC hosts
+    val t = to_timestamp(lit("2024-01-15 12:00:00"))
     graft.ops.Scd.scd2(Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
         "user_id", "ts", "event_type", "event_id")

@@ -74,6 +74,18 @@ class MmrSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("k beyond the pool returns the exhausted pool, not an error") {
+    val df = embDf(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.1f),
+      2L -> Seq(0.8f, 0.3f))
+    // corpus has 2 candidates; asking for 5 returns both in pick order
+    val out = Mmr.mmrTopK(df, "vec_id", "embedding", 0L, 5, 0.7, 0.3, 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+  }
+
   test("candidate prune bounds the pool: k beyond candN is impossible") {
     val df = embDf(
       0L -> Seq(1f, 0f),
