@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-drift measurement between two cohorts of one numeric
+ * column — the data-drift alarm a corpus warehouse runs between snapshots
+ * or sources. The two-sample Kolmogorov-Smirnov statistic is stated in
+ * EXACT integer arithmetic: D·n₁·n₂ = max over observed values x of
+ * |F₁(x)·n₂ − F₂(x)·n₁| (cross-multiplied empirical CDFs), so the
+ * statistic hash-gates across engines; the only double is the final
+ * division.
+ *
+ * 100 TB shape: one hash aggregate over (value) with map-side combine
+ * (domain-bounded key), then a cumulative window over DISTINCT values —
+ * bounded by the value domain (e.g. max document length), not the corpus,
+ * so the single-partition window is safe by the same bounded-input
+ * argument as the top-N rank windows.
+ */
+object Drift {
+
+  /**
+   * One row: (n1, n2, ks_scaled, ks) for cohorts `groupA` vs `groupB` of
+   * `groupCol`, comparing the distribution of `valueCol`. `ks_scaled` is
+   * the exact integer D·n₁·n₂; `ks` the usual statistic in [0, 1].
+   */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              groupA: String, groupB: String): DataFrame = {
+    val d = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol), col(valueCol))
+    val counts = d.groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+    val totals = counts.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("gap"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("gap")).cast("long").as("ks_scaled"))
+      .select(col("n1"), col("n2"), col("ks_scaled"),
+        (col("ks_scaled").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks"))
+  }
+}

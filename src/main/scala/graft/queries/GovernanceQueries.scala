@@ -195,4 +195,108 @@ object GovernanceQueries {
       |SELECT deg.s AS doc_id, deg.n1, coalesce(x2.n2, 0) AS n2
       |FROM deg LEFT JOIN x2 ON deg.s = x2.s
       |ORDER BY doc_id""".stripMargin
+
+  /** q142 — majority-label propagation over the near-dup graph (weak
+    * supervision's label-spreading step): every doc in the pair graph
+    * takes the MAJORITY label among its labeled neighbors (labels come
+    * from the embeddings table, vec_id ≡ doc_id; ties pinned to the
+    * LOWEST label via struct-max). One vote aggregate + one argmax —
+    * integer votes, so the assignment hash-gates exactly where an
+    * iterative float label-spread could not. Pair engine via the shared
+    * [[PairStore]]. */
+  def q142LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = PairStore.nearDupPairs(spark, dir)
+    val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"),
+        col("id_a").as("nbr")))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nbr"), col("label"))
+    edges.join(labels, "nbr")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("votes")).cast("long").as("n_labeled_neighbors"),
+        max(struct(col("votes").as("v"), (-col("label")).as("neg")))
+          .as("best"))
+      .select(col("doc_id"), (-col("best.neg")).as("predicted_label"),
+        col("best.v").as("n_votes"), col("n_labeled_neighbors"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+      |    END) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents)),
+      |sz AS (SELECT id, s, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sz a JOIN sz b
+      |    ON a.id < b.id
+      |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS doc_id, id_b AS nbr FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs),
+      |votes AS (
+      |  SELECT e.doc_id, l.label, count(*) AS v
+      |  FROM edges e JOIN embeddings l ON e.nbr = l.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, label, v,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY v DESC, label) AS rn,
+      |    CAST(sum(v) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+      |  FROM votes)
+      |SELECT doc_id, CAST(label AS INTEGER) AS predicted_label,
+      |  v AS n_votes, total AS n_labeled_neighbors
+      |FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q143 — exact two-sample Kolmogorov-Smirnov drift statistic
+    * ([[graft.ops.Drift]]) between the src0 and src1 document-length
+    * distributions: D·n₁·n₂ = max |F₁(x)·n₂ − F₂(x)·n₁| in integer
+    * arithmetic, one final division. See the op for the bounded-domain
+    * window argument. */
+  def q143KsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.ksDrift(Tables.documents(spark, dir),
+        "source", "n_chars", "src0", "src1")
+      .orderBy(col("n1"))
+
+  val q143Sql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars FROM documents
+      |  WHERE source IN ('src0', 'src1')),
+      |counts AS (
+      |  SELECT n_chars,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c2
+      |  FROM d GROUP BY n_chars),
+      |cum AS (
+      |  SELECT n_chars,
+      |    CAST(sum(c1) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f1,
+      |    CAST(sum(c2) OVER (ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f2
+      |  FROM counts),
+      |totals AS (
+      |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      |  FROM counts)
+      |SELECT n1, n2,
+      |  CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_scaled,
+      |  CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+      |    / CAST(n1 * n2 AS DOUBLE) AS ks
+      |FROM cum CROSS JOIN totals
+      |GROUP BY n1, n2
+      |ORDER BY n1""".stripMargin
 }
