@@ -84,6 +84,7 @@ object GraftFunctions {
       exprs(1), exprs(2).eval().asInstanceOf[Int]))
     ensure("ngram_hashes", exprs => NgramHashes(exprs.head,
       exprs(1).eval().asInstanceOf[Int]))
+    ensure("jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)))
   }
 }
 
@@ -137,6 +138,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (exprs: Seq[Expression]) => NgramHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     // tier-c Catalyst extensions: optimizer rewrites + the native as-of
     // physical operator (see graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)

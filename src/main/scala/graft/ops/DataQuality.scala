@@ -58,4 +58,29 @@ object DataQuality {
     df.sparkSession.createDataFrame(data)
       .toDF("col_name", "n_nulls", "n_distinct")
   }
+
+  /**
+   * Benford first-digit profile of a positive monetary column — the
+   * classic fabricated-data / unit-mixup alarm. Digits are extracted
+   * WITHOUT floating transcendentals (no log10, whose libm rounding
+   * differs across engines): the amount is fixed-pointed to integer
+   * cents (`round(x·100)` — one stated IEEE multiply both engines share
+   * bit-for-bit), and the first significant digit is the leading
+   * character of the integer's decimal rendering. Output per digit:
+   * exact count and the exact basis-point share `n·10⁴ div total`
+   * (integer division — no ratio ever leaves integer arithmetic).
+   * One map + one 9-key hash agg; the share join broadcasts a 1-row
+   * total, the standing tiny-aggregate pattern.
+   */
+  def benfordProfile(df: DataFrame, amount: Column): DataFrame = {
+    val cents = round(amount * 100).cast("long")
+    val digits = df.select(
+        substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(n * 10000) DIV total").as("share_bp"))
+  }
 }
