@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes to stdout RAW (no sbt `[info] ` log prefix):
+// the bench/verify contract is machine-parsed JSON on stdout, and the
+// logger prefix breaks json.loads on the consumer side (BENCH_r1-r6 all
+// recorded "parsed": null — every line in the captured tail was
+// prefix-wrapped).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,7 +28,12 @@ object Drift {
    */
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
               groupA: String, groupB: String): DataFrame = {
-    val d = df.filter(col(groupCol).isin(groupA, groupB))
+    // NULL values carry no distribution information: a null would group
+    // into its own row and sort FIRST in the cumulative window, silently
+    // skewing every downstream F value — exclude it like the cohorts
+    // exclude foreign groups.
+    val d = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol))
     val counts = d.groupBy(col(valueCol))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),

@@ -44,10 +44,29 @@ object PairStore {
     path
   }
 
+  /** Fingerprint of the documents table's on-disk snapshot: every file's
+    * relative path, length and mtime under `dir`/documents.parquet (or the
+    * single file itself). Regenerating the parquet in-session changes the
+    * fingerprint, so the memo can never serve pairs computed from a stale
+    * snapshot — the cache is keyed by CONTENT IDENTITY, not by path. */
+  private def snapshotFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    val parts = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+      .toSeq.sorted
+    java.util.UUID.nameUUIDFromBytes(
+      parts.mkString("\n").getBytes("UTF-8")).toString
+  }
+
   /** The standard pair table (id_a < id_b, exact jaccard), materialized
-    * once per (session, sfDir). */
+    * once per (session, sfDir, snapshot). */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val key = spark.sparkContext.applicationId + "|" + dir
+    val key = spark.sparkContext.applicationId + "|" + dir + "|" +
+      snapshotFingerprint(dir)
     spark.read.parquet(store.computeIfAbsent(key, _ => write(spark, dir)))
   }
 }
