@@ -34,7 +34,12 @@ object SpanDedup {
 
   /** One row per distinct (doc, span-hash): the sliding windows.
     * Short docs (< spanLen tokens) contribute nothing — the `when` guard
-    * also dodges Spark's descending `sequence(1, n)` for n < 1. */
+    * also dodges Spark's descending `sequence(1, n)` for n < 1.
+    * The per-doc dedup happens MAP-SIDE (`array_distinct` on the hash
+    * array before explode): the alternative — a row-level `.distinct()`
+    * after explode — shuffles every span OCCURRENCE on (doc, hash), a
+    * full-width exchange this stage doesn't need (it cost q87 half its
+    * 10×-docs wall in SCALING_r6). */
   def docSpans(docs: DataFrame, idCol: String, textCol: String,
                spanLen: Int): DataFrame = {
     val t = toks(col(textCol))
@@ -42,9 +47,9 @@ object SpanDedup {
         transform(sequence(lit(1), size(t) - (spanLen - 1)),
           i => concat_ws(" ", slice(t, i, lit(spanLen)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(spans).as("__span"))
-      .select(col(idCol), xxhash64(col("__span")).as("span_hash"))
-      .distinct()
+    docs.select(col(idCol),
+      explode(array_distinct(transform(spans, s => xxhash64(s))))
+        .as("span_hash"))
   }
 
   /**

@@ -105,8 +105,13 @@ object TextPipelineQueries {
     * in ≥ 5 distinct documents with their document frequency — the
     * phrase-granularity twin of [[Cleaning.boilerplateLines]] (the corpus
     * has no newlines, so the line dictionary is degenerate here; the specs
-    * cover the line path on synthetic multi-line docs). Explode →
-    * distinct → count: linear, never pairwise. */
+    * cover the line path on synthetic multi-line docs). Per-document
+    * dedup happens MAP-SIDE (`array_distinct` on the trigram array before
+    * explode), so the only shuffle is the phrase count with map-side
+    * combine — the previous row-level `.distinct()` shuffled every
+    * trigram OCCURRENCE on (doc_id, phrase) first, a second full-width
+    * exchange that dominated the 10×-docs wall (SCALING_r6 measured
+    * 10.5×). Linear, never pairwise. */
   def q54Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"),
       t => length(t) > 0)
@@ -118,8 +123,7 @@ object TextPipelineQueries {
         i => concat_ws(" ", slice(toks, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tri).as("phrase"))
-      .distinct()
+      .select(explode(array_distinct(tri)).as("phrase"))
       .groupBy(col("phrase")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 5)
       .orderBy(col("n_docs").desc, col("phrase"))
