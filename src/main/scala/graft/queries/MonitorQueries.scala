@@ -219,4 +219,58 @@ object MonitorQueries {
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94
       |ORDER BY key_a, key_b""".stripMargin
+
+  // one zoned-layout write per (session, corpus) — the q112/PairStore
+  // materialized-artifact pattern; the layout is the stored table, the
+  // query is the steady-state read
+  private val zonedStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zonedPath(spark: SparkSession, dir: String): String =
+    zonedStore.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir,
+      _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-zoned").toString
+        graft.sources.ZonedCorpus.write(
+          Tables.documents(spark, dir), tmp,
+          expr("n_chars DIV 64"), Seq("doc_id", "n_chars"))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+              .iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists)
+          } catch { case _: Throwable => () }
+        }))
+        tmp
+      })
+
+  /** q150 — zone-map-pruned scan through the custom DataSourceV2
+    * connector ([[graft.sources.ZonedSource]]): documents re-laid-out
+    * into n_chars zones of 64 (one-time artifact, session-memoized like
+    * q112's buckets), then the steady-state read — a length-band slice
+    * aggregated per source — planned through the manifest so only the
+    * 2 overlapping zones of 9 are ever opened (ZonedSourceSpec asserts
+    * the partition count; this gate asserts the rows). The oracle reads
+    * the ORIGINAL parquet — a pruning bug that drops or duplicates rows
+    * cannot hash-match. */
+  def q150ZonedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.ZonedSource")
+      .load(zonedPath(spark, dir))
+      .filter(col("n_chars") >= 256L && col("n_chars") <= 320L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+
+  val q150Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents
+      |WHERE n_chars >= 256 AND n_chars <= 320
+      |GROUP BY source ORDER BY source""".stripMargin
 }

