@@ -273,4 +273,263 @@ object MonitorQueries {
       |FROM documents
       |WHERE n_chars >= 256 AND n_chars <= 320
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q151 — the first 3 BPE merge rounds (Sennrich et al. '16) over the
+    * corpus vocabulary: per round, the most frequent adjacent symbol
+    * pair (weighted by word frequency, ties to the lexicographically
+    * smallest pair) is merged leftmost-non-overlapping into the vocab
+    * and the count table rebuilt. 100 TB shape: ONE corpus-scale hash
+    * agg reduces text to the (word, freq) vocab; every round after that
+    * runs on vocab rows (bounded by the token vocabulary, not the
+    * corpus) with a single-row driver fetch per round — the exact
+    * structure of production BPE trainers. The merge application is an
+    * exact array fold; the oracle reaches the same fold via two
+    * delimiter-sentinel string-replace passes (pass 1 takes every other
+    * occurrence in a contiguous run — the consumed-boundary case —
+    * pass 2 the rest). */
+  def q151BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      t => length(t) > 0)
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
+      .persist()
+    try {
+      var v = vocab0
+      val winners = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to 3) {
+        // sequence(1, n) DESCENDS for n < 1 (the q54 trap) — guard
+        // single-symbol words to an empty pair array
+        val pairs = v.select(col("freq"),
+            explode(when(size(col("syms")) >= 2,
+              transform(sequence(lit(1), size(col("syms")) - 1),
+                i => struct(element_at(col("syms"), i).as("a"),
+                  element_at(col("syms"), i + 1).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>")))
+              .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        // bounded driver fetch: ONE row (the argmax) per round
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) =
+          (top.getString(0), top.getString(1), top.getLong(2))
+        winners += ((step, a, b, cnt))
+        val merged = a + b
+        v = v.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(s)))).as("syms"), col("freq"))
+      }
+      winners.result()
+        .toDF("step", "sym_a", "sym_b", "pair_count")
+        .orderBy(col("step"))
+    } finally vocab0.unpersist(blocking = false)
+  }
+
+  val q151Sql: String = {
+    // one round of CTEs: pairs of roundN-1's vocab, argmax, merge applied
+    def round(n: Int, prev: String): String =
+      s"""p$n AS (
+         |  SELECT l[g] AS a, l[g + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, UNNEST(generate_series(1, len(l) - 1)) AS u(g)
+         |  GROUP BY 1, 2),
+         |m$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$n AS (
+         |  SELECT list_filter(string_split(replace(replace(
+         |      ' ' || array_to_string(l, ' ') || ' ',
+         |      ' ' || m$n.a || ' ' || m$n.b || ' ',
+         |      ' ' || m$n.a || m$n.b || ' '),
+         |      ' ' || m$n.a || ' ' || m$n.b || ' ',
+         |      ' ' || m$n.a || m$n.b || ' '), ' '),
+         |      x -> x <> '') AS l, freq
+         |  FROM $prev CROSS JOIN m$n)""".stripMargin
+    """WITH w AS (
+      |  SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '[^a-z]+'),
+      |      x -> x <> '')) AS t FROM documents)
+      |  GROUP BY 1),
+      |v0 AS (
+      |  SELECT list_transform(range(length(w)), i -> w[i + 1]) AS l, freq
+      |  FROM w),
+      |""".stripMargin +
+      round(1, "v0") + ",\n" + round(2, "v1") + ",\n" + round(3, "v2") +
+      """
+        |SELECT CAST(1 AS INTEGER) AS step, a AS sym_a, b AS sym_b,
+        |  cnt AS pair_count FROM m1
+        |UNION ALL SELECT 2, a, b, cnt FROM m2
+        |UNION ALL SELECT 3, a, b, cnt FROM m3
+        |ORDER BY step""".stripMargin
+  }
+
+  /** q152 — merged-interval coverage per user (the classic
+    * gaps-and-islands reduction): each event opens a 90-second
+    * activity window; overlapping windows merge, and the query reports
+    * islands and total covered time in EXACT microseconds. One
+    * partitioned sort feeds both windows; arithmetic never leaves
+    * BIGINT epoch-micros. */
+  def q152IntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(win.rowsBetween(Long.MinValue, -1))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + 90L * 1000000L)
+      .withColumn("new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(win.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q152Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 90000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS island
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q153 — token-concentration (Simpson index) quality gate: per doc,
+    * Σc² over token counts c against n² total-pairs — the
+    * degenerate-repetition alarm — stated as exact integers (the IEEE
+    * entropy variant can't hash-gate; the concentration index can).
+    * The per-doc count happens MAP-SIDE: sort the token array, fold
+    * counting runs (zero shuffle — the q54 lesson as an array
+    * aggregate); one tiny per-source agg follows. Flagged docs have
+    * concentration ≥ 1/4 (4·Σc² ≥ n²). */
+  def q153TokenConcentration(spark: SparkSession,
+                             dir: String): DataFrame = {
+    val toksSorted = array_sort(filter(split(lower(col("text")),
+      "[^a-z]+"), t => length(t) > 0))
+    val emptyState = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("ss"))
+    val ss = aggregate(toksSorted, emptyState,
+      (acc, t) => when(t === acc.getField("prev"),
+          struct(t.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("ss").as("ss")))
+        .otherwise(struct(t.as("prev"), lit(1L).as("run"),
+          (acc.getField("ss") +
+            acc.getField("run") * acc.getField("run")).as("ss"))),
+      acc => acc.getField("ss") +
+        acc.getField("run") * acc.getField("run"))
+    Tables.documents(spark, dir)
+      .select(col("source"), size(toksSorted).cast("long").as("n"),
+        ss.as("ss"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ss")).as("sum_ss"),
+        sum(col("n") * col("n")).as("sum_n2"),
+        sum(when(lit(4L) * col("ss") >= col("n") * col("n") &&
+          col("n") > 0L, 1L).otherwise(0L)).as("n_concentrated"))
+      .orderBy(col("source"))
+  }
+
+  val q153Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> x <> '')) AS t
+      |  FROM documents),
+      |c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS ss,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM c GROUP BY 1)
+      |SELECT doc.source, count(*) AS n_docs,
+      |  CAST(sum(coalesce(d.ss, 0)) AS BIGINT) AS sum_ss,
+      |  CAST(sum(coalesce(d.n, 0) * coalesce(d.n, 0)) AS BIGINT)
+      |    AS sum_n2,
+      |  CAST(sum(CASE WHEN 4 * coalesce(d.ss, 0) >=
+      |      coalesce(d.n, 0) * coalesce(d.n, 0)
+      |      AND coalesce(d.n, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_concentrated
+      |FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q154 — one EXACT Lloyd (k-means) step on the embeddings: vectors
+    * fixed-pointed to integers (round(x·2¹⁵) — ×2¹⁵ is exact in IEEE, so
+    * both engines round the same double), assigned to the k=8 seed
+    * centroids (vec_id 0..7) by exact integer squared distance (ties to
+    * the lowest centroid), and the NEW centroids reported as exact sums
+    * (n_members + Σq component checksums) — the update step before the
+    * one division k-means ever needs. Assignment is map-side (the 8
+    * centroids broadcast); one hash agg follows — the canonical
+    * distributed-k-means round shape. */
+  def q154LloydStep(spark: SparkSession, dir: String): DataFrame = {
+    val quant = transform(col("embedding"),
+      x => round(x.cast("double") * 32768).cast("long"))
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant.as("q"))
+    val cents = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val d2 = aggregate(
+      zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val best = pts.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(d2.as("d2"), col("cid").as("cid"))
+        .as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).getField("cid").as("cluster"))
+    best.join(pts, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+          .as("sum_q"),
+        sum(element_at(col("q"), 1)).as("sum_q0"),
+        sum(aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+          .as("sum_q2"))
+      .orderBy(col("cluster"))
+  }
+
+  val q154Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 32768) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, q AS cq FROM q WHERE vec_id < 8),
+      |d AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(range(64),
+      |      i -> (q.q[i + 1] - c.cq[i + 1]) * (q.q[i + 1] - c.cq[i + 1])))
+      |      AS BIGINT) AS d2
+      |  FROM q CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d),
+      |j AS (SELECT a.cid, q.q FROM a JOIN q USING (vec_id) WHERE rn = 1)
+      |SELECT cid AS cluster, count(*) AS n_members,
+      |  CAST(sum(CAST(list_sum(q) AS BIGINT)) AS BIGINT) AS sum_q,
+      |  CAST(sum(q[1]) AS BIGINT) AS sum_q0,
+      |  CAST(sum(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT))
+      |    AS BIGINT) AS sum_q2
+      |FROM j GROUP BY cid ORDER BY cluster""".stripMargin
 }
