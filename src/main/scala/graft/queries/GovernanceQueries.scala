@@ -299,4 +299,54 @@ object GovernanceQueries {
       |FROM cum CROSS JOIN totals
       |GROUP BY n1, n2
       |ORDER BY n1""".stripMargin
+
+  /** q155 — per-node triangle census over the near-dup graph: exact
+    * triangle membership counts (the local clustering signal — a node in
+    * many triangles sits inside a DENSE duplication pocket, not a chain
+    * of borderline pairs). Edges come from the shared [[PairStore]];
+    * triangles enumerate canonically (a < b < c) as wedge-join +
+    * closing-edge semi-check — two hash joins on the pair table, never
+    * a cube. Every count integer; oracle recomputes from the
+    * brute-force pair scan. */
+  def q155TriangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = PairStore.nearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val wedges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(pairs.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+    val tri = wedges.join(
+      pairs.select(col("id_a").as("a"), col("id_b").as("c")),
+      Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+      |         ELSE list_transform(range(len(words) - 1), i -> words[i+1] || ' ' || words[i+2])
+      |    END) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |        FROM documents)),
+      |sz AS (SELECT id, s, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sz a JOIN sz b
+      |    ON a.id < b.id
+      |   AND least(a.n, b.n) * 2 >= greatest(a.n, b.n)
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5),
+      |tri AS (
+      |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e1.id_b = e2.id_a
+      |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+      |nodes AS (
+      |  SELECT a AS doc_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT doc_id, count(*) AS n_triangles
+      |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DataQuality, Trend, ZoneMap}
+import graft.ops.{CacheScope, DataQuality, Trend, ZoneMap}
 
 /**
  * q144-q149 — the statistical-monitoring tier: trend/changepoint/
@@ -532,4 +532,130 @@ object MonitorQueries {
       |  CAST(sum(CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT))
       |    AS BIGINT) AS sum_q2
       |FROM j GROUP BY cid ORDER BY cluster""".stripMargin
+
+  /** q156 — source vocabulary-overlap matrix: for every source pair, the
+    * exact distinct-token intersection and both vocabulary sizes, plus
+    * the overlap coefficient as one final division — the "are these two
+    * crawls the same corpus" provenance signal at SOURCE granularity
+    * (q126 gives it at document granularity). The (source, token)
+    * reduce is a hash aggregate whose key space is sources × vocabulary
+    * — bounded by the LANGUAGE, not the corpus — and the self-join runs
+    * on that reduced table. */
+  def q156VocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      t => length(t) > 0)
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(array_distinct(toks)).as("t"))
+      .distinct()
+    CacheScope.withStages(st) {
+      val sizes = st.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"))
+      val inter = st.select(col("source").as("source_a"), col("t"))
+        .join(st.select(col("source").as("source_b"), col("t")), "t")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      CacheScope.pin(inter
+        .join(sizes.select(col("source").as("source_a"),
+          col("vocab").as("vocab_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"),
+          col("vocab").as("vocab_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("vocab_a"),
+          col("vocab_b"), col("inter"),
+          (col("inter").cast("double") /
+            least(col("vocab_a"), col("vocab_b")).cast("double"))
+            .as("overlap_coef"))
+        .orderBy(col("source_a"), col("source_b")))
+    }
+  }
+
+  val q156Sql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> x <> '')) AS t
+      |  FROM documents),
+      |sz AS (SELECT source, count(*) AS vocab FROM st GROUP BY source),
+      |iv AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS inter
+      |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  za.vocab AS vocab_a, zb.vocab AS vocab_b, inter,
+      |  CAST(inter AS DOUBLE) / CAST(least(za.vocab, zb.vocab) AS DOUBLE)
+      |    AS overlap_coef
+      |FROM iv
+      |JOIN sz za ON iv.source_a = za.source
+      |JOIN sz zb ON iv.source_b = zb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** q157 — cumulative-distinct growth curve: per day, NEW users (first
+    * ever appearance) and the exact running distinct-user total — the
+    * audience/corpus growth report. A running COUNT(DISTINCT) is
+    * unbounded state done naively; reduced to first-appearance day it is
+    * one user-keyed hash agg + a cumulative window over ≤ days rows
+    * (bounded by the calendar, the q143 argument). */
+  def q157DistinctGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(Long.MinValue, 0)
+    firstDay
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val q157Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  /** q158 — deterministic systematic sample by cumulative weight: order
+    * the corpus by doc_id, lay documents along the exact n_chars prefix
+    * sum, and select every document whose interval contains a multiple
+    * of step = total DIV 50 — the classic probability-proportional-to-
+    * size systematic design, with ZERO randomness state (reproducible
+    * from the data alone). The prefix sum is [[graft.ops.Packing]]'s
+    * two-phase distributed scan (no single-reducer window); the oracle
+    * is the naive global-window plan in DuckDB. Selection arithmetic is
+    * all-integer: first multiple ≥ start is ((start+step−1) DIV
+    * step)·step, selected iff it lands before start+weight. */
+  def q158SystematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val total = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    val step = math.max(1L, total / 50L)
+    graft.ops.Packing.packByBudget(docs, col("n_chars"), budget = step,
+        col("doc_id"))
+      .filter(expr(s"((running_start + ${step}L - 1) DIV ${step}L) " +
+        s"* ${step}L < running_start + n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("running_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q158Sql: String =
+    """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
+      |           FROM documents),
+      |s AS (SELECT greatest(1, total // 50) AS step FROM t),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS running_start
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, running_start
+      |FROM r CROSS JOIN s
+      |WHERE ((running_start + step - 1) // step) * step
+      |      < running_start + n_chars
+      |ORDER BY doc_id""".stripMargin
 }
