@@ -643,6 +643,78 @@ object MonitorQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q159 — language-model scoring of a held-out slice: a Kneser-Ney
+    * bigram model ([[graft.ops.NgramLm]], the q91 estimator) trains on
+    * every source EXCEPT src0, and each src0 document is scored over its
+    * bigram occurrences — the perplexity-filtering pass of a data
+    * pipeline, stated hash-gateably: each bigram's pkn is the gated
+    * fixed IEEE sequence, fixed-pointed per bigram (floor(pkn·10⁹) — one
+    * more shared IEEE op), so the per-doc SCORE is an exact integer sum,
+    * immune to float summation order. OOV bigrams are counted, not
+    * scored. Model is |V|²-bounded → broadcast; scoring is map-side. */
+  def q159LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.ops.NgramLm
+      .kneserNeyBigrams(docs.filter(col("source") =!= "src0"), "text")
+      .select(col("w1"), col("w2"),
+        floor(col("pkn") * 1e9).cast("long").as("p_fp"))
+    val t = filter(split(lower(col("text")), "[^a-z]+"),
+      x => length(x) > 0)
+    val bi = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    docs.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(bi).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(broadcast(model), Seq("w1", "w2"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_fp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("p_fp"), lit(0L))).as("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q159Sql: String =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> length(x) > 0) AS toks
+      |  FROM documents WHERE source <> 'src0'),
+      |bi AS (
+      |  SELECT toks[g] AS w1, toks[g+1] AS w2
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(g)
+      |  WHERE len(toks) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |byw1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_w1
+      |  FROM c12 GROUP BY w1),
+      |byw2 AS (SELECT w2, count(*) AS n1p_cont FROM c12 GROUP BY w2),
+      |tot AS (SELECT count(*) AS n1p_total FROM c12),
+      |model AS (
+      |  SELECT w1, w2,
+      |    CAST(floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+      |        / CAST(c1 AS DOUBLE)
+      |      + (0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+      |        * (CAST(n1p_cont AS DOUBLE) / CAST(n1p_total AS DOUBLE)))
+      |      * 1e9) AS BIGINT) AS p_fp
+      |  FROM c12 JOIN byw1 USING (w1) JOIN byw2 USING (w2)
+      |  CROSS JOIN tot),
+      |ev AS (
+      |  SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+      |            x -> length(x) > 0) AS toks
+      |        FROM documents WHERE source = 'src0') e,
+      |    UNNEST(generate_series(1, len(toks) - 1)) AS u(g)
+      |  WHERE len(toks) >= 2)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN p_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(sum(coalesce(p_fp, 0)) AS BIGINT) AS score_fp
+      |FROM ev LEFT JOIN model USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val q158Sql: String =
     """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
       |           FROM documents),
