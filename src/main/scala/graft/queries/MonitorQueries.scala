@@ -297,39 +297,10 @@ object MonitorQueries {
       .select(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("syms"), col("freq"))
       .persist()
-    try {
-      var v = vocab0
-      val winners = Seq.newBuilder[(Int, String, String, Long)]
-      for (step <- 1 to 3) {
-        // sequence(1, n) DESCENDS for n < 1 (the q54 trap) — guard
-        // single-symbol words to an empty pair array
-        val pairs = v.select(col("freq"),
-            explode(when(size(col("syms")) >= 2,
-              transform(sequence(lit(1), size(col("syms")) - 1),
-                i => struct(element_at(col("syms"), i).as("a"),
-                  element_at(col("syms"), i + 1).as("b"))))
-              .otherwise(array().cast("array<struct<a:string,b:string>>")))
-              .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-        // bounded driver fetch: ONE row (the argmax) per round
-        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b, cnt) =
-          (top.getString(0), top.getString(1), top.getLong(2))
-        winners += ((step, a, b, cnt))
-        val merged = a + b
-        v = v.select(aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, s) => when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && s === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-            .otherwise(concat(acc, array(s)))).as("syms"), col("freq"))
-      }
-      winners.result()
-        .toDF("step", "sym_a", "sym_b", "pair_count")
-        .orderBy(col("step"))
-    } finally vocab0.unpersist(blocking = false)
+    try graft.ops.Bpe.mergeRounds(vocab0, k = 3)
+      .toDF("step", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("step"))
+    finally vocab0.unpersist(blocking = false)
   }
 
   val q151Sql: String = {
