@@ -686,6 +686,103 @@ object MonitorQueries {
       |FROM ev LEFT JOIN model USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q160 — late-event watermark accounting (the batch twin of
+    * Structured Streaming's watermark bookkeeping): events arrive in
+    * event_id order; an event is LATE if its event time trails the
+    * high-water mark of everything that arrived before it by more than
+    * the 10-minute allowed lateness — exactly the rows a watermarked
+    * streaming agg would drop. Reported per event-time day: events,
+    * late events, max lateness (exact micros). The running maximum over
+    * the GLOBAL arrival order is [[graft.ops.PrefixScan]]'s two-phase
+    * scan — the naive `max OVER (ORDER BY …)` single-reducer window is
+    * the oracle's job, not the engine's. */
+  def q160WatermarkAccounting(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("ts_us"))
+    val scanned = graft.ops.PrefixScan.exclusiveRunningMax(
+      ev, col("ts_us"), "hwm_us", col("event_id"))
+    val lateness = col("hwm_us") - lit(600L * 1000000L) - col("ts_us")
+    scanned
+      .withColumn("late_us",
+        when(col("hwm_us").isNotNull && lateness > 0L, lateness)
+          .otherwise(lit(0L)))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("day"))
+  }
+
+  val q160Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |h AS (
+      |  SELECT day, ts_us,
+      |    max(ts_us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+      |  FROM e),
+      |l AS (
+      |  SELECT day,
+      |    CASE WHEN hwm_us IS NOT NULL
+      |        AND hwm_us - 600000000 - ts_us > 0
+      |      THEN hwm_us - 600000000 - ts_us ELSE 0 END AS late_us
+      |  FROM h)
+      |SELECT day, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us
+      |FROM l GROUP BY day ORDER BY day""".stripMargin
+
+  /** q161 — exact weighted (lower) median: per return flag, the
+    * smallest price-in-cents whose cumulative quantity reaches half the
+    * flag's total — all-integer (2·cum ≥ total avoids the division),
+    * fixed-pointed cents, one partitioned sort over values that already
+    * hash-cluster by flag. The robust "typical price" statistic
+    * percentile_cont's interpolation can't state exactly. */
+  def q161WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val qty = round(col("l_quantity")).cast("long")
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("w"))
+    val byFlag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Long.MinValue, 0)
+    base
+      .withColumn("total", sum(col("w")).over(byFlag))
+      .withColumn("cw", sum(col("w")).over(cum))
+      .filter(col("cw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"),
+        max(col("total")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q161Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, cents, w,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+      |      AS total,
+      |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cw
+      |  FROM b)
+      |SELECT l_returnflag, min(cents) AS median_cents,
+      |  max(total) AS total_qty
+      |FROM c WHERE cw * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q158Sql: String =
     """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
       |           FROM documents),
