@@ -22,6 +22,49 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /**
+   * The all-pairs KS drift MATRIX over every group of `groupCol`: one
+   * row per unordered group pair (g_a < g_b) with (n_a, n_b, ks_scaled,
+   * ks) — the monitor a multi-source corpus runs to find the odd crawl
+   * out. Build: per-group empirical CDF over the GLOBAL distinct-value
+   * grid (groups × values rows, both bounded domains — the group-fill
+   * window runs per group, never globally), then one self-equi-join on
+   * the value and a max per pair. Everything before the final division
+   * is integer.
+   */
+  def ksDriftMatrix(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    // dense (group × value) grid so every group has a CDF point at every
+    // observed value: groups × distinct-values rows — domain-bounded
+    val grid = counts.select(col("g")).distinct()
+      .crossJoin(counts.select(col("v")).distinct())
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("g"))
+    val cdf = grid.join(counts, Seq("g", "v"), "left_outer")
+      .withColumn("f", sum(coalesce(col("c"), lit(0L))).over(cum))
+      .withColumn("n", sum(coalesce(col("c"), lit(0L))).over(tot))
+      .select(col("g"), col("v"), col("f"), col("n"))
+    val a = cdf.select(col("g").as("g_a"), col("v"),
+      col("f").as("f_a"), col("n").as("n_a"))
+    val b = cdf.select(col("g").as("g_b"), col("v"),
+      col("f").as("f_b"), col("n").as("n_b"))
+    a.join(b, "v")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("f_a") * col("n_b") - col("f_b") * col("n_a")))
+          .cast("long").as("ks_scaled"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("ks_scaled"),
+        (col("ks_scaled").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /**
    * One row: (n1, n2, ks_scaled, ks) for cohorts `groupA` vs `groupB` of
    * `groupCol`, comparing the distribution of `valueCol`. `ks_scaled` is
    * the exact integer D·n₁·n₂; `ks` the usual statistic in [0, 1].

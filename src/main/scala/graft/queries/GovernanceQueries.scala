@@ -349,4 +349,41 @@ object GovernanceQueries {
       |  UNION ALL SELECT c FROM tri)
       |SELECT doc_id, count(*) AS n_triangles
       |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q163 — all-pairs KS drift matrix ([[graft.ops.Drift.ksDriftMatrix]])
+    * over every source's document-length distribution: the
+    * find-the-odd-crawl-out monitor, 190 exact statistics from ONE
+    * dense (source × length) CDF grid + a value-keyed self-join —
+    * never a per-pair scan of the data. Integer to the final
+    * division. */
+  def q163KsMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.ksDriftMatrix(Tables.documents(spark, dir),
+        "source", "n_chars")
+      .orderBy(col("g_a"), col("g_b"))
+
+  val q163Sql: String =
+    """WITH counts AS (
+      |  SELECT source AS g, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, v FROM (SELECT DISTINCT g FROM counts)
+      |  CROSS JOIN (SELECT DISTINCT v FROM counts)),
+      |cdf AS (
+      |  SELECT grid.g, grid.v,
+      |    CAST(sum(coalesce(c, 0)) OVER (PARTITION BY grid.g
+      |      ORDER BY grid.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS f,
+      |    CAST(sum(coalesce(c, 0)) OVER (PARTITION BY grid.g)
+      |      AS BIGINT) AS n
+      |  FROM grid LEFT JOIN counts
+      |    ON grid.g = counts.g AND grid.v = counts.v)
+      |SELECT a.g AS g_a, b.g AS g_b,
+      |  max(a.n) AS n_a, max(b.n) AS n_b,
+      |  CAST(max(abs(a.f * b.n - b.f * a.n)) AS BIGINT) AS ks_scaled,
+      |  CAST(max(abs(a.f * b.n - b.f * a.n)) AS DOUBLE)
+      |    / CAST(max(a.n) * max(b.n) AS DOUBLE) AS ks
+      |FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+      |GROUP BY 1, 2
+      |ORDER BY g_a, g_b""".stripMargin
 }

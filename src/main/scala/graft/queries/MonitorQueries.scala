@@ -783,6 +783,46 @@ object MonitorQueries {
       |FROM c WHERE cw * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q162 — 2-D Pareto frontier (skyline) of lineitem on (price ↑,
+    * quantity ↑): the rows no other row dominates on both axes. Reduced
+    * to integers-only in two moves: collapse to the per-price max
+    * quantity (one hash agg — the only corpus-scale pass), then keep a
+    * price point iff its max quantity strictly beats everything at any
+    * HIGHER price — an exclusive running max over the price-descending
+    * total order, [[graft.ops.PrefixScan]] again (the naive global
+    * window is the oracle's plan). Output size is the frontier, tiny by
+    * construction. */
+  def q162ParetoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val qty = round(col("l_quantity")).cast("long")
+    val best = Tables.lineitem(spark, dir)
+      .select(cents.as("cents"), qty.as("qty"))
+      .groupBy(col("cents")).agg(max(col("qty")).as("max_qty"))
+      .withColumn("neg_cents", -col("cents"))
+    graft.ops.PrefixScan.exclusiveRunningMax(
+        best, col("max_qty"), "qty_above", col("neg_cents"))
+      .filter(col("qty_above").isNull ||
+        col("max_qty") > col("qty_above"))
+      .select(col("cents"), col("max_qty"))
+      .orderBy(col("cents").desc)
+  }
+
+  val q162Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(max(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+      |      AS max_qty
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT cents, max_qty,
+      |    max(max_qty) OVER (ORDER BY cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS qty_above
+      |  FROM b)
+      |SELECT cents, max_qty FROM r
+      |WHERE qty_above IS NULL OR max_qty > qty_above
+      |ORDER BY cents DESC""".stripMargin
+
   val q158Sql: String =
     """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
       |           FROM documents),

@@ -45,4 +45,23 @@ class DriftSpec extends SparkSpec {
     val (_, _, s, _) = run(("a", 5L), ("a", 5L), ("a", 5L), ("b", 5L))
     assert(s === 0L)
   }
+
+  test("ksDriftMatrix pairs agree with pairwise ksDrift") {
+    val rnd = new scala.util.Random(17)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to 40
+    } yield (g, rnd.nextInt(g.hashCode % 7 + 10).toLong)
+    val df = rows.toDF("g", "v")
+    val matrix = Drift.ksDriftMatrix(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(matrix.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for (((ga, gb), (na, nb, ks)) <- matrix) {
+      val ref = Drift.ksDrift(df, "g", "v", ga, gb).collect().head
+      assert((na, nb, ks) ===
+        ((ref.getLong(0), ref.getLong(1), ref.getLong(2))),
+        s"pair ($ga, $gb)")
+    }
+  }
 }
