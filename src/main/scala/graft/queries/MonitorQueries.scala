@@ -823,6 +823,43 @@ object MonitorQueries {
       |WHERE qty_above IS NULL OR max_qty > qty_above
       |ORDER BY cents DESC""".stripMargin
 
+  /** q164 — small-zone compaction planning (the OPTIMIZE scheduler of a
+    * lakehouse maintenance loop): from the zone-stats table (metadata,
+    * [[ZoneMap.zoneStats]] over n_chars-band zones), pick every zone
+    * under the 400-row small-file threshold and pack the picks into
+    * compaction batches of ≤ 1000 rows in zone order —
+    * [[graft.ops.Packing]]'s streaming-packer rule on METADATA rows (the
+    * corpus never re-scans; the plan is what an executor service would
+    * consume). Output: zone, rows, its batch id, and the batch's
+    * running start. */
+  def q164CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val stats = ZoneMap.zoneStats(
+      Tables.documents(spark, dir), expr("n_chars DIV 64"),
+      Seq("doc_id" -> col("doc_id")))
+    val small = stats.filter(col("n_rows") < 400L)
+      .select(col("zone"), col("n_rows"))
+    graft.ops.Packing.packByBudget(small, col("n_rows"), budget = 1000L,
+        col("zone"))
+      .select(col("zone"), col("n_rows"), col("running_start"),
+        col("shard_id").as("compaction_group"))
+      .orderBy(col("zone"))
+  }
+
+  val q164Sql: String =
+    """WITH s AS (
+      |  SELECT n_chars // 64 AS zone, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY 1),
+      |small AS (SELECT zone, n_rows FROM s WHERE n_rows < 400),
+      |r AS (
+      |  SELECT zone, n_rows,
+      |    CAST(coalesce(sum(n_rows) OVER (ORDER BY zone
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS running_start
+      |  FROM small)
+      |SELECT zone, n_rows, running_start,
+      |  CAST(running_start // 1000 AS BIGINT) AS compaction_group
+      |FROM r ORDER BY zone""".stripMargin
+
   val q158Sql: String =
     """WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
       |           FROM documents),
