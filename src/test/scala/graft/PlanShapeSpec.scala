@@ -45,6 +45,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(plan).length === 1, plan.take(1500))
   }
 
+  test("q150's zoned scan plans ONLY the zones the filter can touch") {
+    // the ZonedScan.description reports survivors/total; AQE hides the
+    // BatchScanExec node from a pre-execution collect, but the explain
+    // text carries the scan description either way
+    val q = queries.MonitorQueries.q150ZonedScan(spark, dir)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExtendedMode)
+    // n_chars 47..558 → 9 zones of 64; the [256, 320] band overlaps 2
+    assert(plan.contains("zones=2/9"), plan.take(2000))
+  }
+
+  test("q154's centroid join and q159's model join broadcast the small side") {
+    val p154 = queries.MonitorQueries.q154LloydStep(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p154.contains("BroadcastNestedLoopJoin"), p154.take(1500))
+    val p159 = queries.MonitorQueries.q159LmScore(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p159.contains("BroadcastHashJoin"), p159.take(1500))
+    assert(!p159.contains("SortMergeJoin"), p159.take(1500))
+  }
+
   test("filters and pruning reach the parquet scan through Tables.spread") {
     val q = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45)
