@@ -53,11 +53,14 @@ object PairStore {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir, "documents.parquet")
     if (!java.nio.file.Files.exists(root)) return "absent"
-    val parts = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-      .toSeq.sorted
+    val stream = java.nio.file.Files.walk(root)
+    val parts =
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted
+      finally stream.close()
     java.util.UUID.nameUUIDFromBytes(
       parts.mkString("\n").getBytes("UTF-8")).toString
   }

@@ -158,13 +158,15 @@ private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,
     survivors.map { z =>
       val dir = Paths.get(manifest.root, z.dirName)
       val files =
-        if (Files.isDirectory(dir))
-          Files.list(dir).iterator().asScala
+        if (Files.isDirectory(dir)) {
+          val stream = Files.list(dir)
+          try stream.iterator().asScala
             .filter(p => Files.isRegularFile(p) &&
               !p.getFileName.toString.startsWith("_") &&
               !p.getFileName.toString.startsWith("."))
             .map(_.toString).toArray.sorted
-        else Array.empty[String]
+          finally stream.close()
+        } else Array.empty[String]
       ZonePartition(files): InputPartition
     }.toArray
 
