@@ -96,6 +96,9 @@ object MonitorQueries {
         daily(spark, dir).filter(col("event_type") === "click"),
         Seq(1, 2, 7))
       .withColumnRenamed("lag", "lag_k")
+      // a lag with ZERO calendar pairs yields an all-null aggregate row
+      // in Spark but no group in the oracle's GROUP BY — emit neither
+      .filter(col("n_pairs") > 0)
       .orderBy(col("lag_k"))
 
   val q146Sql: String =
@@ -180,7 +183,7 @@ object MonitorQueries {
 
   val q148Sql: String =
     """WITH d AS (
-      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+      |  SELECT TRY_CAST(substr(CAST(CAST(round(l_extendedprice * 100)
       |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
       |  FROM lineitem),
       |g AS (
