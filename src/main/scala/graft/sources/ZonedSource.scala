@@ -311,4 +311,62 @@ object ZonedCorpus {
       ((schemaLine +: zoneLines).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
   }
+
+  /**
+   * EXECUTE a compaction plan (the q164 shape: zone dir name →
+   * compaction group): members of each group move into one merged
+   * `__compact=<group>` zone whose manifest stats are the member-wise
+   * min/max (so pruning stays exactly as selective as the union of the
+   * members), all other zones keep their entries untouched. Pure
+   * METADATA + file moves — no data rewrite, no Spark job; rows and
+   * read results are byte-identical before and after (the spec's
+   * contract). Returns the number of zones removed.
+   */
+  def compact(path: String, plan: Map[String, Long]): Int = {
+    import scala.jdk.CollectionConverters._
+    val m = ZonedManifest.read(path)
+    val (moving, staying) = m.zones.partition(z => plan.contains(z.dirName))
+    if (moving.isEmpty) return 0
+    val merged = moving.groupBy(z => plan(z.dirName)).toSeq.sortBy(_._1)
+      .map { case (group, members) =>
+        val dirName = s"__compact=$group"
+        val target = Paths.get(path, dirName)
+        Files.createDirectories(target)
+        members.foreach { z =>
+          val src = Paths.get(path, z.dirName)
+          val stream = Files.list(src)
+          try stream.iterator().asScala.toSeq.foreach { f =>
+            val name = f.getFileName.toString
+            if (Files.isRegularFile(f) &&
+                !name.startsWith("_") && !name.startsWith("."))
+              // member dirs can carry same-named part files: prefix with
+              // the source zone so moves never collide (prefix must not
+              // start with _/. — the reader skips metadata files)
+              Files.move(f, target.resolve(
+                s"z${z.dirName.replaceAll("[^0-9A-Za-z-]", "-")}-$name"))
+            else Files.deleteIfExists(f) // writer-side .crc/_ metadata
+          }
+          finally stream.close()
+          Files.deleteIfExists(src)
+        }
+        val stats = members.flatMap(_.stats.toSeq)
+          .groupBy(_._1).map { case (c, vs) =>
+            c -> ((vs.map(_._2._1).min, vs.map(_._2._2).max)) }
+        ZonedManifest.Zone(dirName, members.map(_.nRows).sum, stats)
+      }
+    val statColsOrdered = m.zones.headOption
+      .map(_.stats.keys.toSeq.sorted).getOrElse(Nil)
+    val schemaLine = "schema\t" + m.schema.fields
+      .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
+      .mkString(",")
+    val zoneLines = (staying ++ merged).map { z =>
+      val st = statColsOrdered.filter(z.stats.contains).map(c =>
+        s"$c:${z.stats(c)._1}:${z.stats(c)._2}").mkString(",")
+      s"zone\t${z.dirName}\t${z.nRows}\t$st"
+    }
+    Files.write(Paths.get(path, "_zonemap.tsv"),
+      ((schemaLine +: zoneLines).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    moving.size - merged.size
+  }
 }

@@ -85,6 +85,31 @@ class ZonedSourceSpec extends SparkSpec {
     assert(df.as[Long].collect().sum === (0L until 100L).map(_ * 10).sum)
   }
 
+  test("compact: reads are byte-identical, zone count drops, pruning " +
+    "stays correct on merged stats") {
+    val (tmp, df) = writeCorpus()
+    val before = readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    // merge zones 0 and 1 into group 0, zone 2 into group 1; zone 3 stays
+    val removed = ZonedCorpus.compact(tmp, Map(
+      "__zone=0" -> 0L, "__zone=1" -> 0L, "__zone=2" -> 1L))
+    assert(removed === 1) // 3 moved into 2 merged dirs
+    val after = readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    assert(after === before)
+    assert(plannedPartitions(readZoned(tmp)) === 3) // was 4
+    // merged stats keep pruning exact: [500,750) now lives in the
+    // single-member merged zone __compact=1
+    val f = readZoned(tmp).filter(col("n_chars") >= 500L &&
+      col("n_chars") < 750L)
+    assert(plannedPartitions(f) === 1)
+    assert(f.agg(count(lit(1))).as[Long].collect().head === 25L)
+    // a filter inside the wide merged zone scans it but nothing else
+    val g = readZoned(tmp).filter(col("n_chars") < 100L)
+    assert(plannedPartitions(g) === 1)
+    assert(g.agg(count(lit(1))).as[Long].collect().head === 10L)
+  }
+
   test("planning statistics come from the manifest (surviving rows only)") {
     val (tmp, _) = writeCorpus()
     val filtered = readZoned(tmp).filter(col("n_chars") < 250L)
