@@ -291,6 +291,10 @@ object ZonedCorpus {
       .write.partitionBy("__zone")
       .option("sep", "\t").option("nullValue", "\\N")
       .option("emptyValue", "")
+      // the reader is a raw line splitter: disable quoting so a value
+      // containing the quote char can never be written quoted (values
+      // containing tab/newline are outside the layout's contract)
+      .option("quote", "")
       .mode("overwrite").csv(path)
     val aggs = statCols.flatMap(c =>
       Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))) :+
