@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Complex-event-processing primitive: contiguous sequential pattern
+ * matching over per-key ordered event streams — the MATCH_RECOGNIZE /
+ * Flink-CEP capability Spark's declarative surface lacks (a fixed-length
+ * pattern is LEAD/LAG; a Kleene `mid*` pattern is not, because the match
+ * length is data-dependent).
+ *
+ * Shape for 100 TB: ONE hash repartition on the key plus an in-partition
+ * external sort (`sortWithinPartitions` spills; nothing ever materializes
+ * a whole group in memory), then a single forward pass with O(1) matcher
+ * state per stream — the same execution shape as a streaming CEP engine's
+ * keyed state, so the operator scales with executors and is insensitive
+ * to per-key event counts (no `collect_list` of a user's history
+ * anywhere).
+ *
+ * Match semantics (the standard AFTER MATCH SKIP PAST LAST ROW greedy
+ * run): a match is `startType (midType)* endType` CONTIGUOUS in the
+ * key's full stream ordered by (ts, tie) — any other event type breaks
+ * the run; a second `startType` restarts it (the innermost start wins);
+ * matches never overlap because the state resets on emission.
+ */
+object Cep {
+
+  /** Matches of `startType (midType)* endType` per key, bounded by
+    * `maxSpanUs` end-to-end. Output: (key, start_us, end_us, n_mid),
+    * one row per match.
+    *
+    * @param tsUs  event-time column in epoch microseconds (LongType)
+    * @param tie   total-order tiebreak within equal timestamps (LongType,
+    *              e.g. an event id — makes the scan order deterministic)
+    */
+  def funnelMatches(events: DataFrame, keyCol: String, tsUs: Column,
+                    tie: Column, eventType: Column, startType: String,
+                    midType: String, endType: String,
+                    maxSpanUs: Long): DataFrame = {
+    val prepared = events
+      .select(col(keyCol).as("k"), tsUs.as("t"), tie.as("tie"),
+        eventType.as("ty"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+    val keyField = prepared.schema("k")
+    val outSchema = StructType(Seq(
+      StructField(keyCol, keyField.dataType, keyField.nullable),
+      StructField("start_us", LongType, nullable = false),
+      StructField("end_us", LongType, nullable = false),
+      StructField("n_mid", LongType, nullable = false)))
+    prepared.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var curKey: Any = null
+        private var haveKey = false
+        private var pendingStart = -1L // <0 = no open partial match
+        private var midCount = 0L
+        private var nextMatch: Row = null
+
+        private def advance(): Unit = {
+          while (nextMatch == null && rows.hasNext) {
+            val r = rows.next()
+            val k = r.get(0)
+            if (!haveKey || k != curKey) { // new stream: reset state
+              curKey = k; haveKey = true; pendingStart = -1L; midCount = 0L
+            }
+            val t = r.getLong(1)
+            r.getString(3) match {
+              case `startType` => pendingStart = t; midCount = 0L
+              case `midType` if pendingStart >= 0L => midCount += 1L
+              case `endType` if pendingStart >= 0L =>
+                if (t - pendingStart <= maxSpanUs)
+                  nextMatch = Row(k, pendingStart, t, midCount)
+                pendingStart = -1L; midCount = 0L
+              case _ => pendingStart = -1L; midCount = 0L
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); nextMatch != null }
+        override def next(): Row = {
+          advance()
+          val m = nextMatch; nextMatch = null; m
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

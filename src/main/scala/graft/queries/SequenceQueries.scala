@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Cep, PageRank}
+
+/**
+ * q165-q170 — the sequential-analytics + experimentation tier: pattern
+ * matching over per-user event streams ([[graft.ops.Cep]] — the
+ * MATCH_RECOGNIZE capability), graph centrality on the near-dup pair
+ * table ([[graft.ops.PageRank]]), and the A/B-test / time-weighted /
+ * streak / week-over-week reports an event warehouse serves daily —
+ * all stated in exact integer (or decimal) arithmetic so every gate is
+ * a hash gate.
+ */
+object SequenceQueries {
+
+  /** q165 — CEP funnel: every `view (click)* purchase` run per user,
+    * contiguous in the user's event stream ordered by (ts, event_id),
+    * completing within 30 minutes ([[Cep.funnelMatches]]). A
+    * data-dependent-length pattern is beyond LEAD/LAG — this is the
+    * sequential operator, one key shuffle + one O(1)-state forward scan.
+    * The oracle reaches the same matches declaratively: for each
+    * purchase row, the maximal click-run ending immediately before it,
+    * with the row before that run required to be a view. */
+  def q165CepFunnel(spark: SparkSession, dir: String): DataFrame =
+    Cep.funnelMatches(Tables.events(spark, dir), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("event_type"),
+        startType = "view", midType = "click", endType = "purchase",
+        maxSpanUs = 30L * 60L * 1000000L)
+      .withColumnRenamed("n_mid", "n_clicks")
+      .orderBy(col("user_id"), col("start_us"), col("end_us"))
+
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT *, rn - row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY rn) AS grp
+      |  FROM e),
+      |cr AS (
+      |  SELECT user_id, max(rn) AS rn_hi, CAST(count(*) AS BIGINT) AS len
+      |  FROM g WHERE event_type = 'click' GROUP BY user_id, grp),
+      |p AS (
+      |  SELECT e.user_id, e.rn, e.t AS end_us,
+      |    coalesce(cr.len, 0) AS n_clicks
+      |  FROM e LEFT JOIN cr
+      |    ON cr.user_id = e.user_id AND cr.rn_hi = e.rn - 1
+      |  WHERE e.event_type = 'purchase')
+      |SELECT p.user_id, v.t AS start_us, p.end_us,
+      |  CAST(p.n_clicks AS BIGINT) AS n_clicks
+      |FROM p JOIN e v
+      |  ON v.user_id = p.user_id AND v.rn = p.rn - 1 - p.n_clicks
+      | AND v.event_type = 'view'
+      |WHERE p.end_us - v.t <= 1800000000
+      |ORDER BY p.user_id, start_us, end_us""".stripMargin
+
+  /** q166 — fixed-point PageRank (k = 3 rounds, d = 0.85, scale 10¹²)
+    * over the standard near-dup pair table ([[PairStore]] — its seventh
+    * consumer): which documents are the CENTERS of duplication clusters.
+    * All-integer power iteration ([[PageRank.fixedPoint]]); the oracle
+    * recomputes the pairs brute-force and unrolls the same three rounds
+    * in `//` floor arithmetic. */
+  def q166PageRank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.fixedPoint(
+        PairStore.nearDupPairs(spark, dir).select(col("id_a"),
+          col("id_b")), k = 3)
+      .orderBy(col("id"))
+
+  // concatenated OUTSIDE any stripMargin literal (the embedded q26
+  // oracle contains SQL `||` — the q92 convention)
+  val q166Sql: String = {
+    def round(n: Int, prev: String): String =
+      s"""i$n AS (
+         |  SELECT e.dst AS id,
+         |    CAST(150000000000 + (85 * sum(p.pr // d.outdeg)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM edges e
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN $prev p ON p.id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    "WITH pairs AS (\n" + graft.queries.ExtQueries.q26Sql + "\n),\n" +
+      """edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM edges GROUP BY src),
+        |p0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS pr
+        |       FROM deg),
+        |""".stripMargin +
+      round(1, "p0") + ",\n" + round(2, "i1") + ",\n" + round(3, "i2") +
+      """
+        |SELECT i3.id, d.outdeg AS degree, i3.pr
+        |FROM i3 JOIN deg d ON d.src = i3.id
+        |ORDER BY id""".stripMargin
+  }
+
+  /** q167 — two-proportion A/B test components: users deterministically
+    * split by user_id parity, "converted" = had any purchase event. The
+    * pooled z² statistic is stated as an exact integer fraction,
+    * z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b) /
+    *      (n_a·n_b·(x_a+x_b)·(n_a+n_b−x_a−x_b)),
+    * carried in DECIMAL(38,0) and gated as strings (the q98 convention —
+    * the squared cross term exceeds int64 at production user counts).
+    * Two hash aggs + a 1-row × 1-row join; nothing driver-side. */
+  def q167AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val g = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val a = g.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = g.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    a.crossJoin(b)
+      .withColumn("cross_d",
+        d(col("x_a")) * d(col("n_b")) - d(col("x_b")) * d(col("n_a")))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        (col("cross_d") * col("cross_d") *
+          d(col("n_a") + col("n_b"))).cast("string").as("z2_num"),
+        (d(col("n_a")) * d(col("n_b")) * d(col("x_a") + col("x_b")) *
+          d(col("n_a") + col("n_b") - col("x_a") - col("x_b")))
+          .cast("string").as("z2_den"))
+  }
+
+  val q167Sql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(conv) AS BIGINT) AS x
+      |  FROM per GROUP BY 1),
+      |a AS (SELECT n AS n_a, x AS x_a FROM g WHERE variant = 0),
+      |b AS (SELECT n AS n_b, x AS x_b FROM g WHERE variant = 1)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST((CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+      |     * (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a)
+      |     * (n_a + n_b) AS VARCHAR) AS z2_num,
+      |  CAST(CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+      |     * (n_a + n_b - x_a - x_b) AS VARCHAR) AS z2_den
+      |FROM a CROSS JOIN b""".stripMargin
+
+  /** q168 — time-weighted average of the event `value` per user (the
+    * TWAP statistic): each event's value holds until the user's next
+    * event; segments weight fixed-point cents by exact micro-second
+    * durations, so the per-user components are exact BIGINT sums and
+    * the final average one integer division (Spark's `DIV` and DuckDB's
+    * `//` both truncate toward zero — verified on negative operands, so
+    * a negative-value corpus still matches). One partitioned sort + one
+    * agg. */
+  def q168Twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("user_id"), col("cents"), (col("t2") - col("t")).as("dur"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("dur_us"),
+        sum(col("cents") * col("dur")).as("wsum_cents_us"))
+      .withColumn("twap_cents",
+        when(col("dur_us") > 0L, expr("wsum_cents_us DIV dur_us")))
+      .orderBy(col("user_id"))
+  }
+
+  val q168Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, cents, t,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t2
+      |  FROM b)
+      |SELECT user_id, count(*) AS n_segments,
+      |  CAST(sum(t2 - t) AS BIGINT) AS dur_us,
+      |  CAST(sum(cents * (t2 - t)) AS BIGINT) AS wsum_cents_us,
+      |  CASE WHEN sum(t2 - t) > 0 THEN
+      |    CAST(sum(cents * (t2 - t)) // sum(t2 - t) AS BIGINT) END
+      |    AS twap_cents
+      |FROM s WHERE t2 IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q169 — reset streaks: per user, runs of non-error events between
+    * `error` events (the reliability "current streak" report family) —
+    * the gaps-and-islands reduction keyed by the running error count.
+    * One partitioned sort; island and error aggs both map-side-combine. */
+  def q169ResetStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        (col("event_type") === "error").as("is_err"))
+      .withColumn("rid",
+        sum(when(col("is_err"), 1L).otherwise(0L)).over(w))
+    val islands = base.filter(!col("is_err"))
+      .groupBy(col("user_id"), col("rid"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+    base.groupBy(col("user_id"))
+      .agg(sum(when(col("is_err"), 1L).otherwise(0L)).as("n_errors"))
+      .join(islands, Seq("user_id"), "left_outer")
+      .na.fill(0L, Seq("n_streaks", "max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q169Sql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    (event_type = 'error') AS is_err
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS rid
+      |  FROM b),
+      |i AS (
+      |  SELECT user_id, rid, CAST(count(*) AS BIGINT) AS len
+      |  FROM r WHERE NOT is_err GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |    max(len) AS max_streak
+      |  FROM i GROUP BY 1),
+      |e AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_errors
+      |  FROM b GROUP BY 1)
+      |SELECT e.user_id, n_errors,
+      |  coalesce(n_streaks, 0) AS n_streaks,
+      |  coalesce(max_streak, 0) AS max_streak
+      |FROM e LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** q170 — week-over-week change report: weekly event counts per type
+    * (epoch-day DIV 7 calendar weeks, the q147 bucketing) with the
+    * positional previous week's count and the delta in exact basis
+    * points — Spark's `DIV` and DuckDB's `//` both truncate toward
+    * zero, so a shrinking week (negative delta) states the identical
+    * operation. (The calendar-gap-aware lag family is q146's.) */
+  def q170WowDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")),
+      lit("1970-01-01").cast("date")).cast("long")
+    val weekly = Tables.events(spark, dir)
+      .select(col("event_type"), day.as("day"))
+      .withColumn("week", expr("day DIV 7"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta_bp",
+        when(col("prev_n").isNotNull,
+          expr("((n - prev_n) * 10000) DIV prev_n")))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val q170Sql: String =
+    """WITH weekly AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) // 7 AS week,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, week, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      |  FROM weekly)
+      |SELECT event_type, week, n, prev_n,
+      |  CASE WHEN prev_n IS NOT NULL THEN
+      |    CAST(((n - prev_n) * 10000) // prev_n AS BIGINT) END AS delta_bp
+      |FROM l ORDER BY event_type, week""".stripMargin
+}

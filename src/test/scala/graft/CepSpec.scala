@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cep
+
+/** The sequential pattern matcher (q165's engine): hand-pinned edge
+  * semantics of `view (click)* purchase`, and exact parity with an
+  * independent declarative (window-function) twin on real event data
+  * under scrambled partitioning. */
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Span = 30L * 60L * 1000000L
+
+  private def run(rows: Seq[(Long, Long, String)],
+                  spanUs: Long = Span): Seq[(Long, Long, Long, Long)] = {
+    // (user, tsUs, type); tie = a synthetic increasing id
+    val df = rows.zipWithIndex
+      .map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+      .toDF("user_id", "t", "event_id", "event_type")
+      .repartition(5) // scrambled input — the op must impose its own order
+    Cep.funnelMatches(df, "user_id", col("t"), col("event_id"),
+        col("event_type"), "view", "click", "purchase", spanUs)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("kleene run: view click click purchase matches with n_mid = 2") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 30L, "click"), (1L, 40L, "purchase"))) ===
+      Seq((1L, 10L, 40L, 2L)))
+  }
+
+  test("zero-click match: view purchase") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 40L, "purchase"))) ===
+      Seq((1L, 10L, 40L, 0L)))
+  }
+
+  test("an intervening other-type event breaks the run") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 30L, "error"), (1L, 40L, "purchase"))) === Seq.empty)
+  }
+
+  test("restarted start: the innermost view wins") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 15L, "view"),
+      (1L, 20L, "click"), (1L, 40L, "purchase"))) ===
+      Seq((1L, 15L, 40L, 1L)))
+  }
+
+  test("no overlap: a second purchase after a match finds no open run") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 30L, "purchase"), (1L, 35L, "purchase"))) ===
+      Seq((1L, 10L, 30L, 1L)))
+  }
+
+  test("purchase without a view never matches") {
+    assert(run(Seq((1L, 20L, "click"), (1L, 30L, "purchase"))) ===
+      Seq.empty)
+  }
+
+  test("span bound: a structurally valid run over maxSpanUs is dropped") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 10L + Span + 1L, "purchase"))) === Seq.empty)
+    assert(run(Seq((1L, 10L, "view"), (1L, 10L + Span, "purchase"))) ===
+      Seq((1L, 10L, 10L + Span, 0L)))
+  }
+
+  test("adjacent matches both emit; streams never leak across keys") {
+    assert(run(Seq((1L, 10L, "view"), (1L, 20L, "purchase"),
+      (1L, 30L, "view"), (1L, 40L, "purchase"),
+      // user 2's view must not complete user 1's stream
+      (2L, 50L, "purchase"))) ===
+      Seq((1L, 10L, 20L, 0L), (1L, 30L, 40L, 0L)))
+  }
+
+  /** Independent declarative twin (the q165 oracle's plan, in Spark):
+    * per purchase row, the maximal click-run ending immediately before
+    * it, with the row before that run a view. */
+  private def declarativeTwin(events: DataFrame): Seq[(Long, Long, Long, Long)] = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+    val g = e.withColumn("grp", col("rn") - row_number().over(
+      Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("rn"))))
+    val cr = g.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("grp"))
+      .agg(max(col("rn")).as("rn_hi"), count(lit(1)).as("len"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(cr.withColumnRenamed("user_id", "u2"),
+        col("u2") === col("user_id") && col("rn_hi") === col("rn") - 1,
+        "left_outer")
+      .select(col("user_id"), col("rn"), col("t").as("end_us"),
+        coalesce(col("len"), lit(0L)).as("n_clicks"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("rn").as("vrn"),
+        col("t").as("start_us"))
+    p.join(v, col("vu") === col("user_id") &&
+        col("vrn") === col("rn") - 1 - col("n_clicks"))
+      .filter(col("end_us") - col("start_us") <= Span)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_clicks"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("matcher ≡ declarative window twin on the sf0.001 events table") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = Cep.funnelMatches(events, "user_id",
+        unix_micros(col("ts")), col("event_id"), col("event_type"),
+        "view", "click", "purchase", Span)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = declarativeTwin(events)
+    assert(want.nonEmpty, "fixture should produce at least one match")
+    assert(got === want)
+  }
+}
