@@ -27,6 +27,31 @@ import org.apache.spark.sql.types._
  */
 object Cep {
 
+  /** Matcher state: the open partial match, if any. `pending < 0` means
+    * no run is open. One fixed-size record — this is also the per-key
+    * streaming state ([[graft.streaming.CepStream]] carries it across
+    * micro-batches), so batch and streaming share the ONE transition
+    * function below. */
+  final case class MatchState(pending: Long, mids: Long)
+  val EmptyState: MatchState = MatchState(-1L, 0L)
+
+  /** The single state transition both execution modes run: feed one
+    * event, get the next state and (possibly) an emitted match
+    * (start_us, end_us, n_mid). */
+  def step(st: MatchState, ty: String, t: Long, startType: String,
+           midType: String, endType: String,
+           maxSpanUs: Long): (MatchState, Option[(Long, Long, Long)]) =
+    ty match {
+      case `startType` => (MatchState(t, 0L), None)
+      case `midType` if st.pending >= 0L =>
+        (MatchState(st.pending, st.mids + 1L), None)
+      case `endType` if st.pending >= 0L =>
+        val emit = if (t - st.pending <= maxSpanUs)
+          Some((st.pending, t, st.mids)) else None
+        (EmptyState, emit)
+      case _ => (EmptyState, None)
+    }
+
   /** Matches of `startType (midType)* endType` per key, bounded by
     * `maxSpanUs` end-to-end. Output: (key, start_us, end_us, n_mid),
     * one row per match.
@@ -54,8 +79,7 @@ object Cep {
       new Iterator[Row] {
         private var curKey: Any = null
         private var haveKey = false
-        private var pendingStart = -1L // <0 = no open partial match
-        private var midCount = 0L
+        private var st = EmptyState
         private var nextMatch: Row = null
 
         private def advance(): Unit = {
@@ -63,18 +87,12 @@ object Cep {
             val r = rows.next()
             val k = r.get(0)
             if (!haveKey || k != curKey) { // new stream: reset state
-              curKey = k; haveKey = true; pendingStart = -1L; midCount = 0L
+              curKey = k; haveKey = true; st = EmptyState
             }
-            val t = r.getLong(1)
-            r.getString(3) match {
-              case `startType` => pendingStart = t; midCount = 0L
-              case `midType` if pendingStart >= 0L => midCount += 1L
-              case `endType` if pendingStart >= 0L =>
-                if (t - pendingStart <= maxSpanUs)
-                  nextMatch = Row(k, pendingStart, t, midCount)
-                pendingStart = -1L; midCount = 0L
-              case _ => pendingStart = -1L; midCount = 0L
-            }
+            val (nst, emit) = step(st, r.getString(3), r.getLong(1),
+              startType, midType, endType, maxSpanUs)
+            st = nst
+            emit.foreach { case (s, e, m) => nextMatch = Row(k, s, e, m) }
           }
         }
 

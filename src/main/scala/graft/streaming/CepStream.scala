@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+
+import graft.ops.Cep
+
+/**
+ * Streaming twin of the CEP funnel matcher ([[graft.ops.Cep]], q165's
+ * engine): the SAME transition function ([[Cep.step]]) run as keyed
+ * state under flatMapGroupsWithState, so a match can open in one
+ * micro-batch and close many batches later with nothing but one
+ * fixed-size state record per key in the store — the state scales with
+ * DISTINCT KEYS, never with events or match length.
+ *
+ * Ordering contract: rows are sorted by (t, tie) WITHIN each
+ * micro-batch per key; ACROSS batches the per-key arrival order must
+ * respect event order — the guarantee a keyed log (e.g. a partitioned
+ * commit log consumed per key, or a replayed CDC stream) provides.
+ * Under that contract CepStreamSpec proves the streaming output is
+ * byte-equal to the batch matcher on the same events for every batch
+ * split. (Tolerating cross-batch disorder would mean buffering events
+ * in state until the watermark passes — a different cost model; the
+ * ordered-log contract is the one production funnel pipelines run on.)
+ */
+object CepStream {
+
+  final case class CepEvent(k: Long, t: Long, tie: Long, ty: String)
+  final case class CepMatch(user_id: Long, start_us: Long, end_us: Long,
+                            n_mid: Long)
+
+  def funnelMatches(events: Dataset[CepEvent], startType: String,
+                    midType: String, endType: String,
+                    maxSpanUs: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[CepEvent],
+         state: GroupState[Cep.MatchState]) =>
+          var st = state.getOption.getOrElse(Cep.EmptyState)
+          val out = Seq.newBuilder[CepMatch]
+          rows.toArray.sortBy(e => (e.t, e.tie)).foreach { e =>
+            val (nst, emit) = Cep.step(st, e.ty, e.t, startType, midType,
+              endType, maxSpanUs)
+            st = nst
+            emit.foreach { case (s, en, m) =>
+              out += CepMatch(key, s, en, m)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}
