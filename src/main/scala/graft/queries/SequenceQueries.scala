@@ -291,4 +291,71 @@ object SequenceQueries {
       |  CASE WHEN prev_n IS NOT NULL THEN
       |    CAST(((n - prev_n) * 10000) // prev_n AS BIGINT) END AS delta_bp
       |FROM l ORDER BY event_type, week""".stripMargin
+
+  /** q171 — decile lift table (the gains chart of a targeting model):
+    * users ranked into activity deciles, conversion per decile, and
+    * each decile's lift against the overall rate in exact basis points
+    * (x_d·N·10⁴ DIV (n_d·X) — one integer fraction, no IEEE). The
+    * global NTILE the report is defined by would be a single-reducer
+    * sort — instead the rank comes from [[graft.ops.GlobalIndex]]'s
+    * two-phase distributed index and the decile from the SQL-standard
+    * front-loaded-remainder formula on (rank, N), which the oracle's
+    * plain `ntile(10) OVER (ORDER BY …)` must reproduce row-for-row.
+    * Two hash aggs over users; totals ride a 1-row broadcast. */
+  def q171DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val indexed = graft.ops.GlobalIndex.withGlobalIndex(per, "idx",
+      col("n_events"), col("user_id"))
+    val n = per.agg(count(lit(1)).as("n_all"))
+    // ntile(k): first N mod k buckets take ceil(N/k) rows
+    val decile = {
+      val q = expr("n_all DIV 10"); val r = expr("n_all % 10")
+      val boundary = r * (q + 1)
+      when(col("idx") < boundary, expr("idx DIV (n_all DIV 10 + 1)") + 1)
+        .otherwise(
+          expr("(idx - (n_all % 10) * (n_all DIV 10 + 1))" +
+            " DIV (n_all DIV 10)") + (r + 1))
+    }
+    val byDecile = indexed.crossJoin(broadcast(n))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val totals = per.agg(count(lit(1)).as("n_total"),
+      sum(col("conv")).as("x_total"))
+    byDecile.crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        expr("(n_conv * 10000) DIV n_users").as("conv_bp"),
+        expr("(n_conv * n_total * 10000) DIV (n_users * x_total)")
+          .as("lift_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val q171Sql: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT user_id, conv,
+      |    CAST(ntile(10) OVER (ORDER BY n_events, user_id) AS BIGINT)
+      |      AS decile
+      |  FROM per),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM d GROUP BY decile),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(conv) AS BIGINT) AS x_total
+      |  FROM per)
+      |SELECT decile, n_users, n_conv,
+      |  CAST((n_conv * 10000) // n_users AS BIGINT) AS conv_bp,
+      |  CAST((n_conv * n_total * 10000) // (n_users * x_total) AS BIGINT)
+      |    AS lift_bp
+      |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
 }
