@@ -37,18 +37,20 @@ object Cep {
 
   /** The single state transition both execution modes run: feed one
     * event, get the next state and (possibly) an emitted match
-    * (start_us, end_us, n_mid). */
+    * (start_us, end_us, n_mid). The Kleene segment accepts a SET of
+    * types (alternation — `start (a|b)* end`); precedence when a type
+    * plays several roles is start, then end, then mid. */
   def step(st: MatchState, ty: String, t: Long, startType: String,
-           midType: String, endType: String,
+           midTypes: Set[String], endType: String,
            maxSpanUs: Long): (MatchState, Option[(Long, Long, Long)]) =
     ty match {
       case `startType` => (MatchState(t, 0L), None)
-      case `midType` if st.pending >= 0L =>
-        (MatchState(st.pending, st.mids + 1L), None)
       case `endType` if st.pending >= 0L =>
         val emit = if (t - st.pending <= maxSpanUs)
           Some((st.pending, t, st.mids)) else None
         (EmptyState, emit)
+      case m if midTypes.contains(m) && st.pending >= 0L =>
+        (MatchState(st.pending, st.mids + 1L), None)
       case _ => (EmptyState, None)
     }
 
@@ -63,6 +65,15 @@ object Cep {
   def funnelMatches(events: DataFrame, keyCol: String, tsUs: Column,
                     tie: Column, eventType: Column, startType: String,
                     midType: String, endType: String,
+                    maxSpanUs: Long): DataFrame =
+    funnelMatches(events, keyCol, tsUs, tie, eventType, startType,
+      Set(midType), endType, maxSpanUs)
+
+  /** Alternation variant: the Kleene segment accepts any of
+    * `midTypes` — `startType (m₁|m₂|…)* endType`. */
+  def funnelMatches(events: DataFrame, keyCol: String, tsUs: Column,
+                    tie: Column, eventType: Column, startType: String,
+                    midTypes: Set[String], endType: String,
                     maxSpanUs: Long): DataFrame = {
     val prepared = events
       .select(col(keyCol).as("k"), tsUs.as("t"), tie.as("tie"),
@@ -90,7 +101,7 @@ object Cep {
               curKey = k; haveKey = true; st = EmptyState
             }
             val (nst, emit) = step(st, r.getString(3), r.getLong(1),
-              startType, midType, endType, maxSpanUs)
+              startType, midTypes, endType, maxSpanUs)
             st = nst
             emit.foreach { case (s, e, m) => nextMatch = Row(k, s, e, m) }
           }

@@ -358,4 +358,45 @@ object SequenceQueries {
       |  CAST((n_conv * n_total * 10000) // (n_users * x_total) AS BIGINT)
       |    AS lift_bp
       |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
+
+  /** q172 — activation funnel with ALTERNATION in the Kleene segment:
+    * `signup (view|click)* purchase` within two hours — the
+    * [[Cep]] matcher's multi-type mid set (browsing of either kind
+    * between account creation and first purchase). Same one-shuffle
+    * O(1)-state scan as q165; the oracle's run detection switches from
+    * the event-type run to the is-browsing-flag run. */
+  def q172ActivationFunnel(spark: SparkSession, dir: String): DataFrame =
+    Cep.funnelMatches(Tables.events(spark, dir), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("event_type"),
+        startType = "signup", midTypes = Set("view", "click"),
+        endType = "purchase", maxSpanUs = 2L * 3600L * 1000000L)
+      .orderBy(col("user_id"), col("start_us"), col("end_us"))
+
+  val q172Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+      |    (event_type IN ('view', 'click')) AS is_mid,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT *, rn - row_number() OVER (
+      |    PARTITION BY user_id, is_mid ORDER BY rn) AS grp
+      |  FROM e),
+      |mr AS (
+      |  SELECT user_id, max(rn) AS rn_hi, CAST(count(*) AS BIGINT) AS len
+      |  FROM g WHERE is_mid GROUP BY user_id, grp),
+      |p AS (
+      |  SELECT e.user_id, e.rn, e.t AS end_us,
+      |    coalesce(mr.len, 0) AS n_mid
+      |  FROM e LEFT JOIN mr
+      |    ON mr.user_id = e.user_id AND mr.rn_hi = e.rn - 1
+      |  WHERE e.event_type = 'purchase')
+      |SELECT p.user_id, v.t AS start_us, p.end_us,
+      |  CAST(p.n_mid AS BIGINT) AS n_mid
+      |FROM p JOIN e v
+      |  ON v.user_id = p.user_id AND v.rn = p.rn - 1 - p.n_mid
+      | AND v.event_type = 'signup'
+      |WHERE p.end_us - v.t <= 7200000000
+      |ORDER BY p.user_id, start_us, end_us""".stripMargin
 }

@@ -31,6 +31,12 @@ object CepStream {
 
   def funnelMatches(events: Dataset[CepEvent], startType: String,
                     midType: String, endType: String,
+                    maxSpanUs: Long): Dataset[CepMatch] =
+    funnelMatches(events, startType, Set(midType), endType, maxSpanUs)
+
+  /** Alternation variant — `startType (m₁|m₂|…)* endType`. */
+  def funnelMatches(events: Dataset[CepEvent], startType: String,
+                    midTypes: Set[String], endType: String,
                     maxSpanUs: Long): Dataset[CepMatch] = {
     import events.sparkSession.implicits._
     events
@@ -42,8 +48,8 @@ object CepStream {
           var st = state.getOption.getOrElse(Cep.EmptyState)
           val out = Seq.newBuilder[CepMatch]
           rows.toArray.sortBy(e => (e.t, e.tie)).foreach { e =>
-            val (nst, emit) = Cep.step(st, e.ty, e.t, startType, midType,
-              endType, maxSpanUs)
+            val (nst, emit) = Cep.step(st, e.ty, e.t, startType,
+              midTypes, endType, maxSpanUs)
             st = nst
             emit.foreach { case (s, en, m) =>
               out += CepMatch(key, s, en, m)

@@ -67,6 +67,25 @@ class CepSpec extends SparkSpec {
       Seq((1L, 10L, 10L + Span, 0L)))
   }
 
+  test("alternation: the Kleene segment accepts any mid type") {
+    def runAlt(rows: Seq[(Long, Long, String)]) = {
+      val df = rows.zipWithIndex
+        .map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+        .toDF("user_id", "t", "event_id", "event_type")
+      Cep.funnelMatches(df, "user_id", col("t"), col("event_id"),
+          col("event_type"), "signup", Set("view", "click"), "purchase",
+          Span)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    }
+    // mixed view/click run counts as one segment of 3
+    assert(runAlt(Seq((1L, 10L, "signup"), (1L, 20L, "view"),
+      (1L, 25L, "click"), (1L, 28L, "view"), (1L, 40L, "purchase"))) ===
+      Seq((1L, 10L, 40L, 3L)))
+    // a non-mid type still breaks the run
+    assert(runAlt(Seq((1L, 10L, "signup"), (1L, 20L, "view"),
+      (1L, 30L, "error"), (1L, 40L, "purchase"))) === Seq.empty)
+  }
+
   test("adjacent matches both emit; streams never leak across keys") {
     assert(run(Seq((1L, 10L, "view"), (1L, 20L, "purchase"),
       (1L, 30L, "view"), (1L, 40L, "purchase"),
