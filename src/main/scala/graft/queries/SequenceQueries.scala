@@ -123,7 +123,7 @@ object SequenceQueries {
     val b = g.filter(col("variant") === 1)
       .select(col("n").as("n_b"), col("x").as("x_b"))
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    a.crossJoin(b)
+    a.crossJoin(broadcast(b))
       .withColumn("cross_d",
         d(col("x_a")) * d(col("n_b")) - d(col("x_b")) * d(col("n_a")))
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),

@@ -66,6 +66,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p159.contains("SortMergeJoin"), p159.take(1500))
   }
 
+  test("the CEP matcher plans exactly one exchange — the key shuffle") {
+    // a plain in-memory frame isolates the operator's own shape from
+    // the parquet source's under-split spread exchange
+    val ev = spark.range(100)
+      .select(col("id").as("user_id"), (col("id") * 7).as("ts_us"),
+        col("id").as("event_id"),
+        org.apache.spark.sql.functions.lit("view").as("event_type"))
+    val plan = ops.Cep.funnelMatches(ev, "user_id", col("ts_us"),
+        col("event_id"), col("event_type"), "view", "click", "purchase",
+        1800000000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan.take(1500))
+    assert(plan.contains("hashpartitioning(k"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q171's decile rank takes the two-phase range path, never a" +
+    " single-reducer sort") {
+    val plan = queries.SequenceQueries.q171DecileLift(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the distributed index: range repartition on the order key …
+    assert(plan.contains("rangepartitioning(n_events"), plan.take(2000))
+    // … and the only single-partition funnels are 1-row aggregates
+    // (totals / driver-side offset counts), never the user table
+    assert("Exchange SinglePartition".r.findAllIn(plan).length <= 2,
+      plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("q167's totals combine through a broadcast, not a cartesian") {
+    val plan = queries.SequenceQueries.q167AbTest(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("filters and pruning reach the parquet scan through Tables.spread") {
     val q = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45)
