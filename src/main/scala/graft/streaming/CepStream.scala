@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 import graft.ops.Cep
 
@@ -58,5 +58,45 @@ object CepStream {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  /** The same matcher on `transformWithState` (Spark 4's successor
+    * state API — RocksDB store, named state slots): one
+    * ValueState[[Cep.MatchState]] per key, the identical [[Cep.step]]
+    * kernel. CepStreamSpec proves output-equivalence with
+    * [[funnelMatches]] batch-for-batch. */
+  def funnelMatchesTws(events: Dataset[CepEvent], startType: String,
+                       midTypes: Set[String], endType: String,
+                       maxSpanUs: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.k)
+      .transformWithState(
+        new CepProcessor(startType, midTypes, endType, maxSpanUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One fixed-size MatchState slot per key (no TTL — an open funnel
+    * lives until its stream closes or breaks it). */
+  class CepProcessor(startType: String, midTypes: Set[String],
+                     endType: String, maxSpanUs: Long)
+    extends StatefulProcessor[Long, CepEvent, CepMatch] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Cep.MatchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Cep.MatchState]("cep",
+        Encoders.product[Cep.MatchState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+                                 timers: TimerValues): Iterator[CepMatch] = {
+      var st = if (state.exists()) state.get() else Cep.EmptyState
+      val out = Seq.newBuilder[CepMatch]
+      rows.toArray.sortBy(e => (e.t, e.tie)).foreach { e =>
+        val (nst, emit) = Cep.step(st, e.ty, e.t, startType, midTypes,
+          endType, maxSpanUs)
+        st = nst
+        emit.foreach { case (s, en, m) => out += CepMatch(key, s, en, m) }
+      }
+      state.update(st)
+      out.result().iterator
+    }
   }
 }

@@ -56,6 +56,36 @@ class CepStreamSpec extends SparkSpec {
     assert(got === Set.empty[(Long, Long, Long, Long)])
   }
 
+  test("transformWithState twin emits the same matches as" +
+    " flatMapGroupsWithState") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(CepEvent(1L, 10L, 0L, "view"), CepEvent(2L, 11L, 1L, "view")),
+        Seq(CepEvent(1L, 20L, 2L, "click"), CepEvent(2L, 21L, 3L, "error")),
+        Seq(CepEvent(1L, 30L, 4L, "purchase"),
+          CepEvent(2L, 31L, 5L, "purchase")))
+      val input = MemoryStream[CepEvent]
+      val q = CepStream.funnelMatchesTws(input.toDS(), "view",
+          Set("click"), "purchase", Span)
+        .writeStream.format("memory").queryName("cep_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        val got = spark.table("cep_tws")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got === streamMatches(batches, "cep_tws_ref"))
+        assert(got === Set((1L, 10L, 30L, 1L))) // user 2's run broke
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("streaming ≡ batch on the sf0.001 events log for several splits") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
