@@ -399,4 +399,48 @@ object SequenceQueries {
       | AND v.event_type = 'signup'
       |WHERE p.end_us - v.t <= 7200000000
       |ORDER BY p.user_id, start_us, end_us""".stripMargin
+
+  /** q173 — equi-depth histogram of l_extendedprice (fixed-point
+    * cents), k = 20: the statistic a cost-based optimizer stores per
+    * column — bucket boundaries that equalize ROW COUNT, not value
+    * range (q100 is the equi-width twin). Bucket of a row = its exact
+    * global rank via ⌊rank·k/N⌋, and the rank comes from
+    * [[graft.ops.GlobalIndex]]'s two-phase distributed numbering (the
+    * naive `row_number() OVER (ORDER BY …)` single-reducer plan is the
+    * ORACLE'S job). Per bucket: exact count, boundary values, sum. */
+  def q173EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val indexed = graft.ops.GlobalIndex.withGlobalIndex(base, "idx",
+      col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val n = base.agg(count(lit(1)).as("n_all"))
+    indexed.crossJoin(broadcast(n))
+      .withColumn("bucket", expr("(idx * 20) DIV n_all"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val q173Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM b),
+      |r AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER
+      |      (ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) - 1
+      |      AS idx
+      |  FROM b)
+      |SELECT CAST((idx * 20) // n_all AS BIGINT) AS bucket,
+      |  count(*) AS n_rows,
+      |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM r CROSS JOIN t
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
 }
