@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+ * for Nearest Neighbor Search") — the memory-compression half of a
+ * billion-vector ANN index: split each D-dim vector into M subvectors,
+ * replace every subvector with the id of its nearest codebook centroid
+ * (D·4 bytes → M code bytes), and answer queries with the ASYMMETRIC
+ * distance computation (ADC): the query precomputes its distance to every
+ * centroid of every subspace (an M×K table, a few KB), and each database
+ * vector's approximate distance is the sum of M table lookups — no float
+ * vectors are touched at scan time.
+ *
+ * 100 TB shape: the codebook is a deterministic, plan-time-small table
+ * (M·K rows) that BROADCASTS to both the encode and the query stage; the
+ * only table-sized operations are one posexplode (M rows per vector, no
+ * exchange), one broadcast join, and one hash aggregate back to
+ * (vector → codes). The ADC scan joins codes against the broadcast M×K
+ * lookup and folds the M partial distances IN SUBSPACE ORDER (a sorted
+ * array fold, not a floating SUM whose addend order the planner owns), so
+ * the result is IEEE-bit-identical on any partitioning — the property the
+ * oracle gate depends on.
+ *
+ * Codebook choice here is the deterministic "sampled codebook": the K
+ * lowest-id vectors seed each subspace verbatim (k-means-- with zero
+ * Lloyd rounds). Real deployments refine seeds with [[Cluster]]'s exact
+ * Lloyd step; the encode/ADC contract is identical either way, and
+ * determinism is what makes the gate exact.
+ */
+object Pq {
+
+  /** Subvector slices of `vecCol` as (id, m, sub): map-side posexplode,
+    * one output row per subspace. `dim` must be divisible by `m`. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by M $m")
+    val sub = dim / m
+    df.select(col(idCol), posexplode(array((0 until m).map(i =>
+        slice(col(vecCol), i * sub + 1, sub)): _*)).as(Seq("m", "sub")))
+  }
+
+  /** The (m, code_id, codevec) codebook: subvectors of the `k` lowest-id
+    * rows, code_id = that id's rank (0-based). Deterministic and tiny. */
+  def sampledCodebook(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, k: Int): DataFrame = {
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .withColumn("code_id",
+        row_number().over(Window.orderBy(col(idCol))) - 1)
+    subvectors(seeds, "code_id", vecCol, dim, m)
+      .select(col("m"), col("code_id"), col("sub").as("codevec"))
+  }
+
+  /** Exact squared L2 distance between two float-array columns, folded in
+    * index order (cast-to-double-first, d*d, left fold — the q28 oracle
+    * arithmetic convention). */
+  def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, d) => acc + d)
+
+  /** PQ codes (id, m, code_id): nearest centroid per subspace, ties to the
+    * lowest code_id. The codebook side broadcasts; the rank-1 filter is a
+    * WindowGroupLimit over M·K rows per vector. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, dim: Int, m: Int): DataFrame =
+    subvectors(df, idCol, vecCol, dim, m)
+      .join(broadcast(codebook), "m")
+      .withColumn("dist", sqDist(col("sub"), col("codevec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol), col("m"))
+          .orderBy(col("dist"), col("code_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("m"), col("code_id"))
+
+  /**
+   * ADC top-k: approximate squared distance of every encoded vector to the
+   * constant `query` (M per-subspace lookup distances summed in subspace
+   * order), smallest first, ties by id. Returns (id, adc_dist) × k.
+   */
+  def adcTopK(codes: DataFrame, idCol: String, codebook: DataFrame,
+              query: Seq[Float], dim: Int, m: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val qArr = array(query.map(v => lit(v)): _*)
+    val qdist = codebook
+      .withColumn("qsub", slice(qArr, col("m") * sub + 1, lit(sub)))
+      .withColumn("qd", sqDist(col("qsub"), col("codevec")))
+      .select(col("m"), col("code_id"), col("qd"))
+    codes.join(broadcast(qdist), Seq("m", "code_id"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("m"), col("qd")))),
+          lit(0.0d), (acc, s) => acc + s.getField("qd"))
+        .as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -42,4 +42,25 @@ object Privacy {
         sum(when(col("group_size") < k, col("group_size")).otherwise(0L))
           .cast("long").as("n_risky_rows"))
   }
+
+  /**
+   * Distinct l-diversity audit (Machanavajjhala et al. 2007,
+   * "l-Diversity: Privacy Beyond k-Anonymity"): k-anonymity alone fails
+   * when a QI group, though large, is HOMOGENEOUS in the sensitive
+   * attribute — every member is re-identified to the same secret. A group
+   * is l-diverse when the sensitive attribute takes at least `l` distinct
+   * values inside it. One row per QI group: size, attained l, and the
+   * pass flag. Same 100 TB shape as the k-audit — one hash aggregate over
+   * (QI, sensitive) with map-side combine, then one over the group table.
+   */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    val qi = qiCols.map(col)
+    df.groupBy((qi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(qi: _*)
+      .agg(sum(col("cnt")).cast("long").as("group_size"),
+        count(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("diverse", col("l_distinct") >= l)
+  }
 }

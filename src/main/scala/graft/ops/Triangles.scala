@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed triangle counting over an undirected edge list — the
+ * clustering-coefficient numerator of the near-dup graph, and the classic
+ * "is this duplicate cluster a clique or a chain?" diagnostic a dedup
+ * rollout reads next to the degree census (q92).
+ *
+ * Algorithm: the degree-ordered node-iterator (Schank & Wagner 2005,
+ * "Finding, Counting and Listing All Triangles in Large Graphs"). Every
+ * edge is oriented from its lower-(degree, id) endpoint to its
+ * higher-(degree, id) endpoint; wedges are enumerated by self-joining the
+ * oriented list on the source; a wedge (x→y, x→z) closes iff the
+ * undirected edge {y, z} exists. Orienting by DEGREE (id as tie-break)
+ * bounds the wedge count by Σ min(deg)² ≈ O(m^1.5) instead of the Σ deg²
+ * of naive orientation — on a power-law near-dup graph (a few viral
+ * templates duplicated everywhere) the hub vertex contributes its degree
+ * squared under id-orientation but almost nothing under degree-orientation,
+ * which is exactly the skew story at 100 TB. Each triangle has exactly ONE
+ * minimum-rank vertex, so it is emitted exactly once, no /3 correction.
+ *
+ * Everything shuffles only (long, long) edge keys: two hash joins to
+ * attach endpoint degrees, one self-join on the wedge center, one
+ * semi-join against the canonical edge set, one explode + count. No
+ * adjacency lists are materialized per node (no groupBy collect_list), so
+ * no single task owns a hub's full neighborhood.
+ */
+object Triangles {
+
+  /**
+   * Per-vertex triangle participation over `edges` (columns `id_a` <
+   * `id_b`, one row per undirected edge, no self-loops). Returns
+   * (`id`, `n_triangles`) for every vertex in at least one triangle.
+   */
+  def participation(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+
+    // Vertex degrees (each edge contributes to both endpoints).
+    val deg = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+    // Orient by (deg, id): src = lower rank, dst = higher rank.
+    val oriented = e
+      .join(deg.withColumnRenamed("id", "id_a").withColumnRenamed("deg", "deg_a"), "id_a")
+      .join(deg.withColumnRenamed("id", "id_b").withColumnRenamed("deg", "deg_b"), "id_b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+             (col("deg_a") === col("deg_b") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("src"),
+        when(col("deg_a") < col("deg_b") ||
+             (col("deg_a") === col("deg_b") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("dst"))
+
+    // Wedges around each center: unordered out-neighbor pairs, canonical
+    // (least, greatest) by id so the closing lookup hits the undirected set.
+    val l = oriented.select(col("src"), col("dst").as("y"))
+    val r = oriented.select(col("src"), col("dst").as("z"))
+    val wedges = l.join(r, "src")
+      .filter(col("y") < col("z"))
+      .select(col("src"), col("y").as("id_a"), col("z").as("id_b"))
+
+    // A wedge closes iff {y, z} is an edge; join against the canonical list.
+    val triangles = wedges.join(e, Seq("id_a", "id_b"))
+
+    triangles
+      .select(explode(array(col("src"), col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

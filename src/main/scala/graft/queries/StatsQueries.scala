@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
+
+/**
+ * q174-q178 — the statistics-and-index tier: the artifacts a corpus
+ * warehouse computes ABOUT its data to plan, release and index it.
+ * Triangle census of the near-dup graph (is a cluster a clique or a
+ * chain?), the ANALYZE-style single-shuffle column-stats collector
+ * (CBO food next to q173's equi-depth histogram), exact decision-tree
+ * split search (the gradient-boosting inner loop), distinct l-diversity
+ * release auditing (the step after q135's k-anonymity), and product
+ * quantization with asymmetric-distance top-k (the memory-compression
+ * half of a billion-vector ANN index).
+ *
+ * No counterpart in the reference (trends.go ends at the sink); these
+ * are the training-data-pipeline extensions the builder brief names.
+ */
+object StatsQueries {
+
+  /** q174 — triangle participation census over the gated q26 near-dup
+    * pair table ([[graft.ops.Triangles]], degree-ordered node-iterator):
+    * (doc, triangle count) for every doc in a closed triple. The oracle
+    * recomputes the pairs brute-force (the q26 oracle CTE, q92's
+    * convention) and closes triangles by id-ordered triple join — a
+    * different algorithm whose wedge costs would melt at scale, which is
+    * the point: same answer, engine pays O(m^1.5), oracle pays the
+    * all-pairs scan. */
+  def q174Triangles(spark: SparkSession, dir: String): DataFrame =
+    Triangles.participation(PairStore.nearDupPairs(spark, dir))
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+
+  // concatenated OUTSIDE stripMargin (the embedded q26 oracle contains ||)
+  val q174Sql: String =
+    "WITH pairs AS (\n" + ExtQueries.q26Sql + "\n),\n" +
+      """e AS (SELECT id_a, id_b FROM pairs),
+        |tri AS (
+        |  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        |  FROM e p1
+        |  JOIN e p2 ON p2.id_a = p1.id_b
+        |  JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+        |ends AS (
+        |  SELECT a AS doc_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT doc_id, count(*) AS n_triangles
+        |FROM ends GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
+  /** q175 — ANALYZE-style column statistics over part's categorical
+    * columns ([[graft.ops.ColumnStats]]): exact NDV, null count and
+    * top-3 most-common values per column from ONE stacked hash aggregate
+    * (k columns ≠ k table scans). p_name's all-distinct tail (every
+    * count 1, rank decided by the value tie-break) exercises the
+    * deterministic-MCV contract. */
+  def q175ColumnStats(spark: SparkSession, dir: String): DataFrame =
+    ColumnStats.stackedStats(Tables.part(spark, dir),
+        Seq("p_brand", "p_type", "p_name"), topK = 3)
+      .orderBy(col("col_name"), col("mcv_rank"))
+
+  val q175Sql: String =
+    """WITH stacked AS (
+      |  SELECT 'p_brand' AS col_name, p_brand AS value FROM part
+      |  UNION ALL SELECT 'p_type', p_type FROM part
+      |  UNION ALL SELECT 'p_name', p_name FROM part),
+      |freq AS (
+      |  SELECT col_name, value, count(*) AS cnt
+      |  FROM stacked GROUP BY col_name, value),
+      |per_col AS (
+      |  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_nulls,
+      |    count(value) AS ndv
+      |  FROM freq GROUP BY col_name),
+      |mcv AS (
+      |  SELECT col_name, value, cnt,
+      |    row_number() OVER (PARTITION BY col_name
+      |                       ORDER BY cnt DESC, value) AS mcv_rank
+      |  FROM freq WHERE value IS NOT NULL)
+      |SELECT p.col_name, p.n_rows, p.n_nulls, p.ndv,
+      |  CAST(m.mcv_rank AS INTEGER) AS mcv_rank,
+      |  m.value AS mcv_value, m.cnt AS mcv_count
+      |FROM per_col p JOIN mcv m ON p.col_name = m.col_name
+      |WHERE m.mcv_rank <= 3
+      |ORDER BY p.col_name, mcv_rank""".stripMargin
+
+  /** q176 — exact Gini split search ([[graft.ops.SplitSearch]]) for
+    * "will this lineitem be returned?" over the l_quantity feature: one
+    * candidate-threshold row with left/right class counts and the
+    * weighted-Gini ranking fraction in DECIMAL(38,0) (gated as STRING,
+    * the q98 convention — no IEEE division in the contract). */
+  def q176GiniSplit(spark: SparkSession, dir: String): DataFrame =
+    SplitSearch.giniSplitTable(
+        Tables.lineitem(spark, dir)
+          .select(col("l_quantity"),
+            (col("l_returnflag") === "R").as("is_returned")),
+        "l_quantity", "is_returned")
+      .select(col("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"),
+        col("gini_num").cast("string").as("gini_num"),
+        col("gini_den").cast("string").as("gini_den"))
+      .orderBy(col("threshold"))
+
+  val q176Sql: String =
+    """WITH pv AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS n_v,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos_v
+      |  FROM lineitem GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(n_v) OVER (ORDER BY v) AS HUGEINT) AS n_l,
+      |    CAST(sum(pos_v) OVER (ORDER BY v) AS HUGEINT) AS pos_l
+      |  FROM pv),
+      |tot AS (
+      |  SELECT CAST(sum(n_v) AS HUGEINT) AS n,
+      |    CAST(sum(pos_v) AS HUGEINT) AS pos FROM pv)
+      |SELECT v AS threshold,
+      |  CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+      |  CAST(n - n_l AS BIGINT) AS n_r,
+      |  CAST(pos - pos_l AS BIGINT) AS pos_r,
+      |  CAST(CAST(
+      |    (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * (n - n_l)
+      |    + ((pos - pos_l) * (pos - pos_l)
+      |       + ((n - n_l) - (pos - pos_l)) * ((n - n_l) - (pos - pos_l)))
+      |      * n_l AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+      |  CAST(CAST(n_l * (n - n_l) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den
+      |FROM cum, tot
+      |WHERE n_l < n
+      |ORDER BY threshold""".stripMargin
+
+  /** q177 — distinct l-diversity release audit
+    * ([[graft.ops.Privacy.lDiversityAudit]]) of customer over the q135
+    * quasi-identifiers, sensitive attribute = the account-balance
+    * hundred-band: per QI group its size, attained l, and the l ≥ 3
+    * verdict — the homogeneity check k-anonymity cannot see. */
+  def q177LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversityAudit(
+        Tables.customer(spark, dir)
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / 100).cast("long").as("band")),
+        Seq("c_mktsegment", "c_nationkey"), "band", l = 3L)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  val q177Sql: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+      |  FROM b GROUP BY c_mktsegment, c_nationkey, band)
+      |SELECT c_mktsegment, c_nationkey,
+      |  CAST(sum(cnt) AS BIGINT) AS group_size,
+      |  count(band) AS l_distinct,
+      |  count(band) >= 3 AS diverse
+      |FROM g GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** The q29/q34 query-vector convention: a plan-time all-0.1f literal. */
+  private val pqQueryVec: Seq[Float] = Seq.fill(64)(0.1f)
+
+  /** q178 — product-quantization ADC top-10 ([[graft.ops.Pq]]): 64-dim
+    * vectors → 4 subspaces × 16-code sampled codebook (the 16 lowest-id
+    * vectors, deterministic), nearest-centroid encode, asymmetric
+    * distances folded in subspace order (IEEE-bit-stable on any
+    * partitioning). The oracle replays codebook, encode and ADC in SQL —
+    * approximate SEARCH, exactly CHECKABLE, like q29's probed-bucket
+    * contract. */
+  def q178PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Pq.sampledCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, dim = 64, m = 4)
+    Pq.adcTopK(codes, "vec_id", cb, pqQueryVec, dim = 64, m = 4, k = 10)
+  }
+
+  val q178Sql: String =
+    """WITH seeds AS (
+      |  SELECT embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT unnest(range(4)) AS m),
+      |cb AS (
+      |  SELECT m, code_id,
+      |    list_slice(embedding, m * 16 + 1, m * 16 + 16) AS codevec
+      |  FROM seeds, ms),
+      |sv AS (
+      |  SELECT vec_id, m,
+      |    list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sub
+      |  FROM embeddings, ms),
+      |enc AS (
+      |  SELECT vec_id, sv.m, cb.code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      (CAST(sub[i+1] AS DOUBLE) - CAST(codevec[i+1] AS DOUBLE))
+      |      * (CAST(sub[i+1] AS DOUBLE) - CAST(codevec[i+1] AS DOUBLE))))
+      |      AS dist
+      |  FROM sv JOIN cb ON sv.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id, m, code_id FROM (
+      |    SELECT vec_id, m, code_id, row_number() OVER (
+      |        PARTITION BY vec_id, m ORDER BY dist, code_id) AS rn
+      |    FROM enc) WHERE rn = 1),
+      |qd AS (
+      |  SELECT m, code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |         - CAST(codevec[i+1] AS DOUBLE))
+      |      * (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |         - CAST(codevec[i+1] AS DOUBLE)))) AS qdist
+      |  FROM cb),
+      |adc AS (
+      |  SELECT vec_id, list_sum(list(qdist ORDER BY m)) AS adc_dist
+      |  FROM codes JOIN qd USING (m, code_id)
+      |  GROUP BY vec_id)
+      |SELECT vec_id, adc_dist FROM adc
+      |ORDER BY adc_dist, vec_id
+      |LIMIT 10""".stripMargin
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
+
+/** The statistics-and-index ops behind q174-q178: triangle counting on a
+  * hand graph (one wedge per triangle, star has none), the stacked
+  * column-stats collector's NDV/null/MCV arithmetic, the exact Gini
+  * split table on a 6-row fixture, distinct l-diversity including the
+  * null-sensitive edge, and PQ encode/ADC on binary-exact floats
+  * (tie-break to the lowest code id, subspace-ordered fold). */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Triangles.participation: two shared-edge triangles, star counts zero") {
+    // K4 on {1,2,3,4} minus edge {3,4}: triangles (1,2,3) and (1,2,4);
+    // {5,6} an isolated edge; {7,8},{7,9},{7,10} a star (wedges, no closes)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (7L, 8L), (7L, 9L), (7L, 10L)).toDF("id_a", "id_b")
+    val got = Triangles.participation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("ColumnStats.stackedStats: NDV excludes null, MCV ties rank by value") {
+    val df = Seq(
+      (Some("x"), "q"), (Some("x"), "q"), (Some("y"), "q"), (None, "p"))
+      .toDF("a", "b")
+    val got = ColumnStats.stackedStats(df, Seq("a", "b"), topK = 3)
+      .orderBy(col("col_name"), col("mcv_rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getString(5), r.getLong(6)))
+    assert(got === Seq(
+      ("a", 4L, 1L, 2L, 1, "x", 2L),
+      ("a", 4L, 1L, 2L, 2, "y", 1L),
+      ("b", 4L, 0L, 2L, 1, "q", 3L),
+      ("b", 4L, 0L, 2L, 2, "p", 1L)))
+  }
+
+  test("SplitSearch.giniSplitTable: exact components, max threshold excluded") {
+    // v=1: ++, v=2: +-, v=3: -- (n=6, pos=3)
+    val df = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, false), (3L, false)).toDF("f", "lbl")
+    val got = SplitSearch.giniSplitTable(df, "f", "lbl")
+      .orderBy(col("threshold")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDecimal(5).longValueExact,
+        r.getDecimal(6).longValueExact))
+    // t=1: left (2+,0-) ssq 4, right (1+,3-) ssq 10 → num 4·4+10·2=36, den 8
+    // t=2: left (3+,1-) ssq 10, right (0+,2-) ssq 4 → num 10·2+4·4=36, den 8
+    assert(got === Seq(
+      (1L, 2L, 2L, 4L, 1L, 36L, 8L),
+      (2L, 4L, 3L, 2L, 0L, 36L, 8L)))
+  }
+
+  test("Privacy.lDiversityAudit: homogeneous group fails, null sensitive ignored") {
+    val df = Seq(
+      ("g1", Some("a")), ("g1", Some("a")), ("g1", Some("b")), ("g1", Some("c")),
+      ("g2", Some("a")), ("g2", Some("a")), ("g2", Some("a")),
+      ("g3", None), ("g3", Some("a"))).toDF("qi", "s")
+    val got = Privacy.lDiversityAudit(df, Seq("qi"), "s", l = 3L)
+      .orderBy(col("qi")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got === Seq(
+      ("g1", 4L, 3L, true), ("g2", 3L, 1L, false), ("g3", 2L, 1L, false)))
+  }
+
+  test("Pq: sampled codebook, encode ties to lowest code, ADC folds exactly") {
+    // dim 4, M=2, K=2; all coordinates binary-exact doubles
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(0.75f, 0.75f, 0.25f, 0.25f)),
+      (4L, Seq(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cb = Pq.sampledCodebook(emb, "vec_id", "embedding", dim = 4, m = 2, k = 2)
+    assert(cb.count() === 4) // 2 subspaces × 2 codes
+
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb, dim = 4, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // id3: m0 [0.75,0.75] → code1 (0.125 < 1.125); m1 [0.25,0.25] → code0
+    assert(codes((3L, 0)) === 1 && codes((3L, 1)) === 0)
+    // id4: m0 [0.5,0.5] equidistant (0.5 both) → lowest code id 0
+    assert(codes((4L, 0)) === 0)
+
+    val top = Pq.adcTopK(codes = Pq.encode(emb, "vec_id", "embedding", cb, 4, 2),
+        idCol = "vec_id", codebook = cb,
+        query = Seq(0f, 0f, 1f, 1f), dim = 4, m = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact ADC: id2 = 0; id0 = 0+2; id1 = 2+0; id4 = 0+2; id3 = 2+2
+    assert(top === Seq((2L, 0.0), (0L, 2.0), (1L, 2.0), (4L, 2.0), (3L, 4.0)))
+  }
+}
