@@ -44,17 +44,23 @@ object SplitSearch {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("pos_v"))
 
+    // Running sums AND totals from the SAME sorted candidate table: the
+    // totals are the running sums' last value (an unbounded-frame max on
+    // the identical window partitioning), so no second aggregate exists —
+    // a separate totals branch would re-scan the table (Spark self-joins
+    // recompute shared subplans), doubling the one table-sized pass.
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = perValue
       .withColumn("n_l", sum(col("n_v")).over(w))
       .withColumn("pos_l", sum(col("pos_v")).over(w))
-
-    val totals = perValue.agg(
-      sum(col("n_v")).as("n"), sum(col("pos_v")).as("pos"))
+      .withColumn("n", max(col("n_l")).over(wAll))
+      .withColumn("pos", max(col("pos_l")).over(wAll))
 
     val d = "decimal(38,0)"
-    cum.crossJoin(broadcast(totals))
+    cum
       .filter(col("n_l") < col("n")) // max value: right side empty
       .select(col("v").as("threshold"),
         col("n_l"), col("pos_l"),
@@ -63,6 +69,63 @@ object SplitSearch {
       .withColumn("neg_l", col("n_l") - col("pos_l"))
       .withColumn("neg_r", col("n_r") - col("pos_r"))
       .select(col("threshold"), col("n_l"), col("pos_l"), col("n_r"), col("pos_r"),
+        ((col("pos_l").cast(d) * col("pos_l") + col("neg_l").cast(d) * col("neg_l"))
+            * col("n_r")
+          + (col("pos_r").cast(d) * col("pos_r") + col("neg_r").cast(d) * col("neg_r"))
+            * col("n_l")).cast(d).as("gini_num"),
+        (col("n_l").cast(d) * col("n_r")).cast(d).as("gini_den"))
+  }
+
+  /**
+   * ALL-features split search in one table pass — the actual gradient-
+   * boosting inner loop: the per-row cost of evaluating F features is one
+   * F-way stack (an in-row array + posexplode-free explode, no exchange),
+   * and ONE hash aggregate over (feature, value) collapses the table to
+   * Σ NDV(feature) rows before any window runs. The prefix sums and
+   * totals are then per-feature (`PARTITION BY feature`), so no global
+   * single-partition window exists at any feature count — each feature's
+   * candidate set is its own window partition.
+   *
+   * `features` maps feature name → integer-valued expression (bin or
+   * cast upstream); label as in [[giniSplitTable]]. Output adds the
+   * leading `feature` column; same exact DECIMAL(38,0) ranking fraction.
+   */
+  def giniSplitTableMulti(df: DataFrame, features: Seq[(String, org.apache.spark.sql.Column)],
+                          labelCol: String): DataFrame = {
+    require(features.nonEmpty)
+    val stacked = df.select(
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("feature"), c.cast("long").as("v")) }: _*)).as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .select(col("s.feature").as("feature"), col("s.v").as("v"), col("pos"))
+
+    val perValue = stacked.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("pos_v"))
+
+    // Totals per feature = the running sums' last value over the same
+    // partitioning (see giniSplitTable): one exchange, one sort, no
+    // totals join, no second pass over the stacked table.
+    val w = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perValue
+      .withColumn("n_l", sum(col("n_v")).over(w))
+      .withColumn("pos_l", sum(col("pos_v")).over(w))
+      .withColumn("n", max(col("n_l")).over(wAll))
+      .withColumn("pos", max(col("pos_l")).over(wAll))
+
+    val d = "decimal(38,0)"
+    cum
+      .filter(col("n_l") < col("n"))
+      .select(col("feature"), col("v").as("threshold"),
+        col("n_l"), col("pos_l"),
+        (col("n") - col("n_l")).as("n_r"),
+        (col("pos") - col("pos_l")).as("pos_r"))
+      .withColumn("neg_l", col("n_l") - col("pos_l"))
+      .withColumn("neg_r", col("n_r") - col("pos_r"))
+      .select(col("feature"), col("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"),
         ((col("pos_l").cast(d) * col("pos_l") + col("neg_l").cast(d) * col("neg_l"))
             * col("n_r")
           + (col("pos_r").cast(d) * col("pos_r") + col("neg_r").cast(d) * col("neg_r"))

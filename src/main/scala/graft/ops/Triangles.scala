@@ -70,4 +70,23 @@ object Triangles {
       .select(explode(array(col("src"), col("id_a"), col("id_b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Local clustering coefficient as an EXACT pair: per vertex of degree
+   * ≥ 2, its degree, closed-triangle count, and wedge count
+   * deg·(deg−1)/2 — the coefficient is `n_triangles / n_wedges`, carried
+   * as integers so the contract has no IEEE division (the q176
+   * convention). Vertices in no triangle report 0, not absence.
+   */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val deg = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(participation(e), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (col("degree") * (col("degree") - 1) / 2).cast("long").as("n_wedges"))
+  }
 }

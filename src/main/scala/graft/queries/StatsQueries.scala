@@ -221,4 +221,104 @@ object StatsQueries {
       |SELECT vec_id, adc_dist FROM adc
       |ORDER BY adc_dist, vec_id
       |LIMIT 10""".stripMargin
+
+  /** q179 — local clustering coefficient census
+    * ([[graft.ops.Triangles.clusteringCoefficients]]): for every doc of
+    * near-dup degree ≥ 2, the exact (triangles, wedges) pair — the
+    * clique-vs-chain verdict per document that q174's global census
+    * aggregates away. No IEEE division: the coefficient stays a
+    * rational. */
+  def q179ClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    Triangles.clusteringCoefficients(PairStore.nearDupPairs(spark, dir))
+      .select(col("id").as("doc_id"), col("degree"),
+        col("n_triangles"), col("n_wedges"))
+      .orderBy(col("doc_id"))
+
+  val q179Sql: String =
+    "WITH pairs AS (\n" + ExtQueries.q26Sql + "\n),\n" +
+      """e AS (SELECT id_a, id_b FROM pairs),
+        |ends AS (
+        |  SELECT id_a AS id FROM e
+        |  UNION ALL SELECT id_b FROM e),
+        |deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id),
+        |tri AS (
+        |  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        |  FROM e p1
+        |  JOIN e p2 ON p2.id_a = p1.id_b
+        |  JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+        |tends AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tcount AS (SELECT id, count(*) AS n_triangles FROM tends GROUP BY id)
+        |SELECT d.id AS doc_id, d.degree,
+        |  COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS n_wedges
+        |FROM deg d LEFT JOIN tcount t ON t.id = d.id
+        |WHERE d.degree >= 2
+        |ORDER BY doc_id""".stripMargin
+
+  /** q180 — ALL-features Gini split search in one pass
+    * ([[graft.ops.SplitSearch.giniSplitTableMulti]]): quantity, discount
+    * and tax (the latter two centi-binned) evaluated from ONE stacked
+    * aggregate — the per-feature prefix windows partition by feature, so
+    * no global window exists at any feature count. Same DECIMAL(38,0)
+    * ranking contract as q176. */
+  def q180MultiSplit(spark: SparkSession, dir: String): DataFrame =
+    SplitSearch.giniSplitTableMulti(
+        Tables.lineitem(spark, dir)
+          .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+            (col("l_returnflag") === "R").as("is_returned")),
+        Seq(
+          "quantity" -> col("l_quantity"),
+          "discount_c" -> (col("l_discount") * 100),
+          "tax_c" -> (col("l_tax") * 100)),
+        "is_returned")
+      .select(col("feature"), col("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"),
+        col("gini_num").cast("string").as("gini_num"),
+        col("gini_den").cast("string").as("gini_den"))
+      .orderBy(col("feature"), col("threshold"))
+
+  val q180Sql: String =
+    """WITH stacked AS (
+      |  SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS v,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount_c', CAST(l_discount * 100 AS BIGINT),
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax_c', CAST(l_tax * 100 AS BIGINT),
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+      |  FROM lineitem),
+      |pv AS (
+      |  SELECT feature, v, count(*) AS n_v,
+      |    CAST(sum(pos) AS BIGINT) AS pos_v
+      |  FROM stacked GROUP BY feature, v),
+      |cum AS (
+      |  SELECT feature, v,
+      |    CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY v)
+      |      AS HUGEINT) AS n_l,
+      |    CAST(sum(pos_v) OVER (PARTITION BY feature ORDER BY v)
+      |      AS HUGEINT) AS pos_l
+      |  FROM pv),
+      |tot AS (
+      |  SELECT feature, CAST(sum(n_v) AS HUGEINT) AS n,
+      |    CAST(sum(pos_v) AS HUGEINT) AS pos
+      |  FROM pv GROUP BY feature)
+      |SELECT cum.feature, v AS threshold,
+      |  CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+      |  CAST(n - n_l AS BIGINT) AS n_r,
+      |  CAST(pos - pos_l AS BIGINT) AS pos_r,
+      |  CAST(CAST(
+      |    (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * (n - n_l)
+      |    + ((pos - pos_l) * (pos - pos_l)
+      |       + ((n - n_l) - (pos - pos_l)) * ((n - n_l) - (pos - pos_l)))
+      |      * n_l AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+      |  CAST(CAST(n_l * (n - n_l) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den
+      |FROM cum JOIN tot ON tot.feature = cum.feature
+      |WHERE n_l < n
+      |ORDER BY cum.feature, threshold""".stripMargin
 }

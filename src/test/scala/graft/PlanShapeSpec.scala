@@ -102,6 +102,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("q175's MCV rank plans a WindowGroupLimit, q178's codebook joins broadcast") {
+    val p175 = queries.StatsQueries.q175ColumnStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    // only topK+ties rows per column survive the rank exchange
+    assert(p175.contains("WindowGroupLimit"), p175.take(2000))
+    val p178 = queries.StatsQueries.q178PqAdc(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both the encode join (M·K codebook) and the ADC lookup broadcast;
+    // the table side never shuffles for a join
+    assert(p178.contains("BroadcastHashJoin"), p178.take(2000))
+    assert(!p178.contains("SortMergeJoin"), p178.take(2000))
+  }
+
+  test("q180's prefix windows partition by feature — no global window") {
+    val p180 = queries.StatsQueries.q180MultiSplit(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p180.contains("windowspecdefinition(feature"), p180.take(2000))
+    assert(!p180.contains("windowspecdefinition(v#"), p180.take(2000))
+    // ONE stacked pass: totals come from the same window partition, so no
+    // totals join and no second explode of the table exist
+    assert("Generate explode".r.findAllIn(p180).length === 1, p180.take(2000))
+    assert(!p180.contains("Join"), p180.take(2000))
+  }
+
   test("filters and pruning reach the parquet scan through Tables.spread") {
     val q = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45)

@@ -24,6 +24,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("Triangles.clusteringCoefficients: exact pairs, star center reports 0") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (7L, 8L), (7L, 9L), (7L, 10L)).toDF("id_a", "id_b")
+    val got = Triangles.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // degree-1 vertices (5,6,8,9,10) are excluded; the star center 7 has
+    // 3 wedges and 0 triangles — the row that distinguishes census from
+    // coefficient
+    assert(got === Map(
+      1L -> ((3L, 2L, 3L)), 2L -> ((3L, 2L, 3L)),
+      3L -> ((2L, 1L, 1L)), 4L -> ((2L, 1L, 1L)),
+      7L -> ((3L, 0L, 3L))))
+  }
+
   test("ColumnStats.stackedStats: NDV excludes null, MCV ties rank by value") {
     val df = Seq(
       (Some("x"), "q"), (Some("x"), "q"), (Some("y"), "q"), (None, "p"))
@@ -53,6 +69,24 @@ class StatsOpsSpec extends SparkSpec {
     assert(got === Seq(
       (1L, 2L, 2L, 4L, 1L, 36L, 8L),
       (2L, 4L, 3L, 2L, 0L, 36L, 8L)))
+  }
+
+  test("SplitSearch.giniSplitTableMulti: per-feature windows, mirrored feature symmetric") {
+    val df = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, false), (3L, false)).toDF("f", "lbl")
+    val got = SplitSearch.giniSplitTableMulti(df,
+        Seq("fwd" -> col("f"), "rev" -> (lit(4L) - col("f"))), "lbl")
+      .orderBy(col("feature"), col("threshold")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDecimal(6).longValueExact,
+        r.getDecimal(7).longValueExact))
+    // fwd ≡ the single-feature fixture; rev mirrors it (labels reversed
+    // end-for-end), so every component table is the left/right swap
+    assert(got === Seq(
+      ("fwd", 1L, 2L, 2L, 4L, 1L, 36L, 8L),
+      ("fwd", 2L, 4L, 3L, 2L, 0L, 36L, 8L),
+      ("rev", 1L, 2L, 0L, 4L, 3L, 36L, 8L),
+      ("rev", 2L, 4L, 1L, 2L, 2L, 36L, 8L)))
   }
 
   test("Privacy.lDiversityAudit: homogeneous group fails, null sensitive ignored") {
