@@ -878,4 +878,26 @@ object MonitorQueries {
       |WHERE ((running_start + step - 1) // step) * step
       |      < running_start + n_chars
       |ORDER BY doc_id""".stripMargin
+
+  /** q181 — metadata-only corpus totals through the zoned source's
+    * AGGREGATE pushdown ([[graft.sources.ZonedSource]],
+    * SupportsPushDownAggregates): a filterless
+    * COUNT(*)/MIN/MAX over the same q150 layout plans a ZonedAggScan
+    * that answers from the manifest — one row per zone, ZERO data files
+    * opened (ZonedSourceSpec proves it by deleting every data file and
+    * asking again). The oracle reads the ORIGINAL parquet, so a manifest
+    * that drifted from the rows cannot hash-match. */
+  def q181ZonedAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.ZonedSource")
+      .load(zonedPath(spark, dir))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val q181Sql: String =
+    """SELECT count(*) AS n_docs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents""".stripMargin
 }

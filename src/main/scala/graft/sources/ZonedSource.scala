@@ -10,8 +10,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -82,11 +83,12 @@ private[sources] class ZonedTable(path: String, tableSchema: StructType)
 
 private[sources] class ZonedScanBuilder(path: String, schema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val manifest = ZonedManifest.read(path)
   private var required: StructType = schema
   private var pruning: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   /** A filter prunes iff it is a comparison between a manifest stat
     * column and a literal integer. */
@@ -113,8 +115,117 @@ private[sources] class ZonedScanBuilder(path: String, schema: StructType)
   override def pushedFilters(): Array[Filter] = pruning
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new ZonedScan(manifest, schema, required, pruning)
+
+  /** A manifest stat column referenced bare (no nesting). */
+  private def statColOf(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+        manifest.statCols(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /**
+   * Aggregate pushdown — PARTIAL (supportCompletePushDown stays false):
+   * the scan emits one pre-aggregated row PER ZONE straight from the
+   * manifest (count = zone row count, min/max = the zone's stat bounds)
+   * and Spark's final aggregate merges them — so a global
+   * `COUNT(*) / MIN(stat) / MAX(stat)` over the corpus never opens a
+   * single data file. Metadata answering metadata-shaped queries is the
+   * lakehouse scan fast path (what Spark's own parquet footer-count
+   * pushdown does), here from the zone manifest.
+   *
+   * Accepted only when: no GROUP BY (zone stats carry no group
+   * breakdown), every aggregate is COUNT(*) or MIN/MAX of a stat column,
+   * and every zone actually carries that stat (a manifest missing a
+   * zone's bounds must fall back to the row scan). Spark only attempts
+   * the push when NO post-scan filter remains — and this source returns
+   * every filter as a residual (stats prune storage, never prove rows) —
+   * so a filtered aggregate always takes the row path by construction.
+   */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      manifest.zones.nonEmpty && pruning.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statColOf(m.column).exists(c =>
+          manifest.zones.forall(_.stats.contains(c)))
+        case m: Max => statColOf(m.column).exists(c =>
+          manifest.zones.forall(_.stats.contains(c)))
+        case _ => false
+      }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new ZonedAggScan(manifest, agg)
+    case None => new ZonedScan(manifest, schema, required, pruning)
+  }
+}
+
+/**
+ * The metadata-only scan a pushed aggregation plans: one row per zone,
+ * values read from the manifest, zero data files opened (the spec proves
+ * it by deleting every data file and still answering). All stat columns
+ * are LongType by the layout's write contract.
+ */
+private[sources] class ZonedAggScan(manifest: ZonedManifest.Manifest,
+                                    agg: Aggregation)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private val fields: Array[StructField] = agg.aggregateExpressions.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case m: Min => StructField(m.toString, LongType, nullable = false)
+    case m: Max => StructField(m.toString, LongType, nullable = false)
+    case other => throw new IllegalStateException(s"unpushable $other")
+  }
+
+  private def statName(e: V2Expression): String = e match {
+    case r: NamedReference => r.fieldNames()(0)
+    case other => throw new IllegalStateException(s"non-column $other")
+  }
+
+  private val rows: Array[Array[Long]] = manifest.zones.map { z =>
+    agg.aggregateExpressions.map {
+      case _: CountStar => z.nRows
+      case m: Min => z.stats(statName(m.column))._1
+      case m: Max => z.stats(statName(m.column))._2
+      case other => throw new IllegalStateException(s"unpushable $other")
+    }.toArray
+  }.toArray
+
+  override def readSchema(): StructType = StructType(fields)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZonedAggScan(metadata-only, zones=${manifest.zones.length}, " +
+      s"PushedAggregates=[${agg.aggregateExpressions.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZoneAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZoneAggReaderFactory
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong =
+      OptionalLong.of(manifest.zones.length.toLong)
+  }
+}
+
+private[sources] case class ZoneAggPartition(rows: Array[Array[Long]])
+    extends InputPartition
+
+private[sources] class ZoneAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition):
+      PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[ZoneAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map(v => v: Any))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,

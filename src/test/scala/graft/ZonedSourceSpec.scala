@@ -110,6 +110,41 @@ class ZonedSourceSpec extends SparkSpec {
     assert(g.agg(count(lit(1))).as[Long].collect().head === 10L)
   }
 
+  test("aggregate pushdown: filterless count/min/max answers from the " +
+    "manifest with zero data files") {
+    val (tmp, _) = writeCorpus()
+    def totals() = readZoned(tmp).agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("lo"), max(col("n_chars")).as("hi"))
+    val agg = totals()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ZonedAggScan"), plan.take(2000))
+    assert(plan.contains("PushedAggregates"), plan.take(2000))
+    assert(agg.as[(Long, Long, Long)].collect().head === ((100L, 0L, 990L)))
+
+    // refusals fall back to the row scan: a residual filter, a GROUP BY,
+    // and an aggregate the manifest can't answer (sum)
+    val refused = Seq(
+      readZoned(tmp).filter(col("n_chars") >= 0L).agg(count(lit(1))),
+      readZoned(tmp).groupBy(col("source")).agg(count(lit(1))),
+      readZoned(tmp).agg(sum(col("n_chars"))))
+    refused.foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("ZonedAggScan"), p.take(1500))
+    }
+
+    // the metadata-only proof: delete EVERY data file (manifest stays),
+    // ask again from a fresh plan — a scan that opened any file would
+    // throw; the pushed aggregate still answers
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator()
+      .asScala.toSeq
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString != "_zonemap.tsv")
+      .foreach(java.nio.file.Files.delete)
+    assert(totals().as[(Long, Long, Long)].collect().head ===
+      ((100L, 0L, 990L)))
+  }
+
   test("planning statistics come from the manifest (surviving rows only)") {
     val (tmp, _) = writeCorpus()
     val filtered = readZoned(tmp).filter(col("n_chars") < 250L)
