@@ -100,4 +100,66 @@ object Pq {
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
+
+  /** The IVF coarse quantizer's centroid table (cell_id, centvec): the
+    * `nCells` lowest-id vectors verbatim — deterministic, like
+    * [[sampledCodebook]]. */
+  def coarseCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(nCells)
+      .withColumn("cell_id", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cell_id"), col(vecCol).as("centvec"))
+
+  /** Cell assignment (id, cell_id): nearest centroid by full-dimension
+    * squared L2, ties to the lowest cell id. Centroids broadcast. */
+  def coarseAssign(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame =
+    df.join(broadcast(centroids))
+      .withColumn("cdist", sqDist(col(vecCol), col("centvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cell_id"))
+
+  /**
+   * IVF-PQ search (FAISS's IndexIVFPQ shape, by_residual=false): the
+   * coarse quantizer routes the query to its `nProbe` nearest cells, only
+   * THOSE cells' vectors are candidates, and candidates rank by the PQ
+   * codes' ADC distance — at corpus scale the scan touches
+   * nProbe/nCells of the rows and reads M code bytes per row, never a
+   * float vector. Probed cells are chosen IN-PLAN (a rank over the
+   * nCells-row broadcast centroid table — no driver collect), candidates
+   * by broadcast semi-join on cell_id.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], dim: Int, m: Int, codebookK: Int,
+                nCells: Int, nProbe: Int, k: Int): DataFrame = {
+    val centroids = coarseCentroids(df, idCol, vecCol, nCells)
+    val qArr = array(query.map(v => lit(v)): _*)
+    val probed = centroids
+      .withColumn("qcd", sqDist(qArr, col("centvec")))
+      .withColumn("prank", row_number().over(
+        Window.orderBy(col("qcd"), col("cell_id"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("cell_id"))
+    // assignment KEEPS the vector, so candidate selection is one
+    // nProbe-row broadcast semi-join — no table-sized join anywhere, and
+    // the non-probed ~(1 − nProbe/nCells) of the corpus dies before the
+    // encode stage (in production the codes are the stored index; encoding
+    // only the probed cells' rows is the value-identical in-query twin)
+    val assigned = df.join(broadcast(centroids))
+      .withColumn("cdist", sqDist(col(vecCol), col("centvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("cdist"), col("cell_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col(idCol), col(vecCol))
+    val candVecs = assigned
+      .join(broadcast(probed), Seq("cell_id"), "left_semi")
+      .select(col(idCol), col(vecCol))
+    val codebook = sampledCodebook(df, idCol, vecCol, dim, m, codebookK)
+    val codes = encode(candVecs, idCol, vecCol, codebook, dim, m)
+    adcTopK(codes, idCol, codebook, query, dim, m, k)
+  }
 }

@@ -321,4 +321,91 @@ object StatsQueries {
       |FROM cum JOIN tot ON tot.feature = cum.feature
       |WHERE n_l < n
       |ORDER BY cum.feature, threshold""".stripMargin
+
+  /** q182 — IVF-PQ search ([[graft.ops.Pq.ivfPqTopK]], the IndexIVFPQ
+    * shape): the coarse quantizer (8 lowest-id centroids) routes the
+    * query to its 2 nearest cells, only those cells' vectors reach the
+    * PQ encode, and candidates rank by ADC — the ANN arc's last stage
+    * (brute q28 → LSH q29 → IVF q85 → PQ q178 → IVF-PQ). The contract is
+    * "exact ADC top-k of the probed cells": the oracle replays routing,
+    * assignment, encode and ADC, so both pruning and ranking are
+    * hash-checked. */
+  def q182IvfPq(spark: SparkSession, dir: String): DataFrame =
+    Pq.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      pqQueryVec, dim = 64, m = 4, codebookK = 16, nCells = 8,
+      nProbe = 2, k = 10)
+
+  val q182Sql: String =
+    """WITH cents AS (
+      |  SELECT embedding AS centvec,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 8)),
+      |probed AS (
+      |  SELECT cell_id FROM (
+      |    SELECT cell_id,
+      |      row_number() OVER (ORDER BY qcd, cell_id) AS prank
+      |    FROM (
+      |      SELECT cell_id,
+      |        list_sum(list_transform(range(64), i ->
+      |          (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |             - CAST(centvec[i+1] AS DOUBLE))
+      |          * (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |             - CAST(centvec[i+1] AS DOUBLE)))) AS qcd
+      |      FROM cents))
+      |  WHERE prank <= 2),
+      |assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT e.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(64), i ->
+      |          (CAST(e.embedding[i+1] AS DOUBLE)
+      |             - CAST(c.centvec[i+1] AS DOUBLE))
+      |          * (CAST(e.embedding[i+1] AS DOUBLE)
+      |             - CAST(c.centvec[i+1] AS DOUBLE)))), c.cell_id) AS rn
+      |    FROM embeddings e, cents c)
+      |  WHERE rn = 1),
+      |cand AS (
+      |  SELECT vec_id FROM assigned JOIN probed USING (cell_id)),
+      |seeds AS (
+      |  SELECT embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT unnest(range(4)) AS m),
+      |cb AS (
+      |  SELECT m, code_id,
+      |    list_slice(embedding, m * 16 + 1, m * 16 + 16) AS codevec
+      |  FROM seeds, ms),
+      |sv AS (
+      |  SELECT e.vec_id, m,
+      |    list_slice(e.embedding, m * 16 + 1, m * 16 + 16) AS sub
+      |  FROM embeddings e JOIN cand USING (vec_id), ms),
+      |enc AS (
+      |  SELECT vec_id, sv.m, cb.code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      (CAST(sub[i+1] AS DOUBLE) - CAST(codevec[i+1] AS DOUBLE))
+      |      * (CAST(sub[i+1] AS DOUBLE) - CAST(codevec[i+1] AS DOUBLE))))
+      |      AS dist
+      |  FROM sv JOIN cb ON sv.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id, m, code_id FROM (
+      |    SELECT vec_id, m, code_id, row_number() OVER (
+      |        PARTITION BY vec_id, m ORDER BY dist, code_id) AS rn
+      |    FROM enc) WHERE rn = 1),
+      |qd AS (
+      |  SELECT m, code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |         - CAST(codevec[i+1] AS DOUBLE))
+      |      * (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |         - CAST(codevec[i+1] AS DOUBLE)))) AS qdist
+      |  FROM cb),
+      |adc AS (
+      |  SELECT vec_id, list_sum(list(qdist ORDER BY m)) AS adc_dist
+      |  FROM codes JOIN qd USING (m, code_id)
+      |  GROUP BY vec_id)
+      |SELECT vec_id, adc_dist FROM adc
+      |ORDER BY adc_dist, vec_id
+      |LIMIT 10""".stripMargin
 }

@@ -126,4 +126,24 @@ class StatsOpsSpec extends SparkSpec {
     // exact ADC: id2 = 0; id0 = 0+2; id1 = 2+0; id4 = 0+2; id3 = 2+2
     assert(top === Seq((2L, 0.0), (0L, 2.0), (1L, 2.0), (4L, 2.0), (3L, 4.0)))
   }
+
+  test("Pq.ivfPqTopK: only the probed cell's vectors are candidates") {
+    // 2 cells = vectors 0 ([0,0,0,0]) and 1 ([4,4,4,4]); the query
+    // [0,0,1,1] routes to cell 0 (dist 2 vs 54) with nProbe=1, so id1 and
+    // id5 (assigned to cell 1) can never appear even though id5's ADC
+    // distance would beat id0's
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(4f, 4f, 4f, 4f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(1f, 1f, 1f, 1f)),
+      (5L, Seq(3f, 3f, 3f, 3f))).toDF("vec_id", "embedding")
+    val got = Pq.ivfPqTopK(emb, "vec_id", "embedding",
+        query = Seq(0f, 0f, 1f, 1f), dim = 4, m = 2, codebookK = 2,
+        nCells = 2, nProbe = 1, k = 10)
+      .collect().map(r => r.getLong(0))
+    // cell 0 members: 0 (0 vs 64), 2 (2 vs 50), 3 (4 vs 36) — 1, 5 in cell 1
+    assert(got.toSet === Set(0L, 2L, 3L))
+    assert(!got.contains(5L) && !got.contains(1L))
+  }
 }
