@@ -37,7 +37,14 @@ object Triangles {
    */
   def participation(edges: DataFrame): DataFrame = {
     val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    triangleRows(e)
+      .select(explode(array(col("src"), col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
 
+  /** One row per triangle (src = its minimum-rank vertex, id_a < id_b the
+    * closing edge) via the degree-ordered wedge join. */
+  private def triangleRows(e: DataFrame): DataFrame = {
     // Vertex degrees (each edge contributes to both endpoints).
     val deg = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id")))
@@ -64,11 +71,29 @@ object Triangles {
       .select(col("src"), col("y").as("id_a"), col("z").as("id_b"))
 
     // A wedge closes iff {y, z} is an edge; join against the canonical list.
-    val triangles = wedges.join(e, Seq("id_a", "id_b"))
+    wedges.join(e, Seq("id_a", "id_b"))
+  }
 
-    triangles
-      .select(explode(array(col("src"), col("id_a"), col("id_b"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  /**
+   * Global transitivity summary — ONE row: total triangles, total wedges
+   * (Σ deg·(deg−1)/2), and the transitivity ratio 3T/W as an exact
+   * integer fraction (`trans_num`, `trans_den`). The whole-graph
+   * "how clique-like is the duplication structure" scalar, distinct from
+   * the per-node censuses (q155's counts, q179's coefficients).
+   */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val tri = triangleRows(e).agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      // deg·(deg−1) summed as LONG, halved by integral div — no doubles
+      .agg(sum(col("deg") * (col("deg") - 1)).as("tw"))
+      .select(expr("tw div 2").as("n_wedges"))
+    tri.crossJoin(broadcast(wedges)) // two 1-row aggregates
+      .select(col("n_triangles"), col("n_wedges"),
+        (col("n_triangles") * 3).as("trans_num"),
+        col("n_wedges").as("trans_den"))
   }
 
   /**
@@ -87,6 +112,6 @@ object Triangles {
       .join(participation(e), Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        (col("degree") * (col("degree") - 1) / 2).cast("long").as("n_wedges"))
+        expr("degree * (degree - 1) div 2").as("n_wedges"))
   }
 }

@@ -22,35 +22,41 @@ import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
  */
 object StatsQueries {
 
-  /** q174 — triangle participation census over the gated q26 near-dup
-    * pair table ([[graft.ops.Triangles]], degree-ordered node-iterator):
-    * (doc, triangle count) for every doc in a closed triple. The oracle
-    * recomputes the pairs brute-force (the q26 oracle CTE, q92's
-    * convention) and closes triangles by id-ordered triple join — a
-    * different algorithm whose wedge costs would melt at scale, which is
-    * the point: same answer, engine pays O(m^1.5), oracle pays the
-    * all-pairs scan. */
-  def q174Triangles(spark: SparkSession, dir: String): DataFrame =
-    Triangles.participation(PairStore.nearDupPairs(spark, dir))
-      .select(col("id").as("doc_id"), col("n_triangles"))
-      .orderBy(col("doc_id"))
+  /** q174 — global transitivity of the near-dup graph
+    * ([[graft.ops.Triangles.transitivity]], degree-ordered node-iterator
+    * — Schank-Wagner): ONE row, total triangles, total wedges and the
+    * ratio 3T/W as an exact integer fraction — the whole-graph
+    * clique-vs-chain scalar. The PER-NODE censuses are its siblings:
+    * q155 counts each doc's triangles (id-ordered wedge join), q179 its
+    * coefficient pair; this query is the graph-level roll-up, and its
+    * engine path is the degree-ORIENTED one whose wedge volume survives
+    * power-law hubs (Σ min-deg² vs q155's Σ deg²). The oracle recomputes
+    * pairs brute-force (the q26 CTE) and closes triangles by id-ordered
+    * triple join — different algorithm, same integers. */
+  def q174Transitivity(spark: SparkSession, dir: String): DataFrame =
+    Triangles.transitivity(PairStore.nearDupPairs(spark, dir))
 
   // concatenated OUTSIDE stripMargin (the embedded q26 oracle contains ||)
   val q174Sql: String =
     "WITH pairs AS (\n" + ExtQueries.q26Sql + "\n),\n" +
       """e AS (SELECT id_a, id_b FROM pairs),
         |tri AS (
-        |  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
-        |  FROM e p1
-        |  JOIN e p2 ON p2.id_a = p1.id_b
-        |  JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
-        |ends AS (
-        |  SELECT a AS doc_id FROM tri
-        |  UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri)
-        |SELECT doc_id, count(*) AS n_triangles
-        |FROM ends GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |  SELECT count(*) AS t FROM (
+        |    SELECT 1 AS one
+        |    FROM e p1
+        |    JOIN e p2 ON p2.id_a = p1.id_b
+        |    JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b)),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT id_a AS id FROM e
+        |    UNION ALL SELECT id_b FROM e) GROUP BY id),
+        |w AS (
+        |  SELECT CAST(sum(degree * (degree - 1)) // 2 AS BIGINT)
+        |    AS n_wedges FROM deg)
+        |SELECT CAST(t AS BIGINT) AS n_triangles, n_wedges,
+        |  CAST(t * 3 AS BIGINT) AS trans_num,
+        |  n_wedges AS trans_den
+        |FROM tri, w""".stripMargin
 
   /** q175 — ANALYZE-style column statistics over part's categorical
     * columns ([[graft.ops.ColumnStats]]): exact NDV, null count and

@@ -24,6 +24,16 @@ class StatsOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("Triangles.transitivity: 3T over wedges as exact integers") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (7L, 8L), (7L, 9L), (7L, 10L)).toDF("id_a", "id_b")
+    val r = Triangles.transitivity(edges).collect().head
+    // T = 2; wedges: deg 3,3,2,2,1,1,3,1,1,1 → 3+3+1+1+3 = 11
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 11L, 6L, 11L)))
+  }
+
   test("Triangles.clusteringCoefficients: exact pairs, star center reports 0") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
