@@ -38,31 +38,19 @@ object GlobalIndex {
     * consumers at the gate scale. (Recompute after eviction is safe:
     * range sampling is seed-deterministic, so offsets stay valid.) */
   def withGlobalIndex(df: DataFrame, idxCol: String,
-                      orderCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(
-        spark.sessionState.conf.numShufflePartitions, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+                      orderCols: Column*): DataFrame =
     // the counts pass and the numbering pass must observe the SAME
-    // row→partition assignment — stage the shuffle output (CacheScope:
-    // materialized during the scope, released after the pinned result)
-    CacheScope.withStages(parted) {
-      val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = counts.map(_._1).zip(
-        counts.map(_._2).scanLeft(0L)(_ + _).init) // offset_i = Σ n_<i
-      val offsetsDf = spark.createDataFrame(offsets.toSeq)
-        .toDF("__pid", "__off")
-      val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-      CacheScope.pin(parted
-        .join(broadcast(offsetsDf), Seq("__pid"))
-        .withColumn(idxCol,
-          (row_number().over(local).cast("long") - 1) + col("__off"))
-        .drop("__pid", "__off"))
+    // row→partition assignment — TwoPhase stages the shuffle output
+    // (materialized during the scope, released after the pinned result)
+    TwoPhase.scan(df, orderCols, count(lit(1)), _ + _) {
+      (parted, offsetsDf, _) =>
+        val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+        CacheScope.pin(parted
+          .join(offsetsDf, Seq("__pid"))
+          .withColumn(idxCol,
+            (row_number().over(local).cast("long") - 1) + col("__off"))
+          .drop("__pid", "__off", "__has_off"))
     }
-  }
 
   /** Index-and-write in ONE pass: the warehouse-job shape promised in
     * [[withGlobalIndex]]'s doc — number the rows and persist them to

@@ -39,31 +39,36 @@ object Packing {
   def packByBudget(df: DataFrame, tokenCol: Column, budget: Long,
                    orderCols: Column*): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(
-        spark.sessionState.conf.numShufflePartitions, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__tok", tokenCol.cast("long"))
-    // counts pass and numbering pass must see one row→partition assignment
-    CacheScope.withStages(parted) {
-      val sums = parted.groupBy(col("__pid"))
-        .agg(sum(col("__tok")).as("__s"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = sums.map(_._1).zip(
-        sums.map(_._2).scanLeft(0L)(_ + _).init) // offset_i = Σ tok_<i
-      val offsetsDf = spark.createDataFrame(offsets.toSeq)
-        .toDF("__pid", "__off")
-      val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      CacheScope.pin(parted
-        .join(broadcast(offsetsDf), Seq("__pid"))
-        .withColumn("running_start",
-          coalesce(sum(col("__tok")).over(local), lit(0L)) + col("__off"))
-        .withColumn("shard_id",
-          expr(s"CAST(running_start DIV ${budget}L AS BIGINT)"))
-        .drop("__pid", "__off", "__tok"))
+    packByBudgetWithTotal(df, tokenCol, _ => budget, orderCols: _*)._1
+  }
+
+  /**
+   * [[packByBudget]] with the budget derived FROM the corpus's total
+   * weight — which is already sitting in the per-partition sums the
+   * two-phase scan collects, so callers that need `total` (q158's
+   * systematic step = total/50) get it WITHOUT a second table scan.
+   * Returns (packed frame, total weight).
+   */
+  def packByBudgetWithTotal(df: DataFrame, tokenCol: Column,
+                            budgetOf: Long => Long,
+                            orderCols: Column*): (DataFrame, Long) = {
+    val tokenized = df.withColumn("__tok", tokenCol.cast("long"))
+    // sums pass and numbering pass must see one row→partition assignment
+    // (TwoPhase stages the shuffle output across both)
+    TwoPhase.scan(tokenized, orderCols, sum(col("__tok")), _ + _) {
+      (parted, offsetsDf, totalOpt) =>
+        val total = totalOpt.getOrElse(0L)
+        val budget = budgetOf(total)
+        require(budget > 0, s"budget must be positive: $budget")
+        val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        (CacheScope.pin(parted
+          .join(offsetsDf, Seq("__pid"))
+          .withColumn("running_start",
+            coalesce(sum(col("__tok")).over(local), lit(0L)) + col("__off"))
+          .withColumn("shard_id",
+            expr(s"CAST(running_start DIV ${budget}L AS BIGINT)"))
+          .drop("__pid", "__off", "__has_off", "__tok")), total)
     }
   }
 }

@@ -110,17 +110,20 @@ object Pq {
       .withColumn("cell_id", row_number().over(Window.orderBy(col(idCol))) - 1)
       .select(col("cell_id"), col(vecCol).as("centvec"))
 
-  /** Cell assignment (id, cell_id): nearest centroid by full-dimension
-    * squared L2, ties to the lowest cell id. Centroids broadcast. */
+  /** Cell assignment (cell_id, id, `keep`...): nearest centroid by
+    * full-dimension squared L2, ties to the lowest cell id. Centroids
+    * broadcast; `keep` lets a caller carry payload columns (e.g. the
+    * vector itself) through the assignment without a later re-join. */
   def coarseAssign(df: DataFrame, idCol: String, vecCol: String,
-                   centroids: DataFrame): DataFrame =
+                   centroids: DataFrame,
+                   keep: Seq[String] = Nil): DataFrame =
     df.join(broadcast(centroids))
       .withColumn("cdist", sqDist(col(vecCol), col("centvec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("cdist"), col("cell_id"))))
       .filter(col("rn") === 1)
-      .select(col(idCol), col("cell_id"))
+      .select((col("cell_id") +: col(idCol) +: keep.map(col)): _*)
 
   /**
    * IVF-PQ search (FAISS's IndexIVFPQ shape, by_residual=false): the
@@ -148,14 +151,8 @@ object Pq {
     // the non-probed ~(1 − nProbe/nCells) of the corpus dies before the
     // encode stage (in production the codes are the stored index; encoding
     // only the probed cells' rows is the value-identical in-query twin)
-    val assigned = df.join(broadcast(centroids))
-      .withColumn("cdist", sqDist(col(vecCol), col("centvec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("cdist"), col("cell_id"))))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col(idCol), col(vecCol))
-    val candVecs = assigned
+    val candVecs = coarseAssign(df, idCol, vecCol, centroids,
+        keep = Seq(vecCol))
       .join(broadcast(probed), Seq("cell_id"), "left_semi")
       .select(col(idCol), col(vecCol))
     val codebook = sampledCodebook(df, idCol, vecCol, dim, m, codebookK)

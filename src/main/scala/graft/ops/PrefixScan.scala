@@ -32,36 +32,21 @@ object PrefixScan {
    */
   def exclusiveRunningMax(df: DataFrame, valueCol: Column, outCol: String,
                           orderCols: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(
-        spark.sessionState.conf.numShufflePartitions, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", valueCol.cast("long"))
-    // both passes must see one row→partition assignment
-    CacheScope.withStages(parted) {
-      val maxes = parted.groupBy(col("__pid"))
-        .agg(max(col("__v")).as("__m"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      // offset_i = max over partitions < i (None for the first)
-      val offsets = maxes.map(_._1).zip(
-        maxes.map(_._2).scanLeft(Option.empty[Long]) {
-          case (acc, m) => Some(acc.fold(m)(math.max(_, m)))
-        }.init)
-      val offsetsDf = spark.createDataFrame(
-        offsets.toSeq.map { case (p, o) =>
-          (p, o.getOrElse(Long.MinValue), o.isDefined) })
-        .toDF("__pid", "__off", "__has_off")
-      val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      CacheScope.pin(parted
-        .join(broadcast(offsetsDf), Seq("__pid"))
-        // greatest() skips nulls: local-only, offset-only and
-        // global-first (both null) rows all come out right
-        .withColumn(outCol, greatest(max(col("__v")).over(local),
-          when(col("__has_off"), col("__off"))))
-        .drop("__pid", "__v", "__off", "__has_off"))
+    val valued = df.withColumn("__v", valueCol.cast("long"))
+    // both passes see one row→partition assignment (TwoPhase stages the
+    // shuffle); an ALL-NULL partition's null max contributes NOTHING to
+    // the prefix — TwoPhase's Option fold never fabricates an identity
+    TwoPhase.scan(valued, orderCols, max(col("__v")), math.max) {
+      (parted, offsetsDf, _) =>
+        val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        CacheScope.pin(parted
+          .join(offsetsDf, Seq("__pid"))
+          // greatest() skips nulls: local-only, offset-only and
+          // global-first (both null) rows all come out right
+          .withColumn(outCol, greatest(max(col("__v")).over(local),
+            when(col("__has_off"), col("__off"))))
+          .drop("__pid", "__v", "__off", "__has_off"))
     }
   }
 }

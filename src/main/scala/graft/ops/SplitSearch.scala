@@ -31,6 +31,10 @@ object SplitSearch {
 
   /**
    * Binary-label split-evaluation table over an integer-valued feature.
+   * The feature is cast to long with Spark's TRUNCATION-toward-zero
+   * semantics — SQL twins must say `CAST(trunc(x) AS BIGINT)`, since a
+   * bare `CAST(x AS BIGINT)` ROUNDS in DuckDB and diverges on any
+   * non-integral value.
    * One row per candidate threshold (every distinct feature value except
    * the maximum — its right side is empty): threshold, left/right sizes
    * and positive counts, and the exact Gini-ranking fraction

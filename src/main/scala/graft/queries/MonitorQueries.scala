@@ -231,7 +231,11 @@ object MonitorQueries {
 
   private def zonedPath(spark: SparkSession, dir: String): String =
     zonedStore.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + dir,
+      // content-fingerprinted like PairStore: regenerating the documents
+      // parquet in-session must never serve a layout built from the old
+      // snapshot (the metadata-only q181 would silently answer stale)
+      spark.sparkContext.applicationId + "|" + dir + "|" +
+        PairStore.snapshotFingerprint(dir),
       _ => {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-zoned").toString
@@ -606,10 +610,12 @@ object MonitorQueries {
   def q158SystematicSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val total = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    // total comes from the pack's own per-partition sums pass — no
+    // separate corpus aggregate (and no head() to NPE on an empty table)
+    val (packed, total) = graft.ops.Packing.packByBudgetWithTotal(docs,
+      col("n_chars"), tot => math.max(1L, tot / 50L), col("doc_id"))
     val step = math.max(1L, total / 50L)
-    graft.ops.Packing.packByBudget(docs, col("n_chars"), budget = step,
-        col("doc_id"))
+    packed
       .filter(expr(s"((running_start + ${step}L - 1) DIV ${step}L) " +
         s"* ${step}L < running_start + n_chars"))
       .select(col("doc_id"), col("source"), col("n_chars"),

@@ -49,7 +49,7 @@ object PairStore {
     * single file itself). Regenerating the parquet in-session changes the
     * fingerprint, so the memo can never serve pairs computed from a stale
     * snapshot — the cache is keyed by CONTENT IDENTITY, not by path. */
-  private def snapshotFingerprint(dir: String): String = {
+  private[queries] def snapshotFingerprint(dir: String): String = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir, "documents.parquet")
     if (!java.nio.file.Files.exists(root)) return "absent"

@@ -7,15 +7,17 @@ import graft.Tables
 import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
 
 /**
- * q174-q178 — the statistics-and-index tier: the artifacts a corpus
+ * q174-q182 — the statistics-and-index tier: the artifacts a corpus
  * warehouse computes ABOUT its data to plan, release and index it.
- * Triangle census of the near-dup graph (is a cluster a clique or a
- * chain?), the ANALYZE-style single-shuffle column-stats collector
- * (CBO food next to q173's equi-depth histogram), exact decision-tree
- * split search (the gradient-boosting inner loop), distinct l-diversity
- * release auditing (the step after q135's k-anonymity), and product
- * quantization with asymmetric-distance top-k (the memory-compression
- * half of a billion-vector ANN index).
+ * Global transitivity and per-node clustering coefficients of the
+ * near-dup graph (is the duplication structure cliques or chains?), the
+ * ANALYZE-style single-shuffle column-stats collector (CBO food next to
+ * q173's equi-depth histogram), exact decision-tree split search —
+ * single- and all-features-one-pass — (the gradient-boosting inner
+ * loop), distinct l-diversity release auditing (the step after q135's
+ * k-anonymity), and product quantization with asymmetric-distance top-k
+ * plus IVF-PQ routing (the memory-compression half of a billion-vector
+ * ANN index).
  *
  * No counterpart in the reference (trends.go ends at the sink); these
  * are the training-data-pipeline extensions the builder brief names.
@@ -114,7 +116,7 @@ object StatsQueries {
 
   val q176Sql: String =
     """WITH pv AS (
-      |  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS n_v,
+      |  SELECT CAST(trunc(l_quantity) AS BIGINT) AS v, count(*) AS n_v,
       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS pos_v
       |  FROM lineitem GROUP BY v),
@@ -288,15 +290,15 @@ object StatsQueries {
 
   val q180Sql: String =
     """WITH stacked AS (
-      |  SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS v,
+      |  SELECT 'quantity' AS feature, CAST(trunc(l_quantity) AS BIGINT) AS v,
       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
       |  FROM lineitem
       |  UNION ALL
-      |  SELECT 'discount_c', CAST(l_discount * 100 AS BIGINT),
+      |  SELECT 'discount_c', CAST(trunc(l_discount * 100) AS BIGINT),
       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
       |  FROM lineitem
       |  UNION ALL
-      |  SELECT 'tax_c', CAST(l_tax * 100 AS BIGINT),
+      |  SELECT 'tax_c', CAST(trunc(l_tax * 100) AS BIGINT),
       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
       |  FROM lineitem),
       |pv AS (

@@ -417,8 +417,13 @@ object ZonedCorpus {
       .mkString(",")
     val zoneLines = stats.map { r =>
       val dirName = s"__zone=${r.get(0)}"
-      val st = statCols.map(c =>
-        s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
+      // a zone whose stat column is entirely null has null min/max:
+      // OMIT the stat (getAs would unbox to 0 and fabricate 0:0 bounds)
+      // — the reader keeps such zones under every filter (conservative)
+      // and refuses aggregate pushdown for that column
+      val st = statCols.filter(c =>
+          r.getAs[Any](s"lo_$c") != null && r.getAs[Any](s"hi_$c") != null)
+        .map(c => s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
         .mkString(",")
       s"zone\t$dirName\t${r.getAs[Long]("n")}\t$st"
     }

@@ -55,7 +55,12 @@ object CepStream {
               out += CepMatch(key, s, en, m)
             }
           }
-          state.update(st)
+          // a key with no open funnel stores NOTHING — otherwise every
+          // key ever seen pins a state record forever (unbounded store
+          // growth on high-cardinality streams); the store stays
+          // proportional to OPEN matches
+          if (st == Cep.EmptyState) { if (state.exists) state.remove() }
+          else state.update(st)
           out.result().iterator
       }
   }
@@ -95,7 +100,8 @@ object CepStream {
         st = nst
         emit.foreach { case (s, en, m) => out += CepMatch(key, s, en, m) }
       }
-      state.update(st)
+      // same no-open-funnel ⇒ no-record rule as the fMGWS twin
+      if (st == Cep.EmptyState) state.clear() else state.update(st)
       out.result().iterator
     }
   }
