@@ -64,19 +64,29 @@ object Pq {
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0d), (acc, d) => acc + d)
 
-  /** PQ codes (id, m, code_id): nearest centroid per subspace, ties to the
-    * lowest code_id. The codebook side broadcasts; the rank-1 filter is a
-    * WindowGroupLimit over M·K rows per vector. */
+  /** PQ codes (id, [keep...,] m, code_id): nearest centroid per subspace,
+    * ties to the lowest code_id. The codebook side broadcasts; the rank-1
+    * filter is a WindowGroupLimit over M·K rows per vector. `keep`
+    * carries per-id payload columns (e.g. the IVF cell) through without
+    * a re-join. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             codebook: DataFrame, dim: Int, m: Int): DataFrame =
-    subvectors(df, idCol, vecCol, dim, m)
+             codebook: DataFrame, dim: Int, m: Int,
+             keep: Seq[String] = Nil): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by M $m")
+    val src = df.select((col(idCol) +: keep.map(col) :+
+      posexplode(array((0 until m).map { i =>
+        val s = dim / m
+        slice(col(vecCol), i * s + 1, s)
+      }: _*)).as(Seq("m", "sub"))): _*)
+    src
       .join(broadcast(codebook), "m")
       .withColumn("dist", sqDist(col("sub"), col("codevec")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(idCol), col("m"))
           .orderBy(col("dist"), col("code_id"))))
       .filter(col("rn") === 1)
-      .select(col(idCol), col("m"), col("code_id"))
+      .select((col(idCol) +: keep.map(col) :+ col("m") :+ col("code_id")): _*)
+  }
 
   /**
    * ADC top-k: approximate squared distance of every encoded vector to the
@@ -158,5 +168,64 @@ object Pq {
     val codebook = sampledCodebook(df, idCol, vecCol, dim, m, codebookK)
     val codes = encode(candVecs, idCol, vecCol, codebook, dim, m)
     adcTopK(codes, idCol, codebook, query, dim, m, k)
+  }
+
+  /**
+   * RESIDUAL IVF-PQ (FAISS's by_residual=true default): PQ quantizes the
+   * residual `vec − centroid(cell)` instead of the raw vector — the
+   * residual distribution is tighter, so the same code budget loses less
+   * — and the query side precomputes a PER-CELL lookup table (the
+   * query's residual differs per cell), still only nCells·M·K doubles of
+   * broadcast metadata. One SHARED residual codebook across cells
+   * (seeded from the `codebookK` lowest-id vectors' residuals); all
+   * subtraction chains fold left in declared order so the oracle can
+   * replay them IEEE-exactly.
+   */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Float], dim: Int, m: Int,
+                        codebookK: Int, nCells: Int, nProbe: Int,
+                        k: Int): DataFrame = {
+    val sub = dim / m
+    val centroids = coarseCentroids(df, idCol, vecCol, nCells)
+    val qArr = array(query.map(v => lit(v)): _*)
+    val probed = centroids
+      .withColumn("qcd", sqDist(qArr, col("centvec")))
+      .withColumn("prank", row_number().over(
+        Window.orderBy(col("qcd"), col("cell_id"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("cell_id"))
+
+    // residual = vec − assigned centroid, element-wise in DOUBLE
+    val resid = coarseAssign(df, idCol, vecCol, centroids,
+        keep = Seq(vecCol))
+      .join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("resid", zip_with(col(vecCol), col("centvec"),
+        (x, y) => x.cast("double") - y.cast("double")))
+      .select(col("cell_id"), col(idCol), col("resid"))
+
+    // shared residual codebook; encode only the probed cells' residuals,
+    // the cell riding through the encode (no re-join)
+    val codebook = sampledCodebook(resid, idCol, "resid", dim, m, codebookK)
+    val candResid = resid.join(broadcast(probed), Seq("cell_id"), "left_semi")
+    val codes = encode(candResid, idCol, "resid", codebook, dim, m,
+      keep = Seq("cell_id"))
+
+    // per-cell query-residual lookup: dist((q − cent)_m, codevec)
+    val qdist = centroids.crossJoin(broadcast(codebook))
+      .withColumn("qressub", zip_with(
+        slice(qArr, col("m") * sub + 1, lit(sub)),
+        slice(col("centvec"), col("m") * sub + 1, lit(sub)),
+        (x, y) => x.cast("double") - y.cast("double")))
+      .withColumn("qd", sqDist(col("qressub"), col("codevec")))
+      .select(col("cell_id"), col("m"), col("code_id"), col("qd"))
+
+    codes.join(broadcast(qdist), Seq("cell_id", "m", "code_id"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+          array_sort(collect_list(struct(col("m"), col("qd")))),
+          lit(0.0d), (acc, s) => acc + s.getField("qd"))
+        .as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
   }
 }

@@ -416,4 +416,95 @@ object StatsQueries {
       |SELECT vec_id, adc_dist FROM adc
       |ORDER BY adc_dist, vec_id
       |LIMIT 10""".stripMargin
+
+  /** q183 — RESIDUAL IVF-PQ ([[graft.ops.Pq.ivfPqResidualTopK]], the
+    * FAISS by_residual=true default): PQ quantizes `vec − centroid`
+    * (tighter distribution → less loss for the same code budget), one
+    * shared residual codebook, and a PER-CELL query lookup table —
+    * still nCells·M·K doubles of broadcast metadata. Every subtraction
+    * chain folds in declared order, so the oracle replays routing,
+    * residuals, encode and per-cell ADC bit-exactly. */
+  def q183IvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    Pq.ivfPqResidualTopK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", pqQueryVec, dim = 64, m = 4, codebookK = 16,
+      nCells = 8, nProbe = 2, k = 10)
+
+  val q183Sql: String =
+    """WITH cents AS (
+      |  SELECT embedding AS centvec,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS cell_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 8)),
+      |probed AS (
+      |  SELECT cell_id FROM (
+      |    SELECT cell_id,
+      |      row_number() OVER (ORDER BY qcd, cell_id) AS prank
+      |    FROM (
+      |      SELECT cell_id,
+      |        list_sum(list_transform(range(64), i ->
+      |          (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |             - CAST(centvec[i+1] AS DOUBLE))
+      |          * (CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |             - CAST(centvec[i+1] AS DOUBLE)))) AS qcd
+      |      FROM cents))
+      |  WHERE prank <= 2),
+      |assigned AS (
+      |  SELECT vec_id, cell_id FROM (
+      |    SELECT e.vec_id, c.cell_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(64), i ->
+      |          (CAST(e.embedding[i+1] AS DOUBLE)
+      |             - CAST(c.centvec[i+1] AS DOUBLE))
+      |          * (CAST(e.embedding[i+1] AS DOUBLE)
+      |             - CAST(c.centvec[i+1] AS DOUBLE)))), c.cell_id) AS rn
+      |    FROM embeddings e, cents c)
+      |  WHERE rn = 1),
+      |resid AS (
+      |  SELECT a.vec_id, a.cell_id,
+      |    list_transform(range(64), i ->
+      |      CAST(e.embedding[i+1] AS DOUBLE)
+      |        - CAST(c.centvec[i+1] AS DOUBLE)) AS resid
+      |  FROM assigned a
+      |  JOIN embeddings e USING (vec_id)
+      |  JOIN cents c USING (cell_id)),
+      |seeds AS (
+      |  SELECT resid, row_number() OVER (ORDER BY vec_id) - 1 AS code_id
+      |  FROM (SELECT vec_id, resid FROM resid ORDER BY vec_id LIMIT 16)),
+      |ms AS (SELECT unnest(range(4)) AS m),
+      |cb AS (
+      |  SELECT m, code_id,
+      |    list_slice(resid, m * 16 + 1, m * 16 + 16) AS codevec
+      |  FROM seeds, ms),
+      |sv AS (
+      |  SELECT r.vec_id, r.cell_id, m,
+      |    list_slice(r.resid, m * 16 + 1, m * 16 + 16) AS sub
+      |  FROM resid r JOIN probed USING (cell_id), ms),
+      |enc AS (
+      |  SELECT vec_id, cell_id, sv.m, cb.code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      (sub[i+1] - codevec[i+1]) * (sub[i+1] - codevec[i+1])))
+      |      AS dist
+      |  FROM sv JOIN cb ON sv.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id, cell_id, m, code_id FROM (
+      |    SELECT vec_id, cell_id, m, code_id, row_number() OVER (
+      |        PARTITION BY vec_id, m ORDER BY dist, code_id) AS rn
+      |    FROM enc) WHERE rn = 1),
+      |qd AS (
+      |  SELECT c.cell_id, cb.m, cb.code_id,
+      |    list_sum(list_transform(range(16), i ->
+      |      ((CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |          - CAST(c.centvec[cb.m * 16 + i + 1] AS DOUBLE))
+      |         - cb.codevec[i+1])
+      |      * ((CAST(CAST(0.1 AS FLOAT) AS DOUBLE)
+      |          - CAST(c.centvec[cb.m * 16 + i + 1] AS DOUBLE))
+      |         - cb.codevec[i+1]))) AS qdist
+      |  FROM cents c, cb),
+      |adc AS (
+      |  SELECT vec_id, list_sum(list(qdist ORDER BY m)) AS adc_dist
+      |  FROM codes JOIN qd USING (cell_id, m, code_id)
+      |  GROUP BY vec_id)
+      |SELECT vec_id, adc_dist FROM adc
+      |ORDER BY adc_dist, vec_id
+      |LIMIT 10""".stripMargin
 }

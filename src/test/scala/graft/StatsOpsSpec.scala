@@ -156,4 +156,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.toSet === Set(0L, 2L, 3L))
     assert(!got.contains(5L) && !got.contains(1L))
   }
+
+  test("Pq.ivfPqResidualTopK: residual codebook separates what raw ties") {
+    // centroids = ids 0,1; residuals r0=r1=[0,0,0,0], r2=[1,1,0,0],
+    // r3=[0,0,1,1]; codebookK=3 → residual codes m0: {[0,0],[0,0],[1,1]}
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(4f, 4f, 4f, 4f)),
+      (2L, Seq(1f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val got = Pq.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        query = Seq(1f, 1f, 1f, 1f), dim = 4, m = 2, codebookK = 3,
+        nCells = 2, nProbe = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // query routes to cell 0 (4 vs 36); q_res=[1,1,1,1]; id2 encodes
+    // m0→code2 (exact) so ADC = 0+2; id0/id3 ride zero codes → 4; id1
+    // (cell 1) excluded despite being a real vector
+    assert(got === Seq((2L, 2.0), (0L, 4.0), (3L, 4.0)))
+  }
 }
