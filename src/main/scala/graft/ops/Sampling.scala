@@ -31,6 +31,42 @@ object Sampling {
     * pseudo-random order. */
   def scramble(id: Column): Column = pmod(id * lit(2654435761L), lit(Scale))
 
+  /**
+   * Proportional budget APPORTIONMENT by largest remainder (the Hare-
+   * quota / Hamilton method): split an integer sample budget `B` across
+   * strata proportionally to their row counts, in EXACT integer
+   * arithmetic — floor seats = (B·nᵢ) div N, the `B − Σ floor` leftover
+   * seats go to the largest remainders (B·nᵢ) mod N, ties to the first
+   * stratum by name. The allocation step upstream of [[quotaSample]]'s
+   * fixed per-stratum quotas; also the shard-budget split shape.
+   *
+   * One table-sized hash aggregate (map-side combined); everything after
+   * runs on the strata table (≤ NDV(stratum) rows — the windows are
+   * candidate-set-sized by construction, the q176 discipline).
+   */
+  def largestRemainderAllocation(df: DataFrame, stratumCol: String,
+                                 budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val all = Window.partitionBy().orderBy(col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val strata = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_total", sum(col("n_rows")).over(all))
+      .withColumn("floor_seats",
+        expr(s"(${budget}L * n_rows) div n_total"))
+      .withColumn("remainder_num",
+        expr(s"(${budget}L * n_rows) % n_total"))
+    strata
+      .withColumn("leftover", lit(budget) - sum(col("floor_seats")).over(all))
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy(col("remainder_num").desc, col(stratumCol))))
+      .select(col(stratumCol), col("n_rows"), col("floor_seats"),
+        col("remainder_num"),
+        (col("floor_seats") +
+          when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+          .as("seats"))
+  }
+
   /** At most `cap` rows per stratum, chosen by ascending scramble(id)
     * (id tiebreak): the exact, engine-reproducible mixture. */
   def quotaSample(df: DataFrame, stratumCol: String, idCol: String,

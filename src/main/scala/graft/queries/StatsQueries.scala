@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
+import graft.ops.{ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
 
 /**
  * q174-q182 — the statistics-and-index tier: the artifacts a corpus
@@ -507,4 +507,38 @@ object StatsQueries {
       |SELECT vec_id, adc_dist FROM adc
       |ORDER BY adc_dist, vec_id
       |LIMIT 10""".stripMargin
+
+  /** q184 — largest-remainder budget apportionment
+    * ([[graft.ops.Sampling.largestRemainderAllocation]], Hamilton
+    * method): a 1000-document sample budget split across sources
+    * proportionally to their corpus share, floor seats by exact integer
+    * division, the leftover seats to the largest remainders (ties to
+    * the first source by name) — the allocation step upstream of q41's
+    * fixed per-stratum quotas, in arithmetic both engines replay
+    * exactly. */
+  def q184SeatAllocation(spark: SparkSession, dir: String): DataFrame =
+    Sampling.largestRemainderAllocation(
+        Tables.documents(spark, dir), "source", budget = 1000L)
+      .orderBy(col("source"))
+
+  val q184Sql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM s),
+      |f AS (
+      |  SELECT source, n_rows,
+      |    CAST((1000 * n_rows) // n_total AS BIGINT) AS floor_seats,
+      |    CAST((1000 * n_rows) % n_total AS BIGINT) AS remainder_num
+      |  FROM s, t),
+      |l AS (SELECT CAST(1000 - sum(floor_seats) AS BIGINT) AS leftover
+      |      FROM f),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |      ORDER BY remainder_num DESC, source) AS rem_rank
+      |  FROM f)
+      |SELECT source, n_rows, floor_seats, remainder_num,
+      |  CAST(floor_seats + CASE WHEN rem_rank <= leftover
+      |       THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM r, l
+      |ORDER BY source""".stripMargin
 }

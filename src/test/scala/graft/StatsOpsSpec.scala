@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ColumnStats, Pq, Privacy, SplitSearch, Triangles}
+import graft.ops.{ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
 
 /** The statistics-and-index ops behind q174-q178: triangle counting on a
   * hand graph (one wedge per triangle, star has none), the stacked
@@ -109,6 +109,26 @@ class StatsOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got === Seq(
       ("g1", 4L, 3L, true), ("g2", 3L, 1L, false), ("g3", 2L, 1L, false)))
+  }
+
+  test("Sampling.largestRemainderAllocation: floors + largest remainders, exact") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("src")
+    val got = Sampling.largestRemainderAllocation(df, "src", budget = 7L)
+      .orderBy(col("src")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // quotas 3.5 / 2.1 / 1.4: floors 3+2+1 = 6, one leftover seat to the
+    // largest remainder (a, 5/10); total seats == budget
+    assert(got === Seq(("a", 5L, 3L, 5L, 4L), ("b", 3L, 2L, 1L, 2L),
+      ("c", 2L, 1L, 4L, 1L)))
+
+    // remainder tie: both strata at .5, one seat left → first by name
+    val tie = Seq("a", "b").toDF("src")
+    val gotTie = Sampling.largestRemainderAllocation(tie, "src", budget = 5L)
+      .orderBy(col("src")).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    assert(gotTie === Seq(("a", 3L), ("b", 2L)))
   }
 
   test("Pq: sampled codebook, encode ties to lowest code, ADC folds exactly") {
