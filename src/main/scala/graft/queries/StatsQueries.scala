@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
+import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
 
 /**
  * q174-q182 — the statistics-and-index tier: the artifacts a corpus
@@ -541,4 +541,53 @@ object StatsQueries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS seats
       |FROM r, l
       |ORDER BY source""".stripMargin
+
+  /** q185 — join-cardinality estimation audit ([[graft.ops.CardEst]]):
+    * the Selinger uniform estimate n_l·n_r / max(ndv) NEXT TO the exact
+    * cardinality for an FK join (orders⋈customer — containment holds,
+    * estimate exact) and a skewed self-join (events⋈events on user_id —
+    * the under-estimate MCVs exist to fix). The engine never
+    * materializes a join: exact = Σ_k c_l(k)·c_r(k) over NDV-sized
+    * key-count tables; the oracle counts the brute row-level JOIN — an
+    * independent proof of the product-sum identity. Completes the CBO
+    * arc: q173 histogram → q175 stats → q185 estimation-vs-reality. */
+  def q185CardAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    CardEst.joinSizeAudit("events_self_user", ev, "user_id", ev, "user_id")
+      .unionByName(CardEst.joinSizeAudit("orders_customer_fk",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val q185Sql: String =
+    """WITH eu AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+      |es AS (
+      |  SELECT count(*) AS n, count(DISTINCT user_id) AS ndv FROM eu),
+      |ea AS (
+      |  SELECT count(*) AS actual
+      |  FROM eu a JOIN eu b ON a.user_id = b.user_id),
+      |oc AS (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL),
+      |cc AS (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+      |os AS (
+      |  SELECT count(*) AS n, count(DISTINCT o_custkey) AS ndv FROM oc),
+      |cs AS (
+      |  SELECT count(*) AS n, count(DISTINCT c_custkey) AS ndv FROM cc),
+      |oa AS (
+      |  SELECT count(*) AS actual
+      |  FROM oc JOIN cc ON o_custkey = c_custkey)
+      |SELECT 'events_self_user' AS join_name,
+      |  es.n AS n_left, es.n AS n_right,
+      |  es.ndv AS ndv_left, es.ndv AS ndv_right,
+      |  CAST((es.n * es.n) // greatest(es.ndv, es.ndv) AS BIGINT)
+      |    AS est_rows,
+      |  CAST(ea.actual AS BIGINT) AS actual_rows
+      |FROM es, ea
+      |UNION ALL
+      |SELECT 'orders_customer_fk',
+      |  os.n, cs.n, os.ndv, cs.ndv,
+      |  CAST((os.n * cs.n) // greatest(os.ndv, cs.ndv) AS BIGINT),
+      |  CAST(oa.actual AS BIGINT)
+      |FROM os, cs, oa
+      |ORDER BY join_name""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
+import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
 
 /** The statistics-and-index ops behind q174-q178: triangle counting on a
   * hand graph (one wedge per triangle, star has none), the stacked
@@ -109,6 +109,17 @@ class StatsOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got === Seq(
       ("g1", 4L, 3L, true), ("g2", 3L, 1L, false), ("g3", 2L, 1L, false)))
+  }
+
+  test("CardEst.joinSizeAudit: product-sum actual, Selinger estimate, nulls out") {
+    val l = Seq(Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val r = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val row = CardEst.joinSizeAudit("t", l, "k", r, "k").collect().head
+    // n_l=3 (null excluded), n_r=4, ndv 2/3; actual = 2·1 + 1·2 = 4;
+    // est = 3·4 div 3 = 4
+    assert((row.getString(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6)) ===
+      (("t", 3L, 4L, 2L, 3L, 4L, 4L)))
   }
 
   test("Sampling.largestRemainderAllocation: floors + largest remainders, exact") {
