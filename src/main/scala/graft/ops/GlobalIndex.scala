@@ -40,9 +40,9 @@ object GlobalIndex {
   def withGlobalIndex(df: DataFrame, idxCol: String,
                       orderCols: Column*): DataFrame =
     // the counts pass and the numbering pass must observe the SAME
-    // row→partition assignment — TwoPhase stages the shuffle output
+    // row→partition assignment — TwoPhaseScan stages the shuffle output
     // (materialized during the scope, released after the pinned result)
-    TwoPhase.scan(df, orderCols, count(lit(1)), _ + _) {
+    TwoPhaseScan.scan(df, orderCols, count(lit(1)), _ + _) {
       (parted, offsetsDf, _) =>
         val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
         CacheScope.pin(parted

@@ -54,8 +54,8 @@ object Packing {
                             orderCols: Column*): (DataFrame, Long) = {
     val tokenized = df.withColumn("__tok", tokenCol.cast("long"))
     // sums pass and numbering pass must see one row→partition assignment
-    // (TwoPhase stages the shuffle output across both)
-    TwoPhase.scan(tokenized, orderCols, sum(col("__tok")), _ + _) {
+    // (TwoPhaseScan stages the shuffle output across both)
+    TwoPhaseScan.scan(tokenized, orderCols, sum(col("__tok")), _ + _) {
       (parted, offsetsDf, totalOpt) =>
         val total = totalOpt.getOrElse(0L)
         val budget = budgetOf(total)

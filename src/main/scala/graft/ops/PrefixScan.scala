@@ -33,10 +33,10 @@ object PrefixScan {
   def exclusiveRunningMax(df: DataFrame, valueCol: Column, outCol: String,
                           orderCols: Column*): DataFrame = {
     val valued = df.withColumn("__v", valueCol.cast("long"))
-    // both passes see one row→partition assignment (TwoPhase stages the
+    // both passes see one row→partition assignment (TwoPhaseScan stages the
     // shuffle); an ALL-NULL partition's null max contributes NOTHING to
-    // the prefix — TwoPhase's Option fold never fabricates an identity
-    TwoPhase.scan(valued, orderCols, max(col("__v")), math.max) {
+    // the prefix — TwoPhaseScan's Option fold never fabricates an identity
+    TwoPhaseScan.scan(valued, orderCols, max(col("__v")), math.max) {
       (parted, offsetsDf, _) =>
         val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, -1)

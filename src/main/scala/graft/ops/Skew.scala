@@ -78,4 +78,36 @@ object Skew {
         joinType)
       .drop("__salt_l", "__salt_r")
   }
+
+  /**
+   * Skew ADVISOR — which keys need the treatments above, decided in exact
+   * integer arithmetic: a key is hot when its frequency exceeds
+   * `hotFactor ×` the mean key frequency n/ndv, i.e. `freq · ndv >
+   * hotFactor · n` (cross-multiplied — no division anywhere), and its
+   * recommended salt-bucket count is ⌈freq·ndv / (hotFactor·n)⌉ — the
+   * factor by which it outweighs a tolerable key. One table-sized hash
+   * aggregate; the verdict math runs on the NDV-sized key-count table.
+   * Products ride DECIMAL(38,0) (freq·ndv overflows a long at warehouse
+   * cardinalities).
+   */
+  def skewAdvisor(df: DataFrame, keyCol: String,
+                  hotFactor: Long): DataFrame = {
+    require(hotFactor >= 1, s"hotFactor must be >= 1: $hotFactor")
+    val d = "decimal(38,0)"
+    val freq = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("freq"))
+    // freq feeds both the totals and the verdict — stage it (NDV-sized)
+    // so the table-sized aggregation runs once, not once per branch
+    CacheScope.withStages(freq) {
+      val totals = freq.agg(sum(col("freq")).cast("long").as("n"),
+        count(lit(1)).as("ndv"))
+      CacheScope.pin(freq.crossJoin(broadcast(totals)) // 1-row totals
+        .withColumn("lhs", col("freq").cast(d) * col("ndv"))
+        .withColumn("rhs", col("n").cast(d) * hotFactor)
+        .filter(col("lhs") > col("rhs"))
+        .select(col(keyCol), col("freq"),
+          // ceil division of exact decimals: (lhs + rhs - 1) div rhs
+          expr("CAST((lhs + rhs - 1) div rhs AS BIGINT)").as("salt_buckets")))
+    }
+  }
 }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  * a single row→partition assignment; callers pin their result before the
  * scope closes.
  */
-private[ops] object TwoPhase {
+private[ops] object TwoPhaseScan {
 
   /**
    * Run `body(parted, offsetsDf, total)` inside the staged scope:

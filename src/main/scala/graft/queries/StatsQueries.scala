@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
+import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /**
  * q174-q182 — the statistics-and-index tier: the artifacts a corpus
@@ -590,4 +590,28 @@ object StatsQueries {
       |  CAST(oa.actual AS BIGINT)
       |FROM os, cs, oa
       |ORDER BY join_name""".stripMargin
+
+  /** q186 — skew advisor ([[graft.ops.Skew.skewAdvisor]]): which
+    * o_orderstatus keys exceed their fair share n/ndv (cross-multiplied
+    * integers, no division) and how many salt buckets each needs —
+    * the decision input to [[graft.ops.Skew.saltedAggregate]]/
+    * [[graft.ops.Skew.saltedJoin]] (q99's treatments). TPC-H order
+    * status is structurally skewed: F and O carry ~48.6% each over 3
+    * keys, P ~2.7%. */
+  def q186SkewAdvisor(spark: SparkSession, dir: String): DataFrame =
+    Skew.skewAdvisor(Tables.orders(spark, dir), "o_orderstatus",
+        hotFactor = 1L)
+      .orderBy(col("o_orderstatus"))
+
+  val q186Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderstatus, count(*) AS freq
+      |  FROM orders WHERE o_orderstatus IS NOT NULL
+      |  GROUP BY o_orderstatus),
+      |t AS (SELECT CAST(sum(freq) AS BIGINT) AS n, count(*) AS ndv FROM f)
+      |SELECT o_orderstatus, freq,
+      |  CAST((freq * ndv + n - 1) // n AS BIGINT) AS salt_buckets
+      |FROM f, t
+      |WHERE freq * ndv > n
+      |ORDER BY o_orderstatus""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, SplitSearch, Triangles}
+import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /** The statistics-and-index ops behind q174-q178: triangle counting on a
   * hand graph (one wedge per triangle, star has none), the stacked
@@ -109,6 +109,15 @@ class StatsOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got === Seq(
       ("g1", 4L, 3L, true), ("g2", 3L, 1L, false), ("g3", 2L, 1L, false)))
+  }
+
+  test("Skew.skewAdvisor: cross-multiplied verdict, ceil salt buckets") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Skew.skewAdvisor(df, "k", hotFactor = 1L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // n=10, ndv=3: a 6·3=18 > 10 → hot, ⌈18/10⌉ = 2 buckets;
+    // b 9 ≤ 10 and c 3 ≤ 10 stay out
+    assert(got.toSeq === Seq(("a", 6L, 2L)))
   }
 
   test("CardEst.joinSizeAudit: product-sum actual, Selinger estimate, nulls out") {
