@@ -36,9 +36,11 @@ object CardEst {
       .groupBy(col("k")).agg(count(lit(1)).as("c_l"))
     val rc = right.select(col(rightKey).as("k")).filter(col("k").isNotNull)
       .groupBy(col("k")).agg(count(lit(1)).as("c_r"))
-    val ls = lc.agg(sum(col("c_l")).cast("long").as("n_left"),
+    val ls = lc.agg(coalesce(sum(col("c_l")), lit(0L)).cast("long")
+        .as("n_left"),
       count(lit(1)).as("ndv_left"))
-    val rs = rc.agg(sum(col("c_r")).cast("long").as("n_right"),
+    val rs = rc.agg(coalesce(sum(col("c_r")), lit(0L)).cast("long")
+        .as("n_right"),
       count(lit(1)).as("ndv_right"))
     val actual = lc.join(rc, "k")
       .agg(coalesce(sum(col("c_l").cast(d) * col("c_r")), lit(0).cast(d))
@@ -46,9 +48,15 @@ object CardEst {
     ls.crossJoin(broadcast(rs)).crossJoin(broadcast(actual)) // 1-row sides
       .select(lit(joinName).as("join_name"),
         col("n_left"), col("n_right"), col("ndv_left"), col("ndv_right"),
-        // integral div (not decimal / + cast): both engines floor
-        expr("CAST((CAST(n_left AS DECIMAL(38,0)) * n_right) div " +
-          "greatest(ndv_left, ndv_right) AS BIGINT)").as("est_rows"),
+        // integral div (not decimal / + cast): both engines floor; an
+        // empty side (ndv 0) reports 0, matching the oracle's count(*).
+        // The BIGINT report column bounds the audit's domain at 9.2e18
+        // output rows — beyond it the exact count is not computable
+        // anyway; ANSI mode fails loudly rather than wrapping.
+        when(greatest(col("ndv_left"), col("ndv_right")) > 0,
+          expr("CAST((CAST(n_left AS DECIMAL(38,0)) * n_right) div " +
+            "greatest(ndv_left, ndv_right) AS BIGINT)"))
+          .otherwise(lit(0L)).as("est_rows"),
         col("actual_rows"))
   }
 }

@@ -33,14 +33,17 @@ import org.apache.spark.sql.functions._
  */
 object Pq {
 
-  /** Subvector slices of `vecCol` as (id, m, sub): map-side posexplode,
-    * one output row per subspace. `dim` must be divisible by `m`. */
+  /** Subvector slices of `vecCol` as (id, [keep...,] m, sub): map-side
+    * posexplode, one output row per subspace. `dim` must be divisible by
+    * `m`; `keep` carries payload columns through. */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
-                         dim: Int, m: Int): DataFrame = {
+                         dim: Int, m: Int,
+                         keep: Seq[String] = Nil): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by M $m")
     val sub = dim / m
-    df.select(col(idCol), posexplode(array((0 until m).map(i =>
-        slice(col(vecCol), i * sub + 1, sub)): _*)).as(Seq("m", "sub")))
+    df.select((col(idCol) +: keep.map(col) :+
+      posexplode(array((0 until m).map(i =>
+        slice(col(vecCol), i * sub + 1, sub)): _*)).as(Seq("m", "sub"))): _*)
   }
 
   /** The (m, code_id, codevec) codebook: subvectors of the `k` lowest-id
@@ -71,14 +74,8 @@ object Pq {
     * a re-join. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              codebook: DataFrame, dim: Int, m: Int,
-             keep: Seq[String] = Nil): DataFrame = {
-    require(dim % m == 0, s"dim $dim not divisible by M $m")
-    val src = df.select((col(idCol) +: keep.map(col) :+
-      posexplode(array((0 until m).map { i =>
-        val s = dim / m
-        slice(col(vecCol), i * s + 1, s)
-      }: _*)).as(Seq("m", "sub"))): _*)
-    src
+             keep: Seq[String] = Nil): DataFrame =
+    subvectors(df, idCol, vecCol, dim, m, keep)
       .join(broadcast(codebook), "m")
       .withColumn("dist", sqDist(col("sub"), col("codevec")))
       .withColumn("rn", row_number().over(
@@ -86,7 +83,6 @@ object Pq {
           .orderBy(col("dist"), col("code_id"))))
       .filter(col("rn") === 1)
       .select((col(idCol) +: keep.map(col) :+ col("m") :+ col("code_id")): _*)
-  }
 
   /**
    * ADC top-k: approximate squared distance of every encoded vector to the
@@ -203,29 +199,34 @@ object Pq {
         (x, y) => x.cast("double") - y.cast("double")))
       .select(col("cell_id"), col(idCol), col("resid"))
 
-    // shared residual codebook; encode only the probed cells' residuals,
-    // the cell riding through the encode (no re-join)
-    val codebook = sampledCodebook(resid, idCol, "resid", dim, m, codebookK)
-    val candResid = resid.join(broadcast(probed), Seq("cell_id"), "left_semi")
-    val codes = encode(candResid, idCol, "resid", codebook, dim, m,
-      keep = Seq("cell_id"))
+    // resid feeds BOTH the codebook seeds and the candidate encode —
+    // stage it so the cross-join assignment runs once, not per branch
+    CacheScope.withStages(resid) {
+      val codebook = sampledCodebook(resid, idCol, "resid", dim, m,
+        codebookK)
+      val candResid = resid.join(broadcast(probed), Seq("cell_id"),
+        "left_semi")
+      val codes = encode(candResid, idCol, "resid", codebook, dim, m,
+        keep = Seq("cell_id"))
 
-    // per-cell query-residual lookup: dist((q − cent)_m, codevec)
-    val qdist = centroids.crossJoin(broadcast(codebook))
-      .withColumn("qressub", zip_with(
-        slice(qArr, col("m") * sub + 1, lit(sub)),
-        slice(col("centvec"), col("m") * sub + 1, lit(sub)),
-        (x, y) => x.cast("double") - y.cast("double")))
-      .withColumn("qd", sqDist(col("qressub"), col("codevec")))
-      .select(col("cell_id"), col("m"), col("code_id"), col("qd"))
+      // per-cell query-residual lookup: dist((q − cent)_m, codevec)
+      val qdist = centroids.crossJoin(broadcast(codebook))
+        .withColumn("qressub", zip_with(
+          slice(qArr, col("m") * sub + 1, lit(sub)),
+          slice(col("centvec"), col("m") * sub + 1, lit(sub)),
+          (x, y) => x.cast("double") - y.cast("double")))
+        .withColumn("qd", sqDist(col("qressub"), col("codevec")))
+        .select(col("cell_id"), col("m"), col("code_id"), col("qd"))
 
-    codes.join(broadcast(qdist), Seq("cell_id", "m", "code_id"))
-      .groupBy(col(idCol))
-      .agg(aggregate(
-          array_sort(collect_list(struct(col("m"), col("qd")))),
-          lit(0.0d), (acc, s) => acc + s.getField("qd"))
-        .as("adc_dist"))
-      .orderBy(col("adc_dist"), col(idCol))
-      .limit(k)
+      CacheScope.pin(codes
+        .join(broadcast(qdist), Seq("cell_id", "m", "code_id"))
+        .groupBy(col(idCol))
+        .agg(aggregate(
+            array_sort(collect_list(struct(col("m"), col("qd")))),
+            lit(0.0d), (acc, s) => acc + s.getField("qd"))
+          .as("adc_dist"))
+        .orderBy(col("adc_dist"), col(idCol))
+        .limit(k))
+    }
   }
 }

@@ -49,13 +49,20 @@ object Sampling {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val all = Window.partitionBy().orderBy(col(stratumCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val strata = df.groupBy(col(stratumCol))
+    // NULL strata excluded (engines disagree on NULL ordering in the
+    // remainder tiebreak); budget·n_rows rides DECIMAL(38,0) — it
+    // overflows a long at warehouse row counts (the CardEst convention)
+    val strata = df.select(col(stratumCol))
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("n_total", sum(col("n_rows")).over(all))
       .withColumn("floor_seats",
-        expr(s"(${budget}L * n_rows) div n_total"))
+        expr(s"CAST((CAST(${budget}L AS DECIMAL(38,0)) * n_rows)" +
+          " div n_total AS BIGINT)"))
       .withColumn("remainder_num",
-        expr(s"(${budget}L * n_rows) % n_total"))
+        expr(s"CAST((CAST(${budget}L AS DECIMAL(38,0)) * n_rows)" +
+          " % n_total AS BIGINT)"))
     strata
       .withColumn("leftover", lit(budget) - sum(col("floor_seats")).over(all))
       .withColumn("rem_rank", row_number().over(

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /**
- * q174-q182 — the statistics-and-index tier: the artifacts a corpus
+ * q174-q186 — the statistics-and-index tier: the artifacts a corpus
  * warehouse computes ABOUT its data to plan, release and index it.
  * Global transitivity and per-node clustering coefficients of the
  * near-dup graph (is the duplication structure cliques or chains?), the
@@ -523,7 +523,8 @@ object StatsQueries {
 
   val q184Sql: String =
     """WITH s AS (
-      |  SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+      |  SELECT source, count(*) AS n_rows FROM documents
+      |  WHERE source IS NOT NULL GROUP BY source),
       |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM s),
       |f AS (
       |  SELECT source, n_rows,
