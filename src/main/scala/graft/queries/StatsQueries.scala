@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
+import graft.ops.{Auc, CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /**
  * q174-q186 — the statistics-and-index tier: the artifacts a corpus
@@ -615,4 +615,41 @@ object StatsQueries {
       |FROM f, t
       |WHERE freq * ndv > n
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** q187 — EXACT ROC-AUC ([[graft.ops.Auc]], Mann-Whitney with
+    * midranks): does extended price order returned lineitems above kept
+    * ones? One hash aggregate to (score, n, pos) value groups, the
+    * two-phase distributed prefix scan for "items before" (never a
+    * global window), and a DECIMAL(38,0) numerator/denominator pair —
+    * zero floating point in the contract. The single-scalar summary of
+    * the ordering q171's lift table shows per decile. */
+  def q187ExactAuc(spark: SparkSession, dir: String): DataFrame =
+    Auc.exactAuc(Tables.lineitem(spark, dir),
+      col("l_extendedprice"), col("l_returnflag") === "R")
+
+  val q187Sql: String =
+    """WITH g AS (
+      |  SELECT l_extendedprice AS s, count(*) AS n_g,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos_g
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |  GROUP BY s),
+      |r AS (
+      |  SELECT *, CAST(coalesce(sum(n_g) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS HUGEINT) AS before_g
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(sum(pos_g) AS HUGEINT) AS n_pos,
+      |    CAST(sum(n_g) - sum(pos_g) AS HUGEINT) AS n_neg,
+      |    CAST(sum(CAST(pos_g AS HUGEINT) * (before_g * 2 + n_g + 1))
+      |      AS HUGEINT) AS two_rank_sum
+      |  FROM r)
+      |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS auc_num,
+      |  CAST(CAST(n_pos * n_neg * 2 AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS auc_den
+      |FROM t""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
+import graft.ops.{Auc, CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /** The statistics-and-index ops behind q174-q178: triangle counting on a
   * hand graph (one wedge per triangle, star has none), the stacked
@@ -109,6 +109,22 @@ class StatsOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got === Seq(
       ("g1", 4L, 3L, true), ("g2", 3L, 1L, false), ("g3", 2L, 1L, false)))
+  }
+
+  test("Auc.exactAuc: midrank ties, hand-checked 7/8") {
+    // scores (label): 1(−), 2(−), 2(+), 3(+) — ranks 1, 2.5, 2.5, 4;
+    // Σranks₊ = 6.5, U = 6.5 − 3 = 3.5, AUC = 3.5/4 → num/den = 7/8
+    val df = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("score", "label")
+    val r = Auc.exactAuc(df, col("score"), col("label")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)) ===
+      ((2L, 2L, "7", "8")))
+
+    // perfect separation → AUC 1: num == den
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("score", "label")
+    val s = Auc.exactAuc(sep, col("score"), col("label")).collect().head
+    assert((s.getString(2), s.getString(3)) === (("8", "8")))
   }
 
   test("Skew.skewAdvisor: cross-multiplied verdict, ceil salt buckets") {
