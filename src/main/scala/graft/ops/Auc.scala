@@ -17,9 +17,8 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: one hash aggregate collapses the table to (score, n, pos)
  * value groups; "items before" is the exclusive prefix sum of group
- * sizes in score order — [[Packing.packByBudgetWithTotal]]'s two-phase
- * distributed scan (range partition + driver offsets), NEVER a global
- * single-reducer window; one final metadata-sized aggregate emits the
+ * sizes in score order — [[TwoPhaseScan]]'s distributed scaffold (range
+ * partition + driver offsets), NEVER a global single-reducer window; one final metadata-sized aggregate emits the
  * numerator/denominator pair in DECIMAL(38,0) (rank sums overflow longs
  * at warehouse row counts). The q171 lift table is the per-decile view
  * of the same ordering; this is its single-scalar summary.
@@ -41,21 +40,31 @@ object Auc {
       .filter(col("s").isNotNull && labelCol.isNotNull)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("n_g"), sum(col("pos")).as("pos_g"))
-    // running_start = items in strictly-smaller score groups (exclusive
-    // prefix sum via the shared two-phase scan)
-    val (ranked, _) = Packing.packByBudgetWithTotal(
-      groups, col("n_g"), _ => 1L, col("s"))
-    ranked
-      .agg(sum(col("pos_g")).cast(d).as("n_pos"),
-        (sum(col("n_g")) - sum(col("pos_g"))).cast(d).as("n_neg"),
-        sum(col("pos_g").cast(d) *
-          (col("running_start").cast(d) * 2 + col("n_g") + 1))
-          .cast(d).as("two_rank_sum"))
-      .select(col("n_pos").cast("long").as("n_pos"),
-        col("n_neg").cast("long").as("n_neg"),
-        (col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1))
-          .cast(d).cast("string").as("auc_num"),
-        (col("n_pos") * col("n_neg") * 2).cast(d).cast("string")
-          .as("auc_den"))
+    // "items before" = the exclusive prefix sum of group sizes in score
+    // order, straight on the shared two-phase scaffold (one staged pass,
+    // no dummy shard budget, no table-sized pin — the one-row result is
+    // aggregated inside the staged scope and pinned trivially)
+    TwoPhaseScan.scan(groups, Seq(col("s")), sum(col("n_g")), _ + _) {
+      (parted, offsetsDf, _) =>
+        val local = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        CacheScope.pin(parted
+          .join(offsetsDf, Seq("__pid"))
+          .withColumn("before_g",
+            coalesce(sum(col("n_g")).over(local), lit(0L)) + col("__off"))
+          .agg(sum(col("pos_g")).cast(d).as("n_pos"),
+            (sum(col("n_g")) - sum(col("pos_g"))).cast(d).as("n_neg"),
+            sum(col("pos_g").cast(d) *
+              (col("before_g").cast(d) * 2 + col("n_g") + 1))
+              .cast(d).as("two_rank_sum"))
+          .select(col("n_pos").cast("long").as("n_pos"),
+            col("n_neg").cast("long").as("n_neg"),
+            (col("two_rank_sum") - col("n_pos") * (col("n_pos") + 1))
+              .cast(d).cast("string").as("auc_num"),
+            (col("n_pos") * col("n_neg") * 2).cast(d).cast("string")
+              .as("auc_den")))
+    }
   }
 }

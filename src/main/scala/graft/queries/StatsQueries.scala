@@ -7,7 +7,7 @@ import graft.Tables
 import graft.ops.{Auc, CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /**
- * q174-q186 — the statistics-and-index tier: the artifacts a corpus
+ * q174-q187 — the statistics-and-index tier (incl. exact ROC-AUC): the artifacts a corpus
  * warehouse computes ABOUT its data to plan, release and index it.
  * Global transitivity and per-node clustering coefficients of the
  * near-dup graph (is the duplication structure cliques or chains?), the
@@ -632,7 +632,8 @@ object StatsQueries {
       |  SELECT l_extendedprice AS s, count(*) AS n_g,
       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS pos_g
-      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
       |  GROUP BY s),
       |r AS (
       |  SELECT *, CAST(coalesce(sum(n_g) OVER (ORDER BY s

@@ -148,14 +148,37 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q185's exact cardinality joins key-COUNT tables, not rows") {
-    val p185 = queries.StatsQueries.q185CardAudit(spark, dir)
-      .queryExecution.executedPlan.toString
-    // every join input is an aggregate output: the plan may join
-    // NDV-sized count tables but never two raw scans — assert no join
-    // whose both children are bare scans by checking the only joins are
-    // hash joins over aggregated (count) columns
-    assert(!p185.contains("SortMergeJoin"), p185.take(2000))
-    assert(p185.contains("count(1)"), p185.take(2000))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = queries.StatsQueries.q185CardAudit(spark, dir)
+    df.collect() // finalize the adaptive plan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def hasAgg(p: SparkPlan): Boolean = unwrap(p) match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true
+      case other => other.children.exists(hasAgg)
+    }
+    def checkJoins(p: SparkPlan): Unit = unwrap(p) match {
+      case j: SortMergeJoinExec => fail(s"sort-merge join planned:\n$j")
+      case j: BroadcastHashJoinExec =>
+        // every equi-join input must already be aggregated (a key-count
+        // table), never a raw row-level scan
+        assert(j.children.forall(hasAgg), s"raw-scan join side:\n$j")
+        j.children.foreach(checkJoins)
+      case j: ShuffledHashJoinExec =>
+        assert(j.children.forall(hasAgg), s"raw-scan join side:\n$j")
+        j.children.foreach(checkJoins)
+      case other =>
+        other.children.foreach(checkJoins)
+        other.subqueries.foreach(checkJoins)
+    }
+    checkJoins(df.queryExecution.executedPlan)
     spark.catalog.clearCache()
   }
 
