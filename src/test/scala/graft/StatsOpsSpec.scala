@@ -125,6 +125,14 @@ class StatsOpsSpec extends SparkSpec {
       .toDF("score", "label")
     val s = Auc.exactAuc(sep, col("score"), col("label")).collect().head
     assert((s.getString(2), s.getString(3)) === (("8", "8")))
+
+    // degenerate one-class input: the fraction is 0/0 — undefined, not
+    // fabricated (ranks 1..3 → 2Σr₊ = 12, minus n₊(n₊+1) = 12)
+    val onlyPos = Seq((1.0, true), (2.0, true), (3.0, true))
+      .toDF("score", "label")
+    val o = Auc.exactAuc(onlyPos, col("score"), col("label")).collect().head
+    assert((o.getLong(0), o.getLong(1), o.getString(2), o.getString(3)) ===
+      ((3L, 0L, "0", "0")))
   }
 
   test("Skew.skewAdvisor: cross-multiplied verdict, ceil salt buckets") {
