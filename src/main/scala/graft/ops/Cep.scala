@@ -78,6 +78,11 @@ object Cep {
     val prepared = events
       .select(col(keyCol).as("k"), tsUs.as("t"), tie.as("tie"),
         eventType.as("ty"))
+      // a null timestamp or tiebreak carries no ordering information —
+      // such an event cannot take a defined place in the per-key stream,
+      // so it is excluded up front (same non-null order-column contract
+      // PrefixScan asserts) instead of NPE-ing the partition scan below
+      .filter(col("t").isNotNull && col("tie").isNotNull)
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("t"), col("tie"))
     val keyField = prepared.schema("k")

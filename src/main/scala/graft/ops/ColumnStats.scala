@@ -50,7 +50,11 @@ object ColumnStats {
           .orderBy(col("cnt").desc, col("value"))))
       .filter(col("mcv_rank") <= topK)
 
-    perCol.join(mcv, "col_name")
+    // LEFT join: a column whose values are ALL null has no MCV rows, but
+    // its (n_rows, n_nulls, ndv) stats must still surface — an ANALYZE
+    // collector that silently drops a column is worse than one reporting
+    // "no non-null values" (null mcv_rank/mcv_value/mcv_count).
+    perCol.join(mcv, Seq("col_name"), "left_outer")
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
         col("mcv_rank"), col("value").as("mcv_value"), col("cnt").as("mcv_count"))
   }

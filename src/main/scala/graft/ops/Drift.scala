@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
  * EXACT integer arithmetic: D·n₁·n₂ = max over observed values x of
  * |F₁(x)·n₂ − F₂(x)·n₁| (cross-multiplied empirical CDFs), so the
  * statistic hash-gates across engines; the only double is the final
- * division.
+ * division. The cross products are computed in DECIMAL(38,0) (the repo's
+ * exact-integer convention, as in [[CardEst]]/[[Auc]]): with cohort
+ * sizes above ~3·10⁹ the product n₁·n₂ overflows int64, so `ks_scaled`
+ * is emitted as the decimal's string rendering — exact at any corpus
+ * size a 38-digit decimal can count.
  *
  * 100 TB shape: one hash aggregate over (value) with map-side combine
  * (domain-bounded key), then a cumulative window over DISTINCT values —
@@ -52,16 +56,18 @@ object Drift {
       col("f").as("f_a"), col("n").as("n_a"))
     val b = cdf.select(col("g").as("g_b"), col("v"),
       col("f").as("f_b"), col("n").as("n_b"))
+    val d = "decimal(38,0)"
     a.join(b, "v")
       .filter(col("g_a") < col("g_b"))
       .groupBy(col("g_a"), col("g_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        max(abs(col("f_a") * col("n_b") - col("f_b") * col("n_a")))
-          .cast("long").as("ks_scaled"))
+        max(abs(col("f_a").cast(d) * col("n_b") -
+          col("f_b").cast(d) * col("n_a"))).cast(d).as("ks_scaled_d"))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
-        col("ks_scaled"),
-        (col("ks_scaled").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+        col("ks_scaled_d").cast("string").as("ks_scaled"),
+        (col("ks_scaled_d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
   }
 
   /**
@@ -88,13 +94,17 @@ object Drift {
       .withColumn("f2", sum(col("c2")).over(w))
     val totals = counts.agg(sum(col("c1")).cast("long").as("n1"),
       sum(col("c2")).cast("long").as("n2"))
+    val dec = "decimal(38,0)"
     cum.crossJoin(broadcast(totals))
       .select(col("n1"), col("n2"),
-        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("gap"))
+        abs(col("f1").cast(dec) * col("n2") -
+          col("f2").cast(dec) * col("n1")).as("gap"))
       .groupBy(col("n1"), col("n2"))
-      .agg(max(col("gap")).cast("long").as("ks_scaled"))
-      .select(col("n1"), col("n2"), col("ks_scaled"),
-        (col("ks_scaled").cast("double") /
-          (col("n1") * col("n2")).cast("double")).as("ks"))
+      .agg(max(col("gap")).cast(dec).as("ks_scaled_d"))
+      .select(col("n1"), col("n2"),
+        col("ks_scaled_d").cast("string").as("ks_scaled"),
+        (col("ks_scaled_d").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")))
+          .as("ks"))
   }
 }

@@ -293,9 +293,12 @@ object GovernanceQueries {
       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
       |  FROM counts)
       |SELECT n1, n2,
-      |  CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_scaled,
-      |  CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
-      |    / CAST(n1 * n2 AS DOUBLE) AS ks
+      |  CAST(CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+      |      - CAST(f2 AS HUGEINT) * n1)) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS ks_scaled,
+      |  CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+      |      - CAST(f2 AS HUGEINT) * n1)) AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
       |FROM cum CROSS JOIN totals
       |GROUP BY n1, n2
       |ORDER BY n1""".stripMargin
@@ -380,9 +383,12 @@ object GovernanceQueries {
       |    ON grid.g = counts.g AND grid.v = counts.v)
       |SELECT a.g AS g_a, b.g AS g_b,
       |  max(a.n) AS n_a, max(b.n) AS n_b,
-      |  CAST(max(abs(a.f * b.n - b.f * a.n)) AS BIGINT) AS ks_scaled,
-      |  CAST(max(abs(a.f * b.n - b.f * a.n)) AS DOUBLE)
-      |    / CAST(max(a.n) * max(b.n) AS DOUBLE) AS ks
+      |  CAST(CAST(max(abs(CAST(a.f AS HUGEINT) * b.n
+      |      - CAST(b.f AS HUGEINT) * a.n)) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS ks_scaled,
+      |  CAST(max(abs(CAST(a.f AS HUGEINT) * b.n
+      |      - CAST(b.f AS HUGEINT) * a.n)) AS DOUBLE)
+      |    / (CAST(max(a.n) AS DOUBLE) * CAST(max(b.n) AS DOUBLE)) AS ks
       |FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
       |GROUP BY 1, 2
       |ORDER BY g_a, g_b""".stripMargin

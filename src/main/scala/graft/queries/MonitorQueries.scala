@@ -748,28 +748,21 @@ object MonitorQueries {
   /** q161 — exact weighted (lower) median: per return flag, the
     * smallest price-in-cents whose cumulative quantity reaches half the
     * flag's total — all-integer (2·cum ≥ total avoids the division),
-    * fixed-pointed cents, one partitioned sort over values that already
-    * hash-cluster by flag. The robust "typical price" statistic
-    * percentile_cont's interpolation can't state exactly. */
+    * fixed-pointed cents ([[graft.ops.WeightedMedian]]). The cumulative
+    * weight is the shared two-phase distributed prefix scan over the one
+    * global (flag, cents) order — NOT a `PARTITION BY flag` window,
+    * whose parallelism would be pinned to the 3-flag domain forever.
+    * The robust "typical price" statistic percentile_cont's
+    * interpolation can't state exactly. */
   def q161WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val qty = round(col("l_quantity")).cast("long")
-    val base = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), cents.as("cents"), qty.as("w"))
-      .groupBy(col("l_returnflag"), col("cents"))
-      .agg(sum(col("w")).as("w"))
-    val byFlag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag"))
-    val cum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
-      .rowsBetween(Long.MinValue, 0)
-    base
-      .withColumn("total", sum(col("w")).over(byFlag))
-      .withColumn("cw", sum(col("w")).over(cum))
-      .filter(col("cw") * 2 >= col("total"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("cents")).as("median_cents"),
-        max(col("total")).as("total_qty"))
+    graft.ops.WeightedMedian.lowerMedian(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), cents.as("cents"), qty.as("w")),
+        "l_returnflag", "cents", "w")
+      .select(col("l_returnflag"), col("median_value").as("median_cents"),
+        col("total_weight").as("total_qty"))
       .orderBy(col("l_returnflag"))
   }
 

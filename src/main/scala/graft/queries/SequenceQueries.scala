@@ -329,7 +329,10 @@ object SequenceQueries {
     byDecile.crossJoin(broadcast(totals))
       .select(col("decile"), col("n_users"), col("n_conv"),
         expr("(n_conv * 10000) DIV n_users").as("conv_bp"),
-        expr("(n_conv * n_total * 10000) DIV (n_users * x_total)")
+        // zero-conversion corpus: lift is undefined (0/0) — emit NULL on
+        // both engines rather than Spark-NULL vs DuckDB division error
+        when(col("x_total") > 0,
+          expr("(n_conv * n_total * 10000) DIV (n_users * x_total)"))
           .as("lift_bp"))
       .orderBy(col("decile"))
   }
@@ -355,8 +358,9 @@ object SequenceQueries {
       |  FROM per)
       |SELECT decile, n_users, n_conv,
       |  CAST((n_conv * 10000) // n_users AS BIGINT) AS conv_bp,
-      |  CAST((n_conv * n_total * 10000) // (n_users * x_total) AS BIGINT)
-      |    AS lift_bp
+      |  CAST(CASE WHEN x_total > 0
+      |    THEN (n_conv * n_total * 10000) // (n_users * x_total) END
+      |    AS BIGINT) AS lift_bp
       |FROM g CROSS JOIN t ORDER BY decile""".stripMargin
 
   /** q172 — activation funnel with ALTERNATION in the Kleene segment:

@@ -69,7 +69,7 @@ object StatsQueries {
   def q175ColumnStats(spark: SparkSession, dir: String): DataFrame =
     ColumnStats.stackedStats(Tables.part(spark, dir),
         Seq("p_brand", "p_type", "p_name"), topK = 3)
-      .orderBy(col("col_name"), col("mcv_rank"))
+      .orderBy(col("col_name"), col("mcv_rank").asc_nulls_last)
 
   val q175Sql: String =
     """WITH stacked AS (
@@ -93,9 +93,9 @@ object StatsQueries {
       |SELECT p.col_name, p.n_rows, p.n_nulls, p.ndv,
       |  CAST(m.mcv_rank AS INTEGER) AS mcv_rank,
       |  m.value AS mcv_value, m.cnt AS mcv_count
-      |FROM per_col p JOIN mcv m ON p.col_name = m.col_name
-      |WHERE m.mcv_rank <= 3
-      |ORDER BY p.col_name, mcv_rank""".stripMargin
+      |FROM per_col p LEFT JOIN mcv m
+      |  ON p.col_name = m.col_name AND m.mcv_rank <= 3
+      |ORDER BY p.col_name, mcv_rank NULLS LAST""".stripMargin
 
   /** q176 — exact Gini split search ([[graft.ops.SplitSearch]]) for
     * "will this lineitem be returned?" over the l_quantity feature: one

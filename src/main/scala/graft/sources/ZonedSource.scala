@@ -474,8 +474,13 @@ object ZonedCorpus {
             c -> ((vs.map(_._2._1).min, vs.map(_._2._2).max)) }
         ZonedManifest.Zone(dirName, members.map(_.nRows).sum, stats)
       }
-    val statColsOrdered = m.zones.headOption
-      .map(_.stats.keys.toSeq.sorted).getOrElse(Nil)
+    // union over ALL zones (matching ZonedManifest.read's derivation):
+    // deriving from the head zone alone would silently drop a stat
+    // column from every rewritten zone whenever the head zone happened
+    // to omit it (e.g. an all-null zone), permanently losing pruning
+    // selectivity and aggregate pushdown for that column
+    val statColsOrdered =
+      m.zones.flatMap(_.stats.keys).toSet.toSeq.sorted
     val schemaLine = "schema\t" + m.schema.fields
       .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
       .mkString(",")

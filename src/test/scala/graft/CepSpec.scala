@@ -55,6 +55,22 @@ class CepSpec extends SparkSpec {
       Seq((1L, 10L, 30L, 1L)))
   }
 
+  test("null timestamp/tie events are excluded, not an NPE") {
+    // a null-time click inside the run carries no ordering information:
+    // it is dropped up front, so the surviving contiguous run still
+    // matches (and the scan does not crash on the null)
+    val df = Seq(
+      (1L, Some(10L), Some(0L), "view"),
+      (1L, Option.empty[Long], Some(1L), "click"),
+      (1L, Some(20L), Option.empty[Long], "click"),
+      (1L, Some(30L), Some(3L), "purchase"))
+      .toDF("user_id", "t", "event_id", "event_type")
+    val got = Cep.funnelMatches(df, "user_id", col("t"), col("event_id"),
+        col("event_type"), "view", "click", "purchase", Span)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10L, 30L, 0L)))
+  }
+
   test("purchase without a view never matches") {
     assert(run(Seq((1L, 20L, "click"), (1L, 30L, "purchase"))) ===
       Seq.empty)

@@ -10,7 +10,10 @@ class DriftSpec extends SparkSpec {
   private def run(rows: (String, Long)*): (Long, Long, Long, Double) = {
     val r = Drift.ksDrift(rows.toDF("g", "v"), "g", "v", "a", "b")
       .collect().head
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // ks_scaled is the DECIMAL(38,0) exact product rendered as a string
+    // (it overflows int64 at >~3e9-row cohorts) — parse it back for the
+    // small-fixture assertions
+    (r.getLong(0), r.getLong(1), r.getString(2).toLong, r.getDouble(3))
   }
 
   test("identical distributions: ks = 0") {
@@ -55,12 +58,12 @@ class DriftSpec extends SparkSpec {
     val df = rows.toDF("g", "v")
     val matrix = Drift.ksDriftMatrix(df, "g", "v")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getString(4).toLong))).toMap
     assert(matrix.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
     for (((ga, gb), (na, nb, ks)) <- matrix) {
       val ref = Drift.ksDrift(df, "g", "v", ga, gb).collect().head
       assert((na, nb, ks) ===
-        ((ref.getLong(0), ref.getLong(1), ref.getLong(2))),
+        ((ref.getLong(0), ref.getLong(1), ref.getString(2).toLong)),
         s"pair ($ga, $gb)")
     }
   }

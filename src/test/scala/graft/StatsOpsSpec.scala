@@ -65,6 +65,22 @@ class StatsOpsSpec extends SparkSpec {
       ("b", 4L, 0L, 2L, 2, "p", 1L)))
   }
 
+  test("ColumnStats.stackedStats: all-null column keeps its stats row") {
+    val df = Seq(("x", Option.empty[String]), ("y", None))
+      .toDF("a", "b")
+    val got = ColumnStats.stackedStats(df, Seq("a", "b"), topK = 2)
+      .orderBy(col("col_name"), col("mcv_rank").asc_nulls_last).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) null else r.getString(5)))
+    // column b is all null: one row survives with (n_rows=2, n_nulls=2,
+    // ndv=0) and a null MCV triple — never silently dropped
+    assert(got === Seq(
+      ("a", 2L, 0L, 2L, 1, "x"),
+      ("a", 2L, 0L, 2L, 2, "y"),
+      ("b", 2L, 2L, 0L, -1, null)))
+  }
+
   test("SplitSearch.giniSplitTable: exact components, max threshold excluded") {
     // v=1: ++, v=2: +-, v=3: -- (n=6, pos=3)
     val df = Seq((1L, true), (1L, true), (2L, true), (2L, false),

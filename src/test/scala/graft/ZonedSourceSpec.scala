@@ -110,6 +110,34 @@ class ZonedSourceSpec extends SparkSpec {
     assert(g.agg(count(lit(1))).as[Long].collect().head === 10L)
   }
 
+  test("compact: manifest stat columns survive a stat-less head zone") {
+    import scala.jdk.CollectionConverters._
+    val (tmp, _) = writeCorpus()
+    val p = java.nio.file.Paths.get(tmp, "_zonemap.tsv")
+    val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq
+    // simulate an all-null head zone: blank its stat field — the reader
+    // keeps such a zone under every filter (conservative)
+    val doctoredHead = lines(1).split("\t").take(3).mkString("\t")
+    java.nio.file.Files.write(p,
+      ((lines.head +: doctoredHead +: lines.drop(2)).mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // merge two zones that are NOT the head zone; the remaining third
+    // keeps its own manifest entry
+    val others = lines.drop(2).map(_.split("\t")(1))
+    val removed = ZonedCorpus.compact(tmp,
+      Map(others(0) -> 0L, others(1) -> 0L))
+    assert(removed === 1)
+    // the stat columns must be derived from the UNION of zones, not the
+    // (stat-less) head zone: a selective filter on the surviving zone
+    // must plan exactly that zone + the conservative head zone — were
+    // the bounds dropped manifest-wide, all 3 zones would plan
+    val k = others(2).stripPrefix("__zone=").toLong
+    val f = readZoned(tmp).filter(col("n_chars") >= k * 250L &&
+      col("n_chars") < (k + 1L) * 250L)
+    assert(plannedPartitions(f) === 2)
+    assert(f.agg(count(lit(1))).as[Long].collect().head === 25L)
+  }
+
   test("aggregate pushdown: filterless count/min/max answers from the " +
     "manifest with zero data files") {
     val (tmp, _) = writeCorpus()
