@@ -125,6 +125,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ANN INDEX BUILD FAILED (q34 will pay the build inline): $e")
     }
+    val tPq = System.nanoTime()
+    try {
+      val path = graft.ops.PqStore.ensureIndex(spark, sfDir)
+      require(Files.exists(Paths.get(path, "_PARAMS")),
+        s"PQ index build left no _PARAMS at $path")
+      System.err.println(
+        f"[bench] PQ index ready at $path (${(System.nanoTime() - tPq) / 1e9}%.1f s build+verify)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] PQ INDEX BUILD FAILED (q188 will pay the build inline): $e")
+    }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     ordered.foreach { case (name, fn) =>

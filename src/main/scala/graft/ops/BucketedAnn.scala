@@ -32,7 +32,7 @@ object BucketedAnn {
 
   /** 128-bit hex fingerprint of the source table's file listing
     * (name:size:mtime per file) — the index cache key. */
-  private def sourceFingerprint(dir: String): String = {
+  private[ops] def sourceFingerprint(dir: String): String = {
     val src = Paths.get(dir, "embeddings.parquet")
     val files: Seq[Path] =
       if (Files.isDirectory(src))
@@ -122,7 +122,7 @@ object BucketedAnn {
       .limit(k)
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[ops] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

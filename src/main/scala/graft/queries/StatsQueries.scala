@@ -653,4 +653,24 @@ object StatsQueries {
       |  CAST(CAST(n_pos * n_neg * 2 AS DECIMAL(38,0)) AS VARCHAR)
       |    AS auc_den
       |FROM t""".stripMargin
+
+  /** q188 — probe over the STORED residual IVF-PQ index
+    * ([[graft.ops.PqStore]]): q183's geometry persisted as a real
+    * artifact — centroids + frozen codebook + codes partitioned by
+    * cell — and the query answered from the stored codes alone
+    * (partition-pruned scan, no assignment/encode at probe time). The
+    * gate is the equivalence contract itself: the stored-index probe
+    * must reproduce q183's in-query answer row for row, so it shares
+    * q183's oracle verbatim. Index build is once per source fingerprint
+    * (the q34 BucketedAnn discipline); the bench pre-builds it and
+    * times the steady-state probe. */
+  def q188StoredIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.ops.PqStore.ensureIndex(spark, dir)
+    graft.ops.PqStore.probeTopK(spark, root, pqQueryVec, nProbe = 2,
+      k = 10)
+  }
+
+  /** Same answer as q183 by construction — the stored index is the
+    * in-query pipeline's materialization. */
+  val q188Sql: String = q183Sql
 }

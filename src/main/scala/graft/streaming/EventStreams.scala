@@ -314,28 +314,25 @@ object EventStreams {
 
   /**
    * One micro-batch of a keyed JDBC upsert: delete-then-insert scoped to
-   * exactly the key tuples the batch carries. The key collect is
-   * driver-side and bounded by the number of DISTINCT keys per batch (not
-   * rows) — the standard foreachBatch scoping idiom. This is the function
-   * Structured Streaming re-invokes verbatim when it replays a failed
-   * batch, so calling it twice on the same content must be (and is) a
-   * no-op — the replay-idempotence contract the specs exercise directly.
+   * exactly the key tuples the batch carries, via
+   * [[graft.sink.JdbcUpsertSink.writeStagedKeyed]] — the batch's
+   * distinct keys are staged into `<table>__stage` BY THE EXECUTORS and
+   * the delete is one set-based `WHERE EXISTS`, so no key value ever
+   * materializes on the driver (a per-document-key stream with millions
+   * of distinct keys per batch costs the driver nothing). This is the
+   * function Structured Streaming re-invokes verbatim when it replays a
+   * failed batch, so calling it twice on the same content must be (and
+   * is) a no-op — the replay-idempotence contract the specs exercise
+   * directly.
    */
   def upsertBatchKeyed(batch: DataFrame, keyCols: Seq[String],
                        url: String, table: String): Unit = {
     require(keyCols.nonEmpty, "keyed upsert needs at least one key column")
+    // the batch feeds two passes (distinct keys into the stage, then the
+    // rows) — pin it so the second pass never recomputes the source
     val b = batch.persist()
-    try {
-      val keys = b.select(keyCols.map(col): _*).distinct().collect()
-      if (keys.nonEmpty) {
-        // scope VALUES ride as bound placeholders (a quoted or hostile
-        // key value is data, not SQL)
-        val scopes = keys.map { r =>
-          keyCols.zipWithIndex.map { case (c, i) => c -> r.get(i) }
-        }.toSeq
-        graft.sink.JdbcUpsertSink.write(b, url, table, scopes)
-      }
-    } finally { b.unpersist(); () }
+    try graft.sink.JdbcUpsertSink.writeStagedKeyed(b, url, table, keyCols)
+    finally { b.unpersist(); () }
   }
 
   /**

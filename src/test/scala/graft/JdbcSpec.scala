@@ -126,4 +126,48 @@ class JdbcSpec extends SparkSpec {
       .where($"ID" >= 200L).collect()
     assert(back.map(_.getAs[Long]("ID")).sorted.toSeq === Seq(200L, 201L))
   }
+
+  test("staged keyed upsert: 10^5 distinct keys never cross the driver, " +
+    "replay converges, off-scope rows survive") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE wide_keys (
+        |  k BIGINT, src VARCHAR(16), v BIGINT)""".stripMargin)
+    st.close(); conn.close()
+    val n = 100000
+    // seed: keys 0..n-1 with v = -1, plus an off-scope tail the upsert
+    // must never touch
+    JdbcUpsertSink.write(
+      (0L until n.toLong).toDF("k")
+        .select($"k", lit("seed").as("src"), lit(-1L).as("v")),
+      url, "wide_keys", scopes = Seq(Nil), maxWriteTasks = 8)
+    JdbcUpsertSink.write(
+      Seq((900000001L, "keep", 7L)).toDF("k", "src", "v"),
+      url, "wide_keys", scopes = Nil, maxWriteTasks = 1)
+    // one batch carrying 10^5 DISTINCT keys: the scoped-DELETE path would
+    // bind 10^5 driver-collected tuples into one statement; the staged
+    // path ships them executor-side and issues one WHERE EXISTS
+    val batch = (0L until n.toLong).toDF("k")
+      .select($"k", lit("b1").as("src"), ($"k" * 2).as("v"))
+    JdbcUpsertSink.writeStagedKeyed(batch, url, "wide_keys", Seq("k"),
+      maxWriteTasks = 8)
+    def stats() = JdbcSource.table(spark, cfg, "wide_keys")
+      .agg(count(lit(1)), sum(when($"SRC" === "b1", 1L).otherwise(0L)),
+        sum(when($"SRC" === "keep", 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].collect().head
+    assert(stats() === ((n + 1L, n.toLong, 1L)))
+    // replay of the identical batch (what foreachBatch does after a
+    // failure) must be a no-op
+    JdbcUpsertSink.writeStagedKeyed(batch, url, "wide_keys", Seq("k"),
+      maxWriteTasks = 8)
+    assert(stats() === ((n + 1L, n.toLong, 1L)))
+    // and the staging table is cleaned up
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.getMetaData.getTables(null, null, "WIDE_KEYS__STAGE", null)
+      assert(!rs.next(), "staging table left behind")
+    } finally c2.close()
+  }
 }
