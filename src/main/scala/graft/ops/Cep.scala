@@ -39,20 +39,61 @@ object Cep {
     * event, get the next state and (possibly) an emitted match
     * (start_us, end_us, n_mid). The Kleene segment accepts a SET of
     * types (alternation — `start (a|b)* end`); precedence when a type
-    * plays several roles is start, then end, then mid. */
+    * plays several roles is start, then end, then mid. The unbounded
+    * `mid*` is [[stepQuant]]'s {0,∞} special case — one kernel. */
   def step(st: MatchState, ty: String, t: Long, startType: String,
            midTypes: Set[String], endType: String,
            maxSpanUs: Long): (MatchState, Option[(Long, Long, Long)]) =
+    stepQuant(st, ty, t, startType, midTypes, endType,
+      minMid = 0L, maxMid = Long.MaxValue, maxSpanUs,
+      greedyOverlap = false)
+
+  /**
+   * QUANTIFIED transition — `start (mid){minMid,maxMid} end`, still one
+   * fixed-size state record (the counter the state already carries IS
+   * the quantifier machinery):
+   *
+   *  - an `end` with the counter in [minMid, maxMid] (and span in
+   *    bound) emits; out of bounds, the run is consumed with no match
+   *    (AFTER MATCH SKIP PAST LAST ROW — the next match needs a fresh
+   *    start either way);
+   *  - a `mid` that would push the counter past maxMid kills the run
+   *    right there (contiguity means no suffix can rescue it: a new
+   *    match needs a start event);
+   *  - `greedyOverlap` decides the one genuinely ambiguous case, a type
+   *    that is BOTH mid and end while a run is open: reluctant (false,
+   *    the default and the `mid*` precedence above) closes as soon as
+   *    closing is legal and extends otherwise; greedy (true) extends
+   *    while the counter can still grow and closes only at the cap.
+   *    Both are deterministic single-pass policies with O(1) state —
+   *    full nondeterministic greedy semantics (emit the LONGEST
+   *    eventually-closable run) needs lookahead buffering, a different
+   *    cost model, and is out of contract (stated, not hidden).
+   */
+  def stepQuant(st: MatchState, ty: String, t: Long, startType: String,
+                midTypes: Set[String], endType: String, minMid: Long,
+                maxMid: Long, maxSpanUs: Long, greedyOverlap: Boolean)
+      : (MatchState, Option[(Long, Long, Long)]) = {
+    def close(): (MatchState, Option[(Long, Long, Long)]) = {
+      val emit = if (st.mids >= minMid && st.mids <= maxMid &&
+          t - st.pending <= maxSpanUs)
+        Some((st.pending, t, st.mids)) else None
+      (EmptyState, emit)
+    }
+    def extend(): (MatchState, Option[(Long, Long, Long)]) =
+      if (st.mids + 1L > maxMid) (EmptyState, None)
+      else (MatchState(st.pending, st.mids + 1L), None)
+    val isMid = midTypes.contains(ty)
     ty match {
       case `startType` => (MatchState(t, 0L), None)
       case `endType` if st.pending >= 0L =>
-        val emit = if (t - st.pending <= maxSpanUs)
-          Some((st.pending, t, st.mids)) else None
-        (EmptyState, emit)
-      case m if midTypes.contains(m) && st.pending >= 0L =>
-        (MatchState(st.pending, st.mids + 1L), None)
+        if (isMid && greedyOverlap && st.mids + 1L <= maxMid) extend()
+        else if (isMid && !greedyOverlap && st.mids < minMid) extend()
+        else close()
+      case _ if isMid && st.pending >= 0L => extend()
       case _ => (EmptyState, None)
     }
+  }
 
   /** Matches of `startType (midType)* endType` per key, bounded by
     * `maxSpanUs` end-to-end. Output: (key, start_us, end_us, n_mid),
@@ -74,7 +115,36 @@ object Cep {
   def funnelMatches(events: DataFrame, keyCol: String, tsUs: Column,
                     tie: Column, eventType: Column, startType: String,
                     midTypes: Set[String], endType: String,
-                    maxSpanUs: Long): DataFrame = {
+                    maxSpanUs: Long): DataFrame =
+    scanMatches(events, keyCol, tsUs, tie, eventType,
+      (st, ty, t) => step(st, ty, t, startType, midTypes, endType,
+        maxSpanUs))
+
+  /** QUANTIFIED variant — `startType (mid){minMid,maxMid} endType`
+    * (see [[stepQuant]] for the bound and overlap-policy semantics):
+    * the MATCH_RECOGNIZE `{n,m}` quantifier on the same one-shuffle,
+    * O(1)-state scan. */
+  def funnelMatchesQuant(events: DataFrame, keyCol: String, tsUs: Column,
+                         tie: Column, eventType: Column,
+                         startType: String, midTypes: Set[String],
+                         endType: String, minMid: Long, maxMid: Long,
+                         maxSpanUs: Long,
+                         greedyOverlap: Boolean = false): DataFrame = {
+    require(0L <= minMid && minMid <= maxMid,
+      s"quantifier bounds out of order: {$minMid,$maxMid}")
+    scanMatches(events, keyCol, tsUs, tie, eventType,
+      (st, ty, t) => stepQuant(st, ty, t, startType, midTypes, endType,
+        minMid, maxMid, maxSpanUs, greedyOverlap))
+  }
+
+  /** The shared execution scaffold: one hash repartition on the key, an
+    * in-partition external sort, one forward pass of `transition` with
+    * O(1) matcher state per stream. */
+  private def scanMatches(events: DataFrame, keyCol: String, tsUs: Column,
+                          tie: Column, eventType: Column,
+                          transition: (MatchState, String, Long) =>
+                            (MatchState, Option[(Long, Long, Long)]))
+      : DataFrame = {
     val prepared = events
       .select(col(keyCol).as("k"), tsUs.as("t"), tie.as("tie"),
         eventType.as("ty"))
@@ -105,8 +175,7 @@ object Cep {
             if (!haveKey || k != curKey) { // new stream: reset state
               curKey = k; haveKey = true; st = EmptyState
             }
-            val (nst, emit) = step(st, r.getString(3), r.getLong(1),
-              startType, midTypes, endType, maxSpanUs)
+            val (nst, emit) = transition(st, r.getString(3), r.getLong(1))
             st = nst
             emit.foreach { case (s, e, m) => nextMatch = Row(k, s, e, m) }
           }

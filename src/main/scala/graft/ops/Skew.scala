@@ -90,6 +90,78 @@ object Skew {
    * Products ride DECIMAL(38,0) (freq·ndv overflows a long at warehouse
    * cardinalities).
    */
+  /**
+   * ADVISOR-DRIVEN salted aggregation — [[skewAdvisor]]'s verdicts
+   * applied end to end: every key the advisor flags hot aggregates over
+   * its OWN recommended bucket count; tolerable keys (and the null
+   * group, which the advisor never flags) take the plain single-group
+   * path (salt 0). The advice table is hot-keys-only — at most
+   * ndv/hotFactor rows by the verdict inequality (each hot key exceeds
+   * hotFactor× the mean frequency, and frequencies sum to n) — so it
+   * BROADCASTS; the result is provably the plain GROUP BY (algebraic
+   * merges, salt-assignment-independent), which is the oracle.
+   *
+   * Honest scale note: for algebraic aggregates Spark's own map-side
+   * partial aggregation already defuses most GROUP-BY skew (reducers
+   * merge per-map-task partials, not raw rows) — the advised salt's win
+   * is bounded there. Where the advisor's verdicts genuinely change
+   * wall time is the JOIN topology ([[advisedJoin]]): a hot join key's
+   * probe × fan-out work serializes onto one reducer unsalted, and no
+   * partial aggregation exists to save it.
+   */
+  def advisedAggregate(df: DataFrame, keyCol: String, hotFactor: Long,
+                       aggs: Map[String, TwoPhase]): DataFrame = {
+    val advice = skewAdvisor(df, keyCol, hotFactor)
+      .select(col(keyCol).as("__adv_k"), col("salt_buckets"))
+    val salted = df
+      .join(broadcast(advice), df(keyCol) === col("__adv_k"), "left_outer")
+      .withColumn("__salt",
+        when(col("salt_buckets").isNotNull,
+          pmod(hash(monotonically_increasing_id()), col("salt_buckets")))
+          .otherwise(lit(0)))
+    val stage1 = salted.groupBy(col(keyCol), col("__salt"))
+      .agg(aggs.head._2.partial.as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
+    stage1.groupBy(col(keyCol))
+      .agg(aggs.head._2.merge(aggs.head._1).as(aggs.head._1),
+        aggs.tail.map { case (n, a) => a.merge(n).as(n) }.toSeq: _*)
+  }
+
+  /**
+   * ADVISOR-DRIVEN salted equi-join: only the keys [[skewAdvisor]]
+   * flags hot are salted (left side) and replicated (right side, by
+   * that key's own bucket count); tolerable keys join 1:1 on salt 0 —
+   * so the replication cost is per-hot-key, not buckets× the whole
+   * right side like the uniform [[saltedJoin]]. Inner/left semantics
+   * preserved; the advisor runs on the LEFT side's key distribution
+   * (the probe side whose skew serializes the join).
+   */
+  def advisedJoin(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String, hotFactor: Long,
+                  joinType: String = "inner"): DataFrame = {
+    val advice = skewAdvisor(left, leftKey, hotFactor)
+      .select(col(leftKey).as("__adv_k"), col("salt_buckets"))
+    val saltedLeft = left
+      .join(broadcast(advice), left(leftKey) === col("__adv_k"),
+        "left_outer")
+      .withColumn("__salt_l",
+        when(col("salt_buckets").isNotNull,
+          pmod(hash(monotonically_increasing_id()), col("salt_buckets")))
+          .otherwise(lit(0)))
+      .drop("__adv_k", "salt_buckets")
+    val replicatedRight = right
+      .join(broadcast(advice), right(rightKey) === col("__adv_k"),
+        "left_outer")
+      .withColumn("__salt_r", explode(sequence(lit(0),
+        coalesce(col("salt_buckets"), lit(1L)).cast("int") - 1)))
+      .drop("__adv_k", "salt_buckets")
+    saltedLeft.join(replicatedRight,
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          col("__salt_l") === col("__salt_r"),
+        joinType)
+      .drop("__salt_l", "__salt_r")
+  }
+
   def skewAdvisor(df: DataFrame, keyCol: String,
                   hotFactor: Long): DataFrame = {
     require(hotFactor >= 1, s"hotFactor must be >= 1: $hotFactor")

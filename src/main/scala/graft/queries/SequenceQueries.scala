@@ -447,4 +447,51 @@ object SequenceQueries {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM r CROSS JOIN t
       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q190 — QUANTIFIED CEP funnel: `signup (view|click){1,1} purchase`
+    * within two hours ([[Cep.funnelMatchesQuant]]) — the
+    * MATCH_RECOGNIZE `{n,m}` quantifier on the same one-shuffle
+    * O(1)-state scan (the run counter IS the quantifier; a run past the
+    * cap dies in place, contiguity means no suffix can revive it).
+    * "Exactly one browsing event between account creation and first
+    * purchase": both bounds bind on this corpus — the minimum excludes
+    * the common zero-browse activations, the cap excludes real 2-browse
+    * runs. The oracle is q172's declarative maximal-run detection with
+    * the run length pinned to 1. */
+  def q190QuantFunnel(spark: SparkSession, dir: String): DataFrame =
+    Cep.funnelMatchesQuant(Tables.events(spark, dir), "user_id",
+        unix_micros(col("ts")), col("event_id"), col("event_type"),
+        startType = "signup", midTypes = Set("view", "click"),
+        endType = "purchase", minMid = 1L, maxMid = 1L,
+        maxSpanUs = 2L * 3600L * 1000000L)
+      .orderBy(col("user_id"), col("start_us"), col("end_us"))
+
+  val q190Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+      |    (event_type IN ('view', 'click')) AS is_mid,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |g AS (
+      |  SELECT *, rn - row_number() OVER (
+      |    PARTITION BY user_id, is_mid ORDER BY rn) AS grp
+      |  FROM e),
+      |mr AS (
+      |  SELECT user_id, max(rn) AS rn_hi, CAST(count(*) AS BIGINT) AS len
+      |  FROM g WHERE is_mid GROUP BY user_id, grp),
+      |p AS (
+      |  SELECT e.user_id, e.rn, e.t AS end_us,
+      |    coalesce(mr.len, 0) AS n_mid
+      |  FROM e LEFT JOIN mr
+      |    ON mr.user_id = e.user_id AND mr.rn_hi = e.rn - 1
+      |  WHERE e.event_type = 'purchase')
+      |SELECT p.user_id, v.t AS start_us, p.end_us,
+      |  CAST(p.n_mid AS BIGINT) AS n_mid
+      |FROM p JOIN e v
+      |  ON v.user_id = p.user_id AND v.rn = p.rn - 1 - p.n_mid
+      | AND v.event_type = 'signup'
+      |WHERE p.end_us - v.t <= 7200000000
+      |  AND p.n_mid = 1
+      |ORDER BY p.user_id, start_us, end_us""".stripMargin
 }

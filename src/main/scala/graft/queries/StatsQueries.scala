@@ -673,4 +673,31 @@ object StatsQueries {
   /** Same answer as q183 by construction — the stored index is the
     * in-query pipeline's materialization. */
   val q188Sql: String = q183Sql
+
+  /** q189 — ADVISOR-DRIVEN salted aggregation
+    * ([[graft.ops.Skew.advisedAggregate]]): q186's verdicts wired to
+    * q99's treatment — every o_orderstatus key the advisor flags hot
+    * (F and O, ~48.6% each) aggregates over its own recommended bucket
+    * count, tolerable keys (P) take the plain path, and the result is
+    * provably the plain GROUP BY (that plain GROUP BY is the oracle).
+    * The advice table is hot-keys-only and broadcasts. */
+  def q189AdvisedSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.advisedAggregate(Tables.orders(spark, dir), "o_orderstatus",
+        hotFactor = 1L,
+        aggs = scala.collection.immutable.ListMap(
+          "n" -> Skew.countAll,
+          "sum_price" -> Skew.sumOf(
+            col("o_totalprice").cast("decimal(18,2)")),
+          "max_price" -> Skew.maxOf(col("o_totalprice"))))
+      .withColumn("sum_price", col("sum_price").cast("double"))
+      .orderBy(col("o_orderstatus"))
+
+  val q189Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }

@@ -601,14 +601,21 @@ object WarehouseQueries {
         max(col("med")).as("med"),
         max(when(col("rn") === expr("(n + 1) div 2"), col("dev")))
           .as("mad"))
-    dev.join(mads.select(col("event_type"), col("mad")), "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(when(col("dev") > col("mad") * 3, lit(1)))
-        .as("n_outliers"))
-      .join(mads, "event_type")
-      .select(col("event_type"), col("n"), col("med"), col("mad"),
-        col("n_outliers"))
-      .orderBy(col("event_type"))
+    // dev feeds BOTH the MAD rank pass and the fence count, and mads
+    // feeds two joins of the final plan — stage both so the scan, the
+    // median join and the MAD sort each run exactly once, not once per
+    // consumer (the shared-subtree recompute behind q109's r7 drift)
+    graft.ops.CacheScope.withStages(dev, mads) {
+      graft.ops.CacheScope.pin(dev
+        .join(mads.select(col("event_type"), col("mad")), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(when(col("dev") > col("mad") * 3, lit(1)))
+          .as("n_outliers"))
+        .join(mads, "event_type")
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy(col("event_type")))
+    }
   }
 
   /** q110 — INTERPOLATED percentiles (SQL-standard percentile_cont

@@ -37,7 +37,27 @@ object CepStream {
   /** Alternation variant — `startType (m₁|m₂|…)* endType`. */
   def funnelMatches(events: Dataset[CepEvent], startType: String,
                     midTypes: Set[String], endType: String,
-                    maxSpanUs: Long): Dataset[CepMatch] = {
+                    maxSpanUs: Long): Dataset[CepMatch] =
+    streamMatches(events, (st, ty, t) =>
+      Cep.step(st, ty, t, startType, midTypes, endType, maxSpanUs))
+
+  /** QUANTIFIED variant — `start (mid){minMid,maxMid} end`, the same
+    * [[Cep.stepQuant]] kernel the batch matcher runs (bound and
+    * overlap-policy semantics there); state stays the one fixed-size
+    * record — the counter is the quantifier. */
+  def funnelMatchesQuant(events: Dataset[CepEvent], startType: String,
+                         midTypes: Set[String], endType: String,
+                         minMid: Long, maxMid: Long, maxSpanUs: Long,
+                         greedyOverlap: Boolean = false)
+      : Dataset[CepMatch] =
+    streamMatches(events, (st, ty, t) =>
+      Cep.stepQuant(st, ty, t, startType, midTypes, endType, minMid,
+        maxMid, maxSpanUs, greedyOverlap))
+
+  private def streamMatches(events: Dataset[CepEvent],
+                            transition: (Cep.MatchState, String, Long) =>
+                              (Cep.MatchState, Option[(Long, Long, Long)]))
+      : Dataset[CepMatch] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.k)
@@ -48,8 +68,7 @@ object CepStream {
           var st = state.getOption.getOrElse(Cep.EmptyState)
           val out = Seq.newBuilder[CepMatch]
           rows.toArray.sortBy(e => (e.t, e.tie)).foreach { e =>
-            val (nst, emit) = Cep.step(st, e.ty, e.t, startType,
-              midTypes, endType, maxSpanUs)
+            val (nst, emit) = transition(st, e.ty, e.t)
             st = nst
             emit.foreach { case (s, en, m) =>
               out += CepMatch(key, s, en, m)

@@ -55,6 +55,73 @@ class CepSpec extends SparkSpec {
       Seq((1L, 10L, 30L, 1L)))
   }
 
+  private def runQ(rows: Seq[(Long, Long, String)], minMid: Long,
+                   maxMid: Long, greedy: Boolean = false,
+                   mids: Set[String] = Set("click"),
+                   end: String = "purchase")
+      : Seq[(Long, Long, Long, Long)] = {
+    val df = rows.zipWithIndex
+      .map { case ((u, t, ty), i) => (u, t, i.toLong, ty) }
+      .toDF("user_id", "t", "event_id", "event_type")
+      .repartition(5)
+    Cep.funnelMatchesQuant(df, "user_id", col("t"), col("event_id"),
+        col("event_type"), "view", mids, end, minMid, maxMid, Span,
+        greedyOverlap = greedy)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("quantifier {1,2}: counts in bounds match, 0 and 3 don't") {
+    def clicks(n: Int): Seq[(Long, Long, String)] =
+      (1L, 10L, "view") +: (1 to n).map(i => (1L, 10L + i, "click")) :+
+        (1L, 100L, "purchase")
+    assert(runQ(clicks(0), 1L, 2L) === Seq.empty)
+    assert(runQ(clicks(1), 1L, 2L) === Seq((1L, 10L, 100L, 1L)))
+    assert(runQ(clicks(2), 1L, 2L) === Seq((1L, 10L, 100L, 2L)))
+    // the third click kills the run in place — and the dead run stays
+    // dead: the purchase can't close it
+    assert(runQ(clicks(3), 1L, 2L) === Seq.empty)
+  }
+
+  test("quantifier: a fresh start after a cap-killed run matches again") {
+    val got = runQ(Seq((1L, 10L, "view"), (1L, 11L, "click"),
+      (1L, 12L, "click"), (1L, 13L, "click"), // cap {_,2} exceeded
+      (1L, 20L, "view"), (1L, 21L, "click"), (1L, 30L, "purchase")),
+      minMid = 1L, maxMid = 2L)
+    assert(got === Seq((1L, 20L, 30L, 1L)))
+  }
+
+  test("quantifier: an under-minimum end consumes the run (skip past)") {
+    // purchase at 20 sees 0 < minMid clicks: no match AND the run is
+    // consumed — the later purchase has no open run either
+    val got = runQ(Seq((1L, 10L, "view"), (1L, 20L, "purchase"),
+      (1L, 21L, "click"), (1L, 30L, "purchase")), 1L, 2L)
+    assert(got === Seq.empty)
+  }
+
+  test("overlap policy: reluctant closes at the minimum, greedy at the cap") {
+    // end type ∈ mid set: view p p p p with pattern view (purchase){1,3} purchase
+    val rows = Seq((1L, 10L, "view"), (1L, 20L, "purchase"),
+      (1L, 30L, "purchase"), (1L, 40L, "purchase"), (1L, 50L, "purchase"))
+    val reluctant = runQ(rows, 1L, 3L, greedy = false,
+      mids = Set("purchase"))
+    // first purchase extends (under the minimum), second closes: n_mid 1
+    assert(reluctant === Seq((1L, 10L, 30L, 1L)))
+    val greedy = runQ(rows, 1L, 3L, greedy = true, mids = Set("purchase"))
+    // three extensions to the cap, the fourth closes: n_mid 3
+    assert(greedy === Seq((1L, 10L, 50L, 3L)))
+  }
+
+  test("quantifier {0,∞} ≡ the unquantified matcher on real-shaped runs") {
+    val rnd = new scala.util.Random(11)
+    val types = Array("view", "click", "purchase", "error")
+    val rows = (1 to 400).map(i =>
+      ((i % 7).toLong, i.toLong * 10L, types(rnd.nextInt(4))))
+    val plain = run(rows)
+    val quant = runQ(rows.map { case (u, t, ty) => (u, t, ty) },
+      0L, Long.MaxValue)
+    assert(quant === plain)
+  }
+
   test("null timestamp/tie events are excluded, not an NPE") {
     // a null-time click inside the run carries no ordering information:
     // it is dropped up front, so the surviving contiguous run still

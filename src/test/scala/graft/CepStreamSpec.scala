@@ -40,6 +40,37 @@ class CepStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantified matcher: streaming ≡ batch across micro-batch splits") {
+    val rnd = new scala.util.Random(23)
+    val types = Array("view", "click", "purchase", "error")
+    val events = (1 to 240).map(i => CepEvent((i % 5).toLong,
+      i.toLong * 10L, i.toLong, types(rnd.nextInt(4))))
+    val want = Cep.funnelMatchesQuant(
+        events.toDF("user_id", "t", "event_id", "event_type"),
+        "user_id", col("t"), col("event_id"), col("event_type"),
+        "view", Set("click"), "purchase", minMid = 1L, maxMid = 2L,
+        maxSpanUs = Span)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    for ((split, i) <- Seq(40, 80, 239).zipWithIndex) {
+      val input = MemoryStream[CepEvent]
+      val name = s"cep_quant_$i"
+      val q = CepStream.funnelMatchesQuant(input.toDS(), "view",
+          Set("click"), "purchase", minMid = 1L, maxMid = 2L,
+          maxSpanUs = Span)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        events.grouped(split).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val got = spark.table(name)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got === want, s"split size $split")
+      } finally q.stop()
+    }
+  }
+
   test("a match spanning three micro-batches emits once, exactly") {
     val got = streamMatches(Seq(
       Seq(CepEvent(1L, 10L, 0L, "view")),

@@ -20,13 +20,23 @@ k*100_000_000, applied CONSISTENTLY across fact and dimension tables —
  - events offsets event_id and user_id (10x users, per-user streams
    unchanged — sessionization/funnel state per key is the original's).
 
-Value columns (dates, prices, flags, names) are kept verbatim: group-by
-domains (brand, returnflag, day buckets) keep their cardinality and get
-10x rows per group — the realistic "facts grow faster than domains"
-shape. region/nation stay fixed (they are genuinely bounded);
-documents/embeddings are symlinked from the source SF so the full query
-list still runs (doc-query timings at this point are NOT meaningful —
-use /tmp/sf1docs for those; the combiner selects per-family).
+Low-cardinality value columns (dates, prices, flags, brands, types) are
+kept verbatim: group-by domains keep their cardinality and get 10x rows
+per group — the realistic "facts grow faster than domains" shape.
+HIGH-CARDINALITY NAME columns (p_name, c_name, s_name) get every WORD
+prefixed "r<k>q" in replica k>0, the exact move make_sf1_docs.py makes
+on document words: string-similarity queries (entity resolution,
+edit-distance pairs) block on name content (last token, length), and
+verbatim-replicated names would make every name a 10-clique of
+near-exact matches in one shared block — a quadratically heavier (and
+unrealistic) pair workload than real 10x data. Per-word prefixes keep
+within-replica distances and blocking structure identical to the
+original while making cross-replica blocks disjoint, so the true pair
+workload scales linearly. region/nation stay fixed (they are
+genuinely bounded); documents/embeddings are symlinked from the source
+SF so the full query list still runs (doc-query timings at this point
+are NOT meaningful — use /tmp/sf1docs for those; the combiner selects
+per-family).
 
 Usage: python3 tools/make_sf1.py [srcSfDir] [outDir] [replicas]
 """
@@ -46,6 +56,12 @@ REPLICATED = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
+}
+# table -> high-cardinality name columns, every word prefixed per replica
+PREFIXED = {
+    "customer": ["c_name"],
+    "supplier": ["s_name"],
+    "part": ["p_name"],
 }
 SYMLINKED = ["region", "nation", "documents", "embeddings"]
 
@@ -70,6 +86,13 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sf1wh", replicas=10):
                 col = tab[name]
                 if name in keys:
                     col = pc.add(col, pa.scalar(k * OFFSET, type=pa.int64()))
+                elif name in PREFIXED.get(t, []):
+                    # "a b" -> "r<k>qa r<k>qb": word structure kept,
+                    # cross-replica token sets disjoint
+                    pre = f"r{k}q"
+                    col = pc.binary_join_element_wise(
+                        pa.scalar(pre),
+                        pc.replace_substring(col, " ", f" {pre}"), "")
                 cols[name] = col
             copies.append(pa.Table.from_pydict(cols, schema=tab.schema))
         big = pa.concat_tables(copies)
