@@ -246,7 +246,7 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
-  private def spreadSql(v: String): String = {
+  private[queries] def spreadSql(v: String): String = {
     val s1 = s"($v & 65535)"
     val s2 = s"(($s1 | ($s1 << 8)) & 16711935)"
     val s3 = s"(($s2 | ($s2 << 4)) & 252645135)"

@@ -108,4 +108,40 @@ object MediaQueries {
        |SELECT doc_id, n_tokens_bpe, img_mean_r, audio_us, audio_rms
        |FROM txt JOIN img USING (doc_id) JOIN au USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** q192 — VIDEO frame sampling ([[graft.ops.Video.frameSampleStats]]):
+    * the third modality, completing image (q36) / audio (q139). Encodes
+    * a real GRV1 container per document (variable 6–10 frame count, so
+    * the per-asset sampling arithmetic is load-bearing), then header
+    * parse → byte-offset seek → decode every 3rd frame → per-channel
+    * means + frame timestamp. Output mass is nFrames/stride per asset —
+    * the caption/embed-ready sampled-frame table, never the full frame
+    * set. The oracle recomputes each sampled frame's means analytically
+    * from the deterministic pixel functions, so the whole byte path
+    * (encode, header, seek, decode) is hash-checked. */
+  def q192VideoFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Video.frameSampleStats(
+        graft.ops.Video.withVideoMedia(
+          Tables.documents(spark, dir), "doc_id"), stride = 3)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val q192Sql: String = {
+    def mean(px: String): String =
+      s"""CAST(list_sum(flatten(list_transform(range(6), y ->
+         |      list_transform(range(8), x ->
+         |        CAST(($px) % 256 AS DOUBLE))))) AS DOUBLE) / 48""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(6 + doc_id % 5 AS INTEGER) AS n_frames,
+       |    CAST(u.f AS INTEGER) AS frame_idx
+       |  FROM documents,
+       |    UNNEST(list_filter(range(6 + doc_id % 5),
+       |      f -> f % 3 = 0)) AS u(f))
+       |SELECT doc_id, n_frames, frame_idx,
+       |  CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+       |  ${mean("doc_id + 7*x + 13*y + 17*frame_idx")} AS mean_r,
+       |  ${mean("3*doc_id + 5*x + y + 19*frame_idx")} AS mean_g,
+       |  ${mean("5*doc_id + x + 11*y + 23*frame_idx")} AS mean_b
+       |FROM f
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Cep, PageRank}
+import graft.ops.{Bfs, Cep, PageRank}
 
 /**
  * q165-q170 — the sequential-analytics + experimentation tier: pattern
@@ -494,4 +494,41 @@ object SequenceQueries {
       |WHERE p.end_us - v.t <= 7200000000
       |  AND p.n_mid = 1
       |ORDER BY p.user_id, start_us, end_us""".stripMargin
+
+  /** q191 — multi-source BFS reach ([[graft.ops.Bfs.hopDistances]]):
+    * minimum hop distance (≤ 4) from every "flagged" node (doc_id ≡ 0
+    * mod 7) through the near-dup graph — the contamination blast-radius
+    * census ("which documents sit within k duplication hops of a flagged
+    * one"), and the engine's level-synchronous answer to the oracle's
+    * literal `WITH RECURSIVE` walk. Reads the memoized [[PairStore]]
+    * pair table like every graph consumer (q92/q142/q166/q155); the
+    * oracle recomputes the pairs from scratch via the embedded q26
+    * contract, so a stale store breaks the hash. */
+  def q191BfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = PairStore.nearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val seeds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .filter(col("id") % 7 === 0)
+    Bfs.hopDistances(pairs, seeds, maxHops = 4).orderBy(col("id"))
+  }
+
+  // concatenated OUTSIDE any stripMargin literal (the embedded q26
+  // oracle contains SQL `||` — the q92/q166 convention)
+  val q191Sql: String =
+    "WITH RECURSIVE pairs AS (\n" + graft.queries.ExtQueries.q26Sql +
+      "\n),\n" +
+      """edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |seeds AS (
+        |  SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0),
+        |walk(id, d) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + 1
+        |  FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.d < 4)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Auc, CardEst, ColumnStats, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
+import graft.ops.{Auc, CardEst, ColumnStats, Ols, Pq, Privacy, Sampling, Skew, SplitSearch, Triangles}
 
 /**
  * q174-q187 — the statistics-and-index tier (incl. exact ROC-AUC): the artifacts a corpus
@@ -700,4 +700,75 @@ object StatsQueries {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** q193 — exact grouped OLS fit ([[graft.ops.Ols.groupedFit]]):
+    * slope/intercept of line-value cents over quantity per return flag,
+    * as exact integer rationals (num/den DECIMAL(38,0) strings — the
+    * q187 contract). One map-side-combinable aggregate of five
+    * sufficient statistics; the DuckDB twin mirrors every product in
+    * HUGEINT. Completes the supervised-stats arc: q176/q180 split
+    * search, q187 ranking quality, q193 linear fit. */
+  def q193OlsFit(spark: SparkSession, dir: String): DataFrame =
+    Ols.groupedFit(Tables.lineitem(spark, dir),
+        col("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
+  val q193Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |a AS (
+      |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM b GROUP BY g)
+      |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS slope_num,
+      |  CAST(CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS slope_den,
+      |  CAST(CAST(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx
+      |    AS DECIMAL(38,0)) AS VARCHAR) AS icpt_num,
+      |  CAST(CAST(n*(n*sxx - sx*sx) AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS icpt_den
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  /** q199 — EXACT calibration table + Brier components: per predicted-
+    * probability bin (discount in basis points, the "score"), the count
+    * and positive count (reliability diagram) plus the bin's squared-
+    * error mass Σ(p_bp − y·10⁴)² in DECIMAL(38,0) — the global Brier
+    * score is Σ sq_err_num / (n·10⁸), assembled from exact integers by
+    * the caller. Completes the eval family: q187 ranking (AUC), q193
+    * fit (OLS), q199 calibration. One map-side-combinable aggregate;
+    * both engines do the identical integer arithmetic. */
+  def q199Calibration(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount").isNotNull && col("l_returnflag").isNotNull)
+      .select(round(col("l_discount") * 10000).cast("long").as("p_bp"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("p_bp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(((col("p_bp") - col("y") * 10000L) *
+          (col("p_bp") - col("y") * 10000L)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("sq_err_num"))
+      .orderBy(col("p_bp"))
+
+  val q199Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(l_discount * 10000) AS BIGINT) AS p_bp,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem
+      |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL)
+      |SELECT p_bp, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(CAST(sum(CAST((p_bp - y*10000) * (p_bp - y*10000)
+      |    AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sq_err_num
+      |FROM b GROUP BY p_bp ORDER BY p_bp""".stripMargin
 }

@@ -63,29 +63,44 @@ class ZonedSource extends TableProvider {
     p
   }
 
+  /** TIME TRAVEL: `.option("version", n)` reads snapshot n's manifest
+    * (`_zonemap.v<n>.tsv`) instead of the current one — append-only
+    * snapshots stay readable because appends never touch existing zone
+    * files (the Iceberg contract); compaction moves files and therefore
+    * EXPIRES earlier snapshots (their manifests are deleted, reads fail
+    * with a clear message). */
+  private def manifestName(version: String): String =
+    if (version == null) ZonedManifest.CurrentName
+    else ZonedManifest.versionName(version.trim.toLong)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZonedManifest.read(root(options)).schema
+    ZonedManifest.read(root(options),
+      manifestName(options.get("version"))).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ZonedTable(properties.get("path"), schema)
+    new ZonedTable(properties.get("path"), schema,
+      manifestName(properties.get("version")))
 }
 
-private[sources] class ZonedTable(path: String, tableSchema: StructType)
+private[sources] class ZonedTable(path: String, tableSchema: StructType,
+                                  manifestName: String)
     extends Table with SupportsRead {
   override def name(): String = s"zoned_corpus($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZonedScanBuilder(path, tableSchema)
+    new ZonedScanBuilder(path, tableSchema, manifestName)
 }
 
-private[sources] class ZonedScanBuilder(path: String, schema: StructType)
+private[sources] class ZonedScanBuilder(path: String, schema: StructType,
+                                        manifestName: String =
+                                          ZonedManifest.CurrentName)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private val manifest = ZonedManifest.read(path)
+  private val manifest = ZonedManifest.read(path, manifestName)
   private var required: StructType = schema
   private var pruning: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
@@ -362,9 +377,18 @@ private[sources] object ZonedManifest {
   case class Manifest(root: String, schema: StructType,
                       statCols: Set[String], zones: Seq[Zone])
 
-  def read(root: String): Manifest = {
-    val lines = Files.readAllLines(
-      Paths.get(root, "_zonemap.tsv"), StandardCharsets.UTF_8).asScala.toSeq
+  val CurrentName = "_zonemap.tsv"
+
+  /** Manifest file name of snapshot version `v`. */
+  def versionName(v: Long): String = s"_zonemap.v$v.tsv"
+
+  def read(root: String, name: String = CurrentName): Manifest = {
+    val p = Paths.get(root, name)
+    require(Files.exists(p),
+      s"no manifest $name under $root — the snapshot version does not " +
+        "exist or was expired by a compaction (compaction moves data " +
+        "files, which invalidates older snapshots)")
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
     val schema = StructType(lines.head.split("\t")(1).split(",").map { s =>
       val Array(n, t) = s.split(":")
       StructField(n, if (t == "long") LongType else StringType)
@@ -412,24 +436,90 @@ object ZonedCorpus {
       count(lit(1)).as("n")
     val stats = zoned.groupBy(col("__zone")).agg(aggs.head, aggs.tail: _*)
       .collect() // one row per zone — metadata-scale by construction
-    val schemaLine = "schema\t" + df.schema.fields
-      .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
-      .mkString(",")
-    val zoneLines = stats.map { r =>
-      val dirName = s"__zone=${r.get(0)}"
+    val zones = stats.toSeq.map { r =>
       // a zone whose stat column is entirely null has null min/max:
       // OMIT the stat (getAs would unbox to 0 and fabricate 0:0 bounds)
       // — the reader keeps such zones under every filter (conservative)
       // and refuses aggregate pushdown for that column
       val st = statCols.filter(c =>
           r.getAs[Any](s"lo_$c") != null && r.getAs[Any](s"hi_$c") != null)
-        .map(c => s"$c:${r.getAs[Long](s"lo_$c")}:${r.getAs[Long](s"hi_$c")}")
-        .mkString(",")
-      s"zone\t$dirName\t${r.getAs[Long]("n")}\t$st"
+        .map(c =>
+          c -> ((r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))).toMap
+      ZonedManifest.Zone(s"__zone=${r.get(0)}", r.getAs[Long]("n"), st)
     }
-    Files.write(Paths.get(path, "_zonemap.tsv"),
-      ((schemaLine +: zoneLines).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    installManifest(path, df.schema, zones, nextVersion(path))
+  }
+
+  /** Snapshot versions present under `path`, ascending. */
+  def versions(path: String): Seq[Long] = {
+    val stream = Files.list(Paths.get(path))
+    try stream.iterator().asScala.map(_.getFileName.toString).flatMap { n =>
+      if (n.startsWith("_zonemap.v") && n.endsWith(".tsv"))
+        n.stripPrefix("_zonemap.v").stripSuffix(".tsv").toLongOption
+      else None
+    }.toSeq.sorted
+    finally stream.close()
+  }
+
+  private def nextVersion(path: String): Long =
+    versions(path).lastOption.getOrElse(0L) + 1L
+
+  /** Serialize `zones` as BOTH the current `_zonemap.tsv` and the
+    * numbered snapshot manifest `_zonemap.v<v>.tsv` — every layout
+    * mutation is a new snapshot, and `.option("version", v)` reads any
+    * retained one. */
+  private def installManifest(path: String, schema: StructType,
+                              zones: Seq[ZonedManifest.Zone],
+                              v: Long): Long = {
+    val statColsOrdered = zones.flatMap(_.stats.keys).toSet.toSeq.sorted
+    val schemaLine = "schema\t" + schema.fields
+      .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
+      .mkString(",")
+    val zoneLines = zones.map { z =>
+      val st = statColsOrdered.filter(z.stats.contains).map(c =>
+        s"$c:${z.stats(c)._1}:${z.stats(c)._2}").mkString(",")
+      s"zone\t${z.dirName}\t${z.nRows}\t$st"
+    }
+    val bytes = ((schemaLine +: zoneLines).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    Files.write(Paths.get(path, ZonedManifest.versionName(v)), bytes)
+    Files.write(Paths.get(path, ZonedManifest.CurrentName), bytes)
+    v
+  }
+
+  /**
+   * APPEND `df` as new zones — the snapshot-isolation ingest path: new
+   * zone directories land beside the existing ones (suffixed `-a<v>` so
+   * repeated appends never collide; zone dir names are opaque storage
+   * units, the data columns live inside the files), existing files are
+   * NEVER touched, and a new snapshot manifest = old zones ++ new zones
+   * is installed. Every retained older version keeps reading exactly
+   * the rows it always did (`.option("version", v)`) — the Iceberg
+   * append contract. Returns the new snapshot version.
+   */
+  def appendZones(df: DataFrame, path: String, zone: Column,
+                  statCols: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val m = ZonedManifest.read(path)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        m.schema.fields.map(f => (f.name, f.dataType))),
+      "appended frame must match the table schema exactly")
+    val v = nextVersion(path)
+    val tmp = Files.createTempDirectory("graft-zoned-append")
+    write(df, tmp.toString, zone, statCols)
+    val appended = ZonedManifest.read(tmp.toString)
+    val renamed = appended.zones.map { z =>
+      val dirName = s"${z.dirName}-a$v"
+      require(!Files.exists(Paths.get(path, dirName)),
+        s"appended zone $dirName collides with an existing zone")
+      Files.move(tmp.resolve(z.dirName), Paths.get(path, dirName))
+      z.copy(dirName = dirName)
+    }
+    val stream = Files.walk(tmp)
+    try stream.iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists)
+    finally stream.close()
+    installManifest(path, m.schema, m.zones ++ renamed, v)
   }
 
   /**
@@ -474,24 +564,22 @@ object ZonedCorpus {
             c -> ((vs.map(_._2._1).min, vs.map(_._2._2).max)) }
         ZonedManifest.Zone(dirName, members.map(_.nRows).sum, stats)
       }
-    // union over ALL zones (matching ZonedManifest.read's derivation):
+    // stat columns derive per-zone inside installManifest over the
+    // union of ALL zones (matching ZonedManifest.read's derivation):
     // deriving from the head zone alone would silently drop a stat
     // column from every rewritten zone whenever the head zone happened
     // to omit it (e.g. an all-null zone), permanently losing pruning
     // selectivity and aggregate pushdown for that column
-    val statColsOrdered =
-      m.zones.flatMap(_.stats.keys).toSet.toSeq.sorted
-    val schemaLine = "schema\t" + m.schema.fields
-      .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
-      .mkString(",")
-    val zoneLines = (staying ++ merged).map { z =>
-      val st = statColsOrdered.filter(z.stats.contains).map(c =>
-        s"$c:${z.stats(c)._1}:${z.stats(c)._2}").mkString(",")
-      s"zone\t${z.dirName}\t${z.nRows}\t$st"
-    }
-    Files.write(Paths.get(path, "_zonemap.tsv"),
-      ((schemaLine +: zoneLines).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    val newV = installManifest(path, m.schema, staying ++ merged,
+      nextVersion(path))
+    // compaction MOVED data files, so earlier snapshots can no longer
+    // resolve their zone directories: EXPIRE them (delete their
+    // manifests — a versioned read now fails with a clear message
+    // instead of a missing-directory error mid-scan). This is the
+    // expire-snapshots half of the Iceberg contract; appends never
+    // expire anything.
+    versions(path).filter(_ != newV).foreach(v =>
+      Files.deleteIfExists(Paths.get(path, ZonedManifest.versionName(v))))
     moving.size - merged.size
   }
 }

@@ -181,4 +181,106 @@ class ZonedSourceSpec extends SparkSpec {
     assert(stats.rowCount.exists(_.toLong <= 25L) ||
       stats.sizeInBytes > 0) // rowCount surfaced when CBO reads DSv2 stats
   }
+
+  // ------------------------------------------------------- time travel
+
+  private def readVersion(path: String, v: Long): DataFrame =
+    spark.read.format("graft.sources.ZonedSource")
+      .option("version", v.toString).load(path)
+
+  test("append creates a new snapshot; version 1 still reads EXACTLY " +
+      "its original rows (the Iceberg append contract)") {
+    val (tmp, df) = writeCorpus()
+    assert(ZonedCorpus.versions(tmp) === Seq(1L))
+    val extra = (100L until 140L).map { i =>
+      (i, s"appended $i", s"src${i % 3}", i * 10)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val v2 = ZonedCorpus.appendZones(extra, tmp, expr("n_chars DIV 250"),
+      Seq("doc_id", "n_chars"))
+    assert(v2 === 2L && ZonedCorpus.versions(tmp) === Seq(1L, 2L))
+    // v1 == the original frame, byte for byte
+    assert(readVersion(tmp, 1L).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect() ===
+      df.orderBy("doc_id")
+        .as[(Long, String, Option[String], Long)].collect())
+    // current == original ++ appended
+    assert(readZoned(tmp).agg(count(lit(1))).as[Long].collect().head
+      === 140L)
+    // the un-versioned read equals the latest version explicitly
+    assert(readVersion(tmp, 2L).agg(count(lit(1))).as[Long]
+      .collect().head === 140L)
+  }
+
+  test("appended zones participate in pruning; old snapshot plans only " +
+      "its own zones") {
+    val (tmp, _) = writeCorpus()
+    ZonedCorpus.appendZones(
+      (100L until 120L).map(i => (i, s"a $i", "srcA", 2000L + i))
+        .toDF("doc_id", "text", "source", "n_chars"),
+      tmp, expr("n_chars DIV 250"), Seq("doc_id", "n_chars"))
+    // appended rows live in n_chars 2100..2119 → zone 8; a filter there
+    // plans exactly the appended zone
+    val hot = readZoned(tmp).filter(col("n_chars") >= 2000L)
+    assert(plannedPartitions(hot) === 1)
+    assert(hot.agg(count(lit(1))).as[Long].collect().head === 20L)
+    // v1 has 4 zones; the appended zone never appears in its plan
+    assert(plannedPartitions(readVersion(tmp, 1L)) === 4)
+  }
+
+  test("repeated appends never collide (suffixed zone dirs) and stack " +
+      "snapshots") {
+    val (tmp, _) = writeCorpus()
+    def batch(lo: Long): DataFrame =
+      (lo until lo + 10L).map(i => (i, s"b $i", "srcB", i % 500))
+        .toDF("doc_id", "text", "source", "n_chars")
+    // both batches zone into the same n_chars DIV 250 values as the
+    // base layout — the -a<version> suffix keeps the dirs distinct
+    assert(ZonedCorpus.appendZones(batch(100L), tmp,
+      expr("n_chars DIV 250"), Seq("doc_id", "n_chars")) === 2L)
+    assert(ZonedCorpus.appendZones(batch(200L), tmp,
+      expr("n_chars DIV 250"), Seq("doc_id", "n_chars")) === 3L)
+    assert(readVersion(tmp, 1L).count() === 100L)
+    assert(readVersion(tmp, 2L).count() === 110L)
+    assert(readZoned(tmp).count() === 120L)
+  }
+
+  test("appending a mismatched schema is refused") {
+    val (tmp, _) = writeCorpus()
+    intercept[IllegalArgumentException] {
+      ZonedCorpus.appendZones(
+        Seq((1L, "x")).toDF("doc_id", "text"), tmp,
+        expr("doc_id"), Seq("doc_id"))
+    }
+  }
+
+  test("compaction EXPIRES earlier snapshots (files moved): versioned " +
+      "read fails with a clear message, current stays byte-identical") {
+    val (tmp, df) = writeCorpus()
+    ZonedCorpus.appendZones(
+      (100L until 110L).map(i => (i, s"c $i", "srcC", i * 10))
+        .toDF("doc_id", "text", "source", "n_chars"),
+      tmp, expr("n_chars DIV 250"), Seq("doc_id", "n_chars"))
+    val before = readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    val zoneDirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq.sorted
+      } finally s.close()
+    }
+    val plan = zoneDirs.take(2).map(_ -> 0L).toMap
+    ZonedCorpus.compact(tmp, plan)
+    // only the post-compaction snapshot survives
+    assert(ZonedCorpus.versions(tmp) === Seq(3L))
+    val ex = intercept[IllegalArgumentException] {
+      readVersion(tmp, 1L).count()
+    }
+    assert(ex.getMessage.contains("expired"),
+      s"unhelpful expiry error: ${ex.getMessage}")
+    assert(readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect() === before)
+    assert(df.count() === 100L) // fixture untouched
+  }
 }
