@@ -514,11 +514,14 @@ object SequenceQueries {
   }
 
   // concatenated OUTSIDE any stripMargin literal (the embedded q26
-  // oracle contains SQL `||` — the q92/q166 convention)
+  // oracle contains SQL `||` — the q92/q166 convention). AS MATERIALIZED
+  // is load-bearing: without it DuckDB re-evaluates the pair pipeline
+  // inside every recursion step (measured >27 min at sf0.1 vs ~6 min
+  // materialized, identical result).
   val q191Sql: String =
-    "WITH RECURSIVE pairs AS (\n" + graft.queries.ExtQueries.q26Sql +
-      "\n),\n" +
-      """edges AS (
+    "WITH RECURSIVE pairs AS MATERIALIZED (\n" +
+      graft.queries.ExtQueries.q26Sql + "\n),\n" +
+      """edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
         |seeds AS (
