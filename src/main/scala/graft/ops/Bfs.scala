@@ -36,7 +36,17 @@ object Bfs {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
-    CacheScope.withStages(edges) {
+    // each level MATERIALIZES before the next is planned (manual stage
+    // list — the loop's frontiers aren't known up front for
+    // CacheScope.withStages): frontier h is referenced by both round
+    // h+1's expansion and the settled union, so without a per-level
+    // pin the reference DAG re-evaluates prior levels multiplicatively
+    // (bounded by 2^maxHops, but a true level-synchronous BFS computes
+    // every level exactly once)
+    val staged = scala.collection.mutable.Buffer[DataFrame](edges)
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      edges.count()
       var dist = seeds.select(col("id")).distinct()
         .withColumn("dist", lit(0L))
       var frontier = dist.select(col("id"))
@@ -46,10 +56,19 @@ object Bfs {
           .select(col("dst").as("id"))
           .distinct()
           .join(dist.select(col("id")), Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        staged += next
+        // settled set stages too: round h+1's anti-join and the final
+        // union both read it (same multiplicative-reference argument)
+        val settled = dist
+          .unionByName(next.withColumn("dist", lit(h.toLong)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        settled.count()
+        staged += settled
         frontier = next
-        dist = dist.unionByName(next.withColumn("dist", lit(h.toLong)))
+        dist = settled
       }
-      CacheScope.pin(dist)
-    }
+      CacheScope.pin(dist.select(col("id"), col("dist")))
+    } finally staged.foreach(_.unpersist(blocking = false))
   }
 }

@@ -49,20 +49,28 @@ object MerkleDiff {
         col("s.cb") === col("d.cb"), "full_outer")
       .filter(!(col("s.n") <=> col("d.n")) || !(col("s.cs") <=> col("d.cs")))
       .select(coalesce(col("s.cb"), col("d.cb")).as("cb"))
-    def descend(side: DataFrame): DataFrame =
-      summarize(side.join(broadcast(dirty), coarseBucket === col("cb"),
-        "left_semi"), fineBucket, "fb", rowCols)
-    descend(src).as("s").join(descend(dst).as("d"),
-        col("s.fb") === col("d.fb"), "full_outer")
-      .filter(!(col("s.n") <=> col("d.n")) || !(col("s.cs") <=> col("d.cs")))
-      .select(coalesce(col("s.fb"), col("d.fb")).as("fb"),
-        coalesce(col("s.n"), lit(0L)).as("n_src"),
-        coalesce(col("d.n"), lit(0L)).as("n_dst"),
-        coalesce(col("s.cs"), lit(0)).cast(DecimalType(38, 0))
-          .cast("string").as("cs_src"),
-        coalesce(col("d.cs"), lit(0)).cast(DecimalType(38, 0))
-          .cast("string").as("cs_dst"))
-      .withColumn("kind",
-        when(!(col("n_src") <=> col("n_dst")), "rows").otherwise("content"))
+    // `dirty` feeds BOTH descents: stage it (metadata-sized) so the two
+    // coarse table scans behind it run once, not once per side — and pin
+    // the bucket-sized result before the scope closes (CacheScope
+    // discipline; exchange reuse is plan-shape luck, never a contract)
+    CacheScope.withStages(dirty) {
+      def descend(side: DataFrame): DataFrame =
+        summarize(side.join(broadcast(dirty), coarseBucket === col("cb"),
+          "left_semi"), fineBucket, "fb", rowCols)
+      CacheScope.pin(descend(src).as("s").join(descend(dst).as("d"),
+          col("s.fb") === col("d.fb"), "full_outer")
+        .filter(!(col("s.n") <=> col("d.n")) ||
+          !(col("s.cs") <=> col("d.cs")))
+        .select(coalesce(col("s.fb"), col("d.fb")).as("fb"),
+          coalesce(col("s.n"), lit(0L)).as("n_src"),
+          coalesce(col("d.n"), lit(0L)).as("n_dst"),
+          coalesce(col("s.cs"), lit(0)).cast(DecimalType(38, 0))
+            .cast("string").as("cs_src"),
+          coalesce(col("d.cs"), lit(0)).cast(DecimalType(38, 0))
+            .cast("string").as("cs_dst"))
+        .withColumn("kind",
+          when(!(col("n_src") <=> col("n_dst")), "rows")
+            .otherwise("content")))
+    }
   }
 }

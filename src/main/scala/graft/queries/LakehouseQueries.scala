@@ -180,11 +180,16 @@ object LakehouseQueries {
         Seq("u" -> col("u"), "d" -> col("d")))
       val su = col("max_u") >= 40L && col("min_u") <= 89L
       val sd = col("max_d") >= 19733L && col("min_d") <= 19742L
-      stats.agg(count(lit(1)).as("n_zones"),
-          sum(when(su, 1L).otherwise(0L)).as("scan_user"),
-          sum(when(sd, 1L).otherwise(0L)).as("scan_day"),
-          sum(when(su && sd, 1L).otherwise(0L)).as("scan_box"))
-        .withColumn("layout", lit(label))
+      // pin the 1-row audit and release the table-sized index pin — the
+      // index is a pure intermediate here, unlike q60 where it IS the
+      // result (CacheScope: caller owns exactly one bounded artifact)
+      try graft.ops.CacheScope.pin(
+        stats.agg(count(lit(1)).as("n_zones"),
+            sum(when(su, 1L).otherwise(0L)).as("scan_user"),
+            sum(when(sd, 1L).otherwise(0L)).as("scan_day"),
+            sum(when(su && sd, 1L).otherwise(0L)).as("scan_box"))
+          .withColumn("layout", lit(label)))
+      finally idx.unpersist(blocking = false)
     }
     audit("linear", Seq(col("u"), col("d"), col("event_id")))
       .unionByName(audit("zorder", Seq(
