@@ -16,12 +16,28 @@ import org.apache.spark.sql.functions._
  *    spread a hot key over `buckets` reducers, then a cheap merge on the key
  *    (the generalization of Spark's own partial aggregation to algebraic
  *    merges the planner can't infer).
- *  - [[saltedJoin]]: the hot LEFT side gets a random salt, the small RIGHT
+ *  - [[saltedJoin]]: the hot LEFT side gets a content-hash salt, the small RIGHT
  *    side is replicated `buckets`× with every salt value, and the join key
  *    becomes (key, salt) — a hot key's rows now hash to `buckets` different
  *    reducers.
  */
 object Skew {
+
+  /**
+   * DETERMINISTIC row→bucket salt: a hash of ALL of the frame's columns.
+   * A nondeterministic salt (`hash(monotonically_increasing_id())`, the
+   * obvious choice) is a SPARK-23207-class correctness hazard under
+   * partial map-stage recomputation: after a fetch failure the lost map
+   * outputs are recomputed, a row can draw a DIFFERENT salt than the
+   * copy an already-finished reducer consumed, and the row is dropped or
+   * double-counted. Hashing the row's content is stable across replays
+   * (same row → same salt, always). Tradeoff, documented: byte-identical
+   * duplicate rows share a salt, so a hot key whose rows are ALL
+   * identical does not spread — real payloads (ids, timestamps, measures)
+   * differ per row, which is what makes the hash spread.
+   */
+  private def contentSalt(df: DataFrame, buckets: Column): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), buckets)
 
   /** Aggregation spec: the stage-1 partial over raw rows and the stage-2
     * merge over the named partial column. */
@@ -39,8 +55,10 @@ object Skew {
   /**
    * Two-phase skew-proof aggregation: `aggs` maps output column name →
    * TwoPhase spec. The salt assignment is arbitrary row→bucket (algebraic
-   * merges make the result independent of it), so a hash of a per-row
-   * surrogate id suffices. The group key keeps the caller's column name
+   * merges make the result independent of WHICH bucket a row lands in),
+   * but it must be DETERMINISTIC per row ([[contentSalt]]) so partial
+   * recomputation reproduces the exact same partials — see the salt's
+   * doc. The group key keeps the caller's column name
    * (or the `keyName` alias for expression keys), so the salted plan is a
    * drop-in schema-identical replacement for `df.groupBy(key).agg(...)`.
    */
@@ -51,8 +69,7 @@ object Skew {
     val outKey =
       if (keyName.nonEmpty) keyName
       else df.select(key).schema.head.name
-    val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val salted = df.withColumn("__salt", contentSalt(df, lit(buckets)))
     val stage1 = salted.groupBy(key.as(outKey), col("__salt"))
       .agg(aggs.head._2.partial.as(aggs.head._1),
         aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
@@ -64,13 +81,14 @@ object Skew {
   /**
    * Salted equi-join for a skewed left side: right side replicated with all
    * `buckets` salt values (keep it small — replication multiplies it), left
-   * side salted randomly; inner/left semantics preserved.
+   * side salted deterministically by row content; inner/left semantics
+   * preserved, replay-safe ([[contentSalt]]).
    */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     val saltedLeft = left.withColumn("__salt_l",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      contentSalt(left, lit(buckets)))
     val replicatedRight = right.withColumn("__salt_r",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(replicatedRight,
@@ -117,7 +135,7 @@ object Skew {
       .join(broadcast(advice), df(keyCol) === col("__adv_k"), "left_outer")
       .withColumn("__salt",
         when(col("salt_buckets").isNotNull,
-          pmod(hash(monotonically_increasing_id()), col("salt_buckets")))
+          contentSalt(df, col("salt_buckets")))
           .otherwise(lit(0)))
     val stage1 = salted.groupBy(col(keyCol), col("__salt"))
       .agg(aggs.head._2.partial.as(aggs.head._1),
@@ -146,7 +164,7 @@ object Skew {
         "left_outer")
       .withColumn("__salt_l",
         when(col("salt_buckets").isNotNull,
-          pmod(hash(monotonically_increasing_id()), col("salt_buckets")))
+          contentSalt(left, col("salt_buckets")))
           .otherwise(lit(0)))
       .drop("__adv_k", "salt_buckets")
     val replicatedRight = right

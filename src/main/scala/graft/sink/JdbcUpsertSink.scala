@@ -66,7 +66,7 @@ object JdbcUpsertSink {
   /**
    * Keyed upsert whose replay scope NEVER materializes on the driver:
    * the batch's distinct key tuples are shipped executor-side into a
-   * staging table (`<table>__stage`, dropped and recreated per call),
+   * staging table (`<table>__stage_<unique>`, created per call),
    * then ONE set-based `DELETE … WHERE EXISTS (SELECT 1 FROM staging …)`
    * clears exactly the touched keys before the insert pass. The driver
    * runs only DDL and that single DELETE statement — with 10⁶ distinct
@@ -78,8 +78,20 @@ object JdbcUpsertSink {
    * Replay-idempotent like the scoped path: re-running the same content
    * re-stages the same keys, re-deletes, re-inserts — last writer wins
    * per key. A crash between delete and insert is converged by the
-   * replay; a leftover staging table from a crash is dropped on the next
-   * call. Input contract: the caller passes the WHOLE batch (all rows of
+   * replay. The staging table name is UNIQUE PER INVOCATION
+   * (`<table>__stage_<n>` from a process-wide counter + a random token),
+   * so two concurrent writers to the same target (two streaming queries,
+   * or bench + stream) can never clobber each other's staged keys; the
+   * stage is dropped in a `finally`, so only a JVM kill can leak one —
+   * and a leaked stage is inert (nothing references a stale suffix).
+   *
+   * String keys stage as VARCHAR sized to the BATCH'S OWN max key length
+   * (floor 512), so a long key widens the staging column instead of
+   * aborting the batch with a Derby truncation error. Past Derby's
+   * ~1024-byte index-key comfort zone the stage-key index is skipped
+   * (correctness unchanged — the EXISTS probe degrades to a stage scan,
+   * acceptable for the rare giant-key batch, and disclosed here).
+   * Input contract: the caller passes the WHOLE batch (all rows of
    * a key), as foreachBatch does by construction.
    */
   def writeStagedKeyed(docs: DataFrame, url: String, table: String,
@@ -89,44 +101,62 @@ object JdbcUpsertSink {
     val cols = docs.schema.fieldNames
     require(keyCols.forall(cols.contains),
       s"keyCols ${keyCols.mkString(",")} must be output columns")
-    val stage = s"${table}__stage"
-    withConn(url) { conn =>
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $stage")
-      catch { case _: java.sql.SQLException => () } // no leftover stage
-      val ddl = keyCols
-        .map(c => s"$c ${sqlTypeFor(docs.schema(c).dataType)}")
-        .mkString(", ")
-      st.executeUpdate(s"CREATE TABLE $stage ($ddl)")
-      st.close()
-    }
-    import org.apache.spark.sql.functions.col
-    insertRows(docs.select(keyCols.map(col): _*).distinct(),
-      url, stage, batchSize, maxWriteTasks, keyCols = Nil)
-    withConn(url) { conn =>
-      val st = conn.createStatement()
-      // index the staged keys BEFORE the correlated delete: without it
-      // the EXISTS probe is a per-row stage scan — quadratic in keys
-      // (measured: 10^5×10^5 locks Derby solid); with it, one indexed
-      // lookup per target row
-      st.executeUpdate(
-        s"CREATE INDEX ${stageIndexName(table)} ON $stage " +
-          keyCols.mkString("(", ", ", ")"))
-      val on = keyCols.map(c => s"s.$c = $table.$c").mkString(" AND ")
-      st.executeUpdate(
-        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stage s WHERE $on)")
-      st.close()
-    }
-    insertRows(docs, url, table, batchSize, maxWriteTasks, keyCols = Nil)
-    withConn(url) { conn =>
-      val st = conn.createStatement()
-      st.executeUpdate(s"DROP TABLE $stage")
-      st.close()
+    import org.apache.spark.sql.functions.{col, length, max}
+    import org.apache.spark.sql.types.StringType
+    val stage = s"${table}__stage_${stageCounter.incrementAndGet()}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val keys = docs.select(keyCols.map(col): _*).distinct()
+    // derive VARCHAR widths for string keys from the batch itself — one
+    // metadata-sized aggregate (one row) over the distinct-key frame
+    val stringKeys = keyCols.filter(c => docs.schema(c).dataType == StringType)
+    val widths: Map[String, Int] =
+      if (stringKeys.isEmpty) Map.empty
+      else {
+        val row = keys.agg(
+          max(length(col(stringKeys.head))).as(stringKeys.head),
+          stringKeys.tail.map(c => max(length(col(c))).as(c)): _*).head()
+        stringKeys.map(c => c -> math.max(512,
+          Option(row.getAs[Any](c)).fold(0)(_.asInstanceOf[Int]))).toMap
+      }
+    try {
+      withConn(url) { conn =>
+        val st = conn.createStatement()
+        val ddl = keyCols
+          .map(c => s"$c ${sqlTypeFor(docs.schema(c).dataType, widths.get(c))}")
+          .mkString(", ")
+        st.executeUpdate(s"CREATE TABLE $stage ($ddl)")
+        st.close()
+      }
+      insertRows(keys, url, stage, batchSize, maxWriteTasks, keyCols = Nil)
+      withConn(url) { conn =>
+        val st = conn.createStatement()
+        // index the staged keys BEFORE the correlated delete: without it
+        // the EXISTS probe is a per-row stage scan — quadratic in keys
+        // (measured: 10^5×10^5 locks Derby solid); with it, one indexed
+        // lookup per target row. Skipped when a string key is wider than
+        // Derby's safe index-key length (see the method doc).
+        if (widths.values.forall(_ <= 1024))
+          st.executeUpdate(
+            s"CREATE INDEX ${stage}_idx ON $stage " +
+              keyCols.mkString("(", ", ", ")"))
+        val on = keyCols.map(c => s"s.$c = $table.$c").mkString(" AND ")
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $stage s WHERE $on)")
+        st.close()
+      }
+      insertRows(docs, url, table, batchSize, maxWriteTasks, keyCols = Nil)
+    } finally {
+      withConn(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () } // create never ran
+        st.close()
+      }
     }
   }
 
-  private def stageIndexName(table: String): String =
-    s"${table.replace('.', '_')}__stage_idx"
+  /** Process-wide invocation counter for unique staging-table names. */
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def withConn[A](url: String)(body: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
@@ -134,8 +164,10 @@ object JdbcUpsertSink {
   }
 
   /** Staging-column DDL types for the key columns (the VARCHAR mapping
-    * sidesteps Derby's uncomparable CLOB default for StringType). */
-  private def sqlTypeFor(dt: org.apache.spark.sql.types.DataType): String = {
+    * sidesteps Derby's uncomparable CLOB default for StringType; its
+    * width comes from the batch's max key length, floor 512). */
+  private def sqlTypeFor(dt: org.apache.spark.sql.types.DataType,
+                         varcharWidth: Option[Int] = None): String = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType => "BIGINT"
@@ -144,7 +176,7 @@ object JdbcUpsertSink {
       case BooleanType => "BOOLEAN"
       case DoubleType => "DOUBLE"
       case FloatType => "REAL"
-      case StringType => "VARCHAR(512)"
+      case StringType => s"VARCHAR(${varcharWidth.getOrElse(512)})"
       case TimestampType => "TIMESTAMP"
       case DateType => "DATE"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"

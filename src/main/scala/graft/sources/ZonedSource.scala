@@ -66,9 +66,9 @@ class ZonedSource extends TableProvider {
   /** TIME TRAVEL: `.option("version", n)` reads snapshot n's manifest
     * (`_zonemap.v<n>.tsv`) instead of the current one — append-only
     * snapshots stay readable because appends never touch existing zone
-    * files (the Iceberg contract); compaction moves files and therefore
-    * EXPIRES earlier snapshots (their manifests are deleted, reads fail
-    * with a clear message). */
+    * files (the Iceberg contract); compaction and full overwrites move
+    * or replace files and therefore EXPIRE earlier snapshots (their
+    * manifests are deleted, reads fail with a clear message). */
   private def manifestName(version: String): String =
     if (version == null) ZonedManifest.CurrentName
     else ZonedManifest.versionName(version.trim.toLong)
@@ -421,6 +421,11 @@ object ZonedCorpus {
     require(df.schema.fields.forall(f =>
       f.dataType == LongType || f.dataType == StringType),
       "zoned layout supports long/string columns only")
+    // version BEFORE the data write: overwrite may or may not clear the
+    // old manifests from disk, and the number must stay monotonic either
+    // way (a reader holding "version 1" of the OLD table must never
+    // silently resolve to version 1 of the NEW one)
+    val v = nextVersion(path)
     val zoned = df.withColumn("__zone", zone)
     zoned.select((col("__zone") +: dataCols.map(col)): _*)
       .write.partitionBy("__zone")
@@ -447,11 +452,23 @@ object ZonedCorpus {
           c -> ((r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))).toMap
       ZonedManifest.Zone(s"__zone=${r.get(0)}", r.getAs[Long]("n"), st)
     }
-    installManifest(path, df.schema, zones, nextVersion(path))
+    installManifest(path, df.schema, zones, v)
+    // a full (over)write REPLACED every zone directory, so any earlier
+    // snapshot manifest that survived on disk is now a lie — a versioned
+    // read through it would return the NEW files (or nothing) under the
+    // OLD snapshot number. EXPIRE them like compact() does: delete every
+    // other version manifest so `.option("version", old)` fails with the
+    // clear no-such-snapshot message instead of returning wrong rows.
+    // Appends (appendZones) remain the only mutation that retains
+    // history — the Iceberg overwrite/expire contract.
+    versions(path).filter(_ != v).foreach(old =>
+      Files.deleteIfExists(Paths.get(path, ZonedManifest.versionName(old))))
   }
 
-  /** Snapshot versions present under `path`, ascending. */
+  /** Snapshot versions present under `path`, ascending (empty when the
+    * table directory does not exist yet — first write). */
   def versions(path: String): Seq[Long] = {
+    if (!Files.isDirectory(Paths.get(path))) return Seq.empty
     val stream = Files.list(Paths.get(path))
     try stream.iterator().asScala.map(_.getFileName.toString).flatMap { n =>
       if (n.startsWith("_zonemap.v") && n.endsWith(".tsv"))

@@ -316,7 +316,8 @@ object EventStreams {
    * One micro-batch of a keyed JDBC upsert: delete-then-insert scoped to
    * exactly the key tuples the batch carries, via
    * [[graft.sink.JdbcUpsertSink.writeStagedKeyed]] — the batch's
-   * distinct keys are staged into `<table>__stage` BY THE EXECUTORS and
+   * distinct keys are staged into a per-invocation staging table BY THE
+   * EXECUTORS (unique name — concurrent writers never collide) and
    * the delete is one set-based `WHERE EXISTS`, so no key value ever
    * materializes on the driver (a per-document-key stream with millions
    * of distinct keys per batch costs the driver nothing). This is the

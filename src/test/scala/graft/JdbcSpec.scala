@@ -163,11 +163,58 @@ class JdbcSpec extends SparkSpec {
     JdbcUpsertSink.writeStagedKeyed(batch, url, "wide_keys", Seq("k"),
       maxWriteTasks = 8)
     assert(stats() === ((n + 1L, n.toLong, 1L)))
-    // and the staging table is cleaned up
+    // and the staging tables (unique name per invocation) are cleaned up
     val c2 = DriverManager.getConnection(url)
     try {
-      val rs = c2.getMetaData.getTables(null, null, "WIDE_KEYS__STAGE", null)
+      val rs = c2.getMetaData.getTables(null, null, "WIDE_KEYS__STAGE%", null)
       assert(!rs.next(), "staging table left behind")
     } finally c2.close()
+  }
+
+  test("staged keyed upsert: a string key longer than 512 chars stages " +
+    "without truncation failure") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE long_keys (k VARCHAR(4096), v BIGINT)")
+    st.close(); conn.close()
+    val giant = "x" * 2000 // > the old fixed VARCHAR(512) stage width
+    val b1 = Seq((giant, 1L), ("short", 1L)).toDF("k", "v")
+    JdbcUpsertSink.writeStagedKeyed(b1, url, "long_keys", Seq("k"),
+      maxWriteTasks = 1)
+    val b2 = Seq((giant, 2L)).toDF("k", "v") // upsert the giant key
+    JdbcUpsertSink.writeStagedKeyed(b2, url, "long_keys", Seq("k"),
+      maxWriteTasks = 1)
+    val back = JdbcSource.table(spark, cfg, "long_keys")
+      .select($"K", $"V").as[(String, Long)].collect().toMap
+    assert(back === Map(giant -> 2L, "short" -> 1L))
+  }
+
+  test("staged keyed upsert: two concurrent writers to one target never " +
+    "clobber each other's staged keys") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE conc_tgt (k BIGINT, v BIGINT)")
+    st.close(); conn.close()
+    // disjoint key ranges: with the old FIXED stage name, writer B's
+    // DROP/CREATE raced writer A's staged keys (wrong deletes / aborts);
+    // with per-invocation names both must land completely
+    def batch(lo: Long, tag: Long) =
+      (lo until lo + 500L).toDF("k").select($"k", lit(tag).as("v"))
+    val fs = Seq(0L -> 1L, 1000000L -> 2L).map { case (lo, tag) =>
+      Future(JdbcUpsertSink.writeStagedKeyed(
+        batch(lo, tag), url, "conc_tgt", Seq("k"), maxWriteTasks = 2))
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+    val got = JdbcSource.table(spark, cfg, "conc_tgt")
+      .agg(count(lit(1)), sum(when($"V" === 1L, 1L).otherwise(0L)),
+        sum(when($"V" === 2L, 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((1000L, 500L, 500L)))
   }
 }

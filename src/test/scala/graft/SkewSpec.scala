@@ -130,4 +130,30 @@ class SkewSpec extends SparkSpec {
       assert(salted === plain, s"join type $jt")
     }
   }
+
+  test("salts are deterministic expressions (replay-safe, SPARK-23207)") {
+    // a nondeterministic salt in the shuffle key drops/duplicates rows
+    // when lost map outputs are recomputed with fresh salt draws; every
+    // salting transform must therefore build a fully deterministic plan
+    val dim = Seq(("hot", 100), ("k1", 1)).toDF("dk", "weight")
+    val plans = Seq(
+      "saltedAggregate" -> Skew.saltedAggregate(skewed, $"k", 8,
+        Map("c" -> Skew.countAll)),
+      "saltedJoin" -> Skew.saltedJoin(skewed, dim, $"k", $"dk", 8),
+      "advisedAggregate" -> Skew.advisedAggregate(skewed, "k", 2L,
+        Map("c" -> Skew.countAll)),
+      "advisedJoin" -> Skew.advisedJoin(skewed, dim, "k", "dk", 2L))
+    for ((name, df) <- plans) {
+      val nondet = df.queryExecution.analyzed.flatMap(_.expressions)
+        .flatMap(_.collect { case x if !x.deterministic => x })
+      assert(nondet.isEmpty,
+        s"$name plan carries nondeterministic expressions: " +
+          nondet.map(_.toString).distinct.mkString("; "))
+    }
+    // and the deterministic salt still spreads the hot key over buckets
+    val spread = skewed
+      .withColumn("s", pmod(hash(skewed.columns.map(col).toSeq: _*), lit(8)))
+      .filter($"k" === "hot").select($"s").distinct().count()
+    assert(spread === 8L, s"content salt spread only $spread of 8 buckets")
+  }
 }

@@ -283,4 +283,38 @@ class ZonedSourceSpec extends SparkSpec {
       .as[(Long, String, Option[String], Long)].collect() === before)
     assert(df.count() === 100L) // fixture untouched
   }
+
+  test("full overwrite EXPIRES earlier snapshots (files replaced): the " +
+      "old version number fails clearly instead of reading new rows") {
+    val (tmp, _) = writeCorpus() // v1
+    ZonedCorpus.appendZones(
+      (100L until 110L).map(i => (i, s"a $i", "srcA", i * 10))
+        .toDF("doc_id", "text", "source", "n_chars"),
+      tmp, expr("n_chars DIV 250"), Seq("doc_id", "n_chars")) // v2
+    // rewrite the whole table with DIFFERENT content: every zone dir is
+    // replaced, so snapshots 1 and 2 no longer describe any real file
+    val fresh = (1000L until 1050L).map(i =>
+      (i, s"rewrite $i", "srcR", i * 10))
+      .toDF("doc_id", "text", "source", "n_chars")
+    ZonedCorpus.write(fresh, tmp, expr("n_chars DIV 250"),
+      Seq("doc_id", "n_chars"))
+    // version numbering stays monotonic across the overwrite and only
+    // the new snapshot is retained
+    assert(ZonedCorpus.versions(tmp) === Seq(3L))
+    for (old <- Seq(1L, 2L)) {
+      val ex = intercept[IllegalArgumentException] {
+        readVersion(tmp, old).count()
+      }
+      assert(ex.getMessage.contains("expired") ||
+          ex.getMessage.contains("no manifest"),
+        s"unhelpful expiry error for v$old: ${ex.getMessage}")
+    }
+    // current and explicit v3 both read exactly the rewritten rows
+    val want = fresh.orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    assert(readZoned(tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect() === want)
+    assert(readVersion(tmp, 3L).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect() === want)
+  }
 }
