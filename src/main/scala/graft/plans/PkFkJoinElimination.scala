@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
+  IsNotNull}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/**
+ * DECLARED-CONSTRAINT catalog for the optimizer extensions: Spark has no
+ * PRIMARY KEY / FOREIGN KEY DDL, so rewrites that are only valid under
+ * referential integrity (join elimination, the classic one every
+ * warehouse optimizer ships — Oracle, SQL Server, BigQuery all do this
+ * against declared RI) need the constraints declared out of band.
+ *
+ * A declaration `declareRi(fk, pk)` asserts, by GLOBALLY UNIQUE COLUMN
+ * NAME (the TPC-H convention — every column name carries its table
+ * prefix), that
+ *   1. `pk` is unique in its table,
+ *   2. every non-null `fk` value has a matching `pk` row, and
+ *   3. `fk` is NOT NULL.
+ * Under 1–3 an inner equi-join fk = pk preserves left multiplicity
+ * exactly — the join can vanish when nothing above reads the right side.
+ * Declaring a constraint the data violates yields wrong results, same
+ * as every RELY constraint system; the gate (q200) and spec re-verify
+ * the declared pairs against the data.
+ */
+object ConstraintCatalog {
+  private val riPairs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Declare fk→pk referential integrity + fk NOT NULL + pk UNIQUE. */
+  def declareRi(fkCol: String, pkCol: String): Unit =
+    riPairs.add((fkCol.toLowerCase, pkCol.toLowerCase))
+
+  def hasRi(fkCol: String, pkCol: String): Boolean =
+    riPairs.contains((fkCol.toLowerCase, pkCol.toLowerCase))
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = riPairs.clear()
+}
+
+/**
+ * PK-FK inner-join ELIMINATION — a custom Catalyst `Rule[LogicalPlan]`
+ * (installed via `spark.experimental.extraOptimizations`, the
+ * user-provided-optimizers batch): an inner equi-join against a BARE
+ * dimension scan is removed entirely when
+ *
+ *   - the join key pair is declared RI in [[ConstraintCatalog]]
+ *     (pk unique, fk non-null and referentially intact),
+ *   - the dimension side is a pure column-pruned scan — a chain of
+ *     attribute-only Projects over a v1 relation or local relation,
+ *     NO Filter anywhere (a filtered dim changes multiplicity),
+ *   - the operator above the join references ONLY fact-side columns.
+ *
+ * Why it matters at 100 TB: the eliminated join is a broadcast probe per
+ * row AT BEST and a shuffle of the fact table at worst — dropping it is
+ * strictly cheaper than any join strategy. BI tools generate exactly
+ * this shape constantly (star-schema views join every dimension; most
+ * dashboards read measures only).
+ *
+ * Reference scope: the reference engine delegates all planning to
+ * Postgres (/root/reference/trends.go:279-406 ships raw SQL) — this rule
+ * is part of the optimizer surface the Spark engine adds.
+ */
+object PkFkJoinElimination extends Rule[LogicalPlan] {
+
+  /** The dim side must be attribute-only Projects over a leaf scan —
+    * v1 relations and local relations only (a DSv2 scan can carry
+    * pushed filters invisible at this level, so it is NOT eligible).
+    * One Filter shape is admitted: `IsNotNull(pk)` conjunctions that
+    * the optimizer itself derives from the inner-join condition — a
+    * null pk can never match an inner join, so dropping those rows
+    * never changes which fact rows survive. Any OTHER dim filter
+    * changes multiplicity and vetoes the rewrite. */
+  private def bareScan(plan: LogicalPlan, pk: Attribute): Boolean =
+    plan match {
+      case Project(projectList, child) =>
+        projectList.forall(_.isInstanceOf[Attribute]) &&
+          bareScan(child, pk)
+      case Filter(cond, child) =>
+        splitConjunctivePredicates(cond).forall {
+          case IsNotNull(a: Attribute) => a.semanticEquals(pk)
+          case _ => false
+        } && bareScan(child, pk)
+      case _: LogicalRelation => true
+      case _: LocalRelation => true
+      case _ => false
+    }
+
+  private def splitConjunctivePredicates(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    cond match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
+  /** If `j` is an eliminable PK-FK join, the surviving fact side. */
+  private def survivor(j: Join): Option[LogicalPlan] = j match {
+    case Join(left, right, Inner, Some(EqualTo(a: Attribute, b: Attribute)),
+        _) =>
+      val lOut = left.outputSet
+      val rOut = right.outputSet
+      val fkPk: Option[(Attribute, Attribute, LogicalPlan, LogicalPlan)] =
+        if (lOut.contains(a) && rOut.contains(b)) Some((a, b, left, right))
+        else if (lOut.contains(b) && rOut.contains(a))
+          Some((b, a, left, right))
+        else if (rOut.contains(a) && lOut.contains(b))
+          Some((a, b, right, left))
+        else if (rOut.contains(b) && lOut.contains(a))
+          Some((b, a, right, left))
+        else None
+      fkPk.collect {
+        case (fk, pk, fact, dim)
+            if ConstraintCatalog.hasRi(fk.name, pk.name) &&
+              bareScan(dim, pk) => fact
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, j: Join) =>
+      survivor(j) match {
+        case Some(fact) if p.references.subsetOf(fact.outputSet) =>
+          Project(projList, fact)
+        case _ => p
+      }
+    case agg @ Aggregate(_, _, j: Join, _) =>
+      survivor(j) match {
+        case Some(fact) if agg.references.subsetOf(fact.outputSet) =>
+          agg.copy(child = fact)
+        case _ => agg
+      }
+  }
+
+  /** Idempotently install the rule into the session's experimental
+    * optimizations (the user-provided batch runs after the standard
+    * optimizer, when pruning has already bared the dim scan). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(this))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ this
+    }
+}

@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Agreement, BitmapIndex, CountMin, GlobalIndex,
+  RecordLinkage, Robust, Skyline, Spearman, WeightedSample}
+import graft.plans.{ConstraintCatalog, PkFkJoinElimination}
+
+/**
+ * Round-9 tier (q200-q209): the optimizer / storage / statistics
+ * frontier — a declared-constraint Catalyst rewrite rule, Iceberg-v2
+ * equality deletes on the zoned source, Fellegi-Sunter record linkage,
+ * deterministic systematic PPS sampling, two classic bitwise summary
+ * structures (count-min sketch, block bitmap index), and three exact
+ * statistics (Cohen's kappa, winsorized robust moments, Spearman rank
+ * correlation). Reference scope: none of these exist in the reference
+ * (a 750-line SQL-shipping worker); they are the engine-tier surface a
+ * 100 TB training-data pipeline needs, per the build brief.
+ */
+object FrontierQueries {
+
+  /** q200 — PK-FK inner-join ELIMINATION by a custom Catalyst
+    * `Rule[LogicalPlan]` ([[graft.plans.PkFkJoinElimination]], installed
+    * through `spark.experimental.extraOptimizations`): the customer ⋈
+    * nation join below reads nothing from nation, the key pair is
+    * declared RI (and PlanShapeSpec re-verifies the data satisfies it),
+    * so the optimized plan scans ONLY customer — the oracle keeps the
+    * join and must agree, which is precisely the rewrite's soundness
+    * contract. Spec-locked: zero Join nodes with the rule, one without. */
+  def q200JoinElim(spark: SparkSession, dir: String): DataFrame = {
+    ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
+    PkFkJoinElimination.install(spark)
+    val c = Tables.customer(spark, dir)
+    // dim side: bare scan (no spread) — the eliminable shape BI tools emit
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q200Sql: String =
+    """SELECT c_mktsegment,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // one zoned-table-with-deletes build per (session, corpus) — the
+  // stored-artifact pattern (q112/q150): the layout + delete is the
+  // stored state, the query is the steady-state merge-on-read scan
+  private val delStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deletedZonedPath(spark: SparkSession, dir: String): String =
+    delStore.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir + "|" +
+        PairStore.snapshotFingerprint(dir),
+      _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-zoned-del").toString
+        val docs = Tables.documents(spark, dir)
+        graft.sources.ZonedCorpus.write(docs, tmp,
+          expr("doc_id DIV 64"), Seq("doc_id", "n_chars"))
+        graft.sources.ZonedCorpus.deleteWhere(
+          docs.filter(expr("n_chars % 7 = 0")).select(col("doc_id")),
+          tmp)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists)
+            finally s.close()
+          }
+        }))
+        tmp
+      })
+
+  /** q201 — EQUALITY DELETES, merge-on-read
+    * ([[graft.sources.ZonedCorpus.deleteWhere]]): doc_ids with
+    * n_chars % 7 = 0 are logically deleted from the zoned documents
+    * table — no data file rewritten, the delete zone stores key VALUES
+    * (so compaction can never invalidate it), the pre-delete snapshot
+    * still time-travels, and a raw scan REFUSES to serve the table
+    * without acknowledging the pending deletes (spec-locked). The gate
+    * reads the merged view and must equal the oracle's NOT-filter. */
+  def q201EqualityDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val path = deletedZonedPath(spark, dir)
+    graft.sources.ZonedCorpus.readWithDeletes(spark, path)
+      .orderBy(col("doc_id"))
+  }
+
+  val q201Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |WHERE NOT (n_chars % 7 = 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q202 — Fellegi-Sunter RECORD LINKAGE
+    * ([[graft.ops.RecordLinkage]]): customers vs a deterministically
+    * dirtied copy (digit-swapped names on custkey%7, segment wiped on
+    * %5, balance band shifted on %3), blocked on nation (Σ block²
+    * candidates), scored by integer log-weights over three field rules
+    * — reversed-name Jaro-Winkler (the native codegen'd kernel, DuckDB
+    * bit-parity gated since q149), segment equality, balance-band
+    * equality — and classified match / possible by thresholds. */
+  def q202RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val c = Tables.customer(spark, dir)
+    val a = c.select(
+      col("c_custkey").as("id_a"),
+      col("c_name").as("name_a"),
+      col("c_nationkey").as("nk_a"),
+      col("c_mktsegment").as("seg_a"),
+      floor(col("c_acctbal") / 100.0).cast("long").as("band_a"))
+    val b = c.select(
+      (col("c_custkey") + 1000000L).as("id_b"),
+      when(expr("c_custkey % 7 = 0"),
+        translate(col("c_name"), "012", "OIZ"))
+        .otherwise(col("c_name")).as("name_b"),
+      col("c_nationkey").as("nk_b"),
+      when(expr("c_custkey % 5 = 0"), lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("seg_b"),
+      (floor(col("c_acctbal") / 100.0).cast("long") +
+        when(expr("c_custkey % 3 = 0"), 1L).otherwise(0L)).as("band_b"))
+    RecordLinkage.link(a, b, col("nk_a"), col("nk_b"),
+        Seq(
+          RecordLinkage.FieldRule("name",
+            expr("jaro_winkler(reverse(name_a), reverse(name_b)) >= 0.95"),
+            40, 30),
+          RecordLinkage.FieldRule("segment",
+            col("seg_a") === col("seg_b"), 15, 10),
+          RecordLinkage.FieldRule("band",
+            col("band_a") === col("band_b"), 25, 20)),
+        tMatch = 50, tPossible = 25)
+      .select(col("id_a"), col("id_b"), col("score"), col("verdict"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q202Sql: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS id_a, c_name AS name_a,
+      |    c_nationkey AS nk_a, c_mktsegment AS seg_a,
+      |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS band_a
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 1000000 AS id_b,
+      |    CASE WHEN c_custkey % 7 = 0
+      |      THEN translate(c_name, '012', 'OIZ') ELSE c_name END AS name_b,
+      |    c_nationkey AS nk_b,
+      |    CASE WHEN c_custkey % 5 = 0
+      |      THEN 'UNKNOWN' ELSE c_mktsegment END AS seg_b,
+      |    CAST(floor(c_acctbal / 100.0) AS BIGINT)
+      |      + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS band_b
+      |  FROM customer),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    CAST(CASE WHEN jaro_winkler_similarity(
+      |        reverse(name_a), reverse(name_b)) >= 0.95
+      |      THEN 40 ELSE -30 END
+      |    + CASE WHEN seg_a = seg_b THEN 15 ELSE -10 END
+      |    + CASE WHEN band_a = band_b THEN 25 ELSE -20 END
+      |      AS BIGINT) AS score
+      |  FROM a JOIN b ON nk_a = nk_b)
+      |SELECT id_a, id_b, score,
+      |  CASE WHEN score >= 50 THEN 'match' ELSE 'possible' END AS verdict
+      |FROM scored WHERE score >= 25
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q203 — deterministic weight-proportional SYSTEMATIC sampling
+    * ([[graft.ops.WeightedSample.systematic]]): ~100 documents selected
+    * proportional to n_chars via exact stride crossings over the
+    * two-phase exclusive prefix sum — every heavy doc guaranteed in,
+    * reproducible on any partitioning, no RNG. The oracle replays the
+    * stride arithmetic on a window prefix sum. */
+  def q203WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    WeightedSample.systematic(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        col("n_chars"), target = 100L, col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val q203Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS wprev
+      |  FROM documents),
+      |t AS (SELECT greatest(1, sum(n_chars) // 100) AS s FROM documents)
+      |SELECT doc_id, n_chars FROM c, t
+      |WHERE (wprev + n_chars) // s > wprev // s
+      |ORDER BY doc_id""".stripMargin
+
+  /** q204 — COUNT-MIN SKETCH ([[graft.ops.CountMin]]): 4×64 counter
+    * sketch over event user_ids built as ONE map-side-combinable hash
+    * aggregation (the sketch is a monoid — the shuffle carries at most
+    * depth×width cells per task, never rows), then point estimates for
+    * a probe set decoded as the min over hash rows, joined with exact
+    * truth. Explicit modular hash family ⇒ the oracle rebuilds the
+    * sketch cell-for-cell; est ≥ true is the CMS guarantee, equality
+    * the gate. */
+  def q204CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sketch = CountMin.build(ev, col("user_id"), depth = 4, width = 64)
+    val probes = ev.filter(expr("user_id % 13 = 0"))
+    val est = CountMin.estimate(sketch, probes, col("user_id"),
+      depth = 4, width = 64)
+    val truth = ev.filter(expr("user_id % 13 = 0"))
+      .groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("true_n"))
+    est.join(truth, Seq("k"))
+      .select(col("k"), col("est"), col("true_n"))
+      .orderBy(col("k"))
+  }
+
+  val q204Sql: String =
+    """WITH h(d, a, b) AS (VALUES
+      |  (0, 1299709, 104729), (1, 15485863, 1299721),
+      |  (2, 32452843, 15485917), (3, 49979687, 32452867)),
+      |cells AS (
+      |  SELECT d, ((user_id * a + b) % 2147483647) % 64 AS bucket,
+      |    count(*) AS n
+      |  FROM events CROSS JOIN h
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 13 = 0),
+      |est AS (
+      |  SELECT p.k, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est
+      |  FROM probes p CROSS JOIN h
+      |  LEFT JOIN cells c ON c.d = h.d
+      |    AND c.bucket = ((p.k * h.a + h.b) % 2147483647) % 64
+      |  GROUP BY p.k),
+      |tru AS (
+      |  SELECT user_id AS k, count(*) AS true_n FROM events
+      |  WHERE user_id % 13 = 0 GROUP BY 1)
+      |SELECT e.k, e.est, t.true_n
+      |FROM est e JOIN tru t USING (k)
+      |ORDER BY k""".stripMargin
+
+  /** q205 — BLOCK BITMAP INDEX ([[graft.ops.BitmapIndex]]): rows get
+    * dense global positions (two-phase numbering), 64-row blocks pack
+    * into one word per (predicate, block) via bit_or, and the boolean
+    * algebra (engagement-type AND/OR high-value) runs on words with
+    * popcount — 64× less data than the row stream. The oracle counts
+    * the predicates DIRECTLY, so the gate proves the whole index round
+    * trip equals the truth. */
+  def q205BitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val indexed = GlobalIndex.withGlobalIndex(ev, "pos", col("event_id"))
+    val bitmaps = BitmapIndex.build(indexed, "pos", Map(
+      "engaged" -> col("event_type").isin("click", "view"),
+      "big" -> (col("value") >= 100.0)))
+    BitmapIndex.algebra(bitmaps, "engaged", "big")
+  }
+
+  val q205Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN event_type IN ('click','view')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_b,
+      |  CAST(sum(CASE WHEN event_type IN ('click','view')
+      |    AND value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+      |  CAST(sum(CASE WHEN event_type IN ('click','view')
+      |    OR value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_or
+      |FROM events""".stripMargin
+
+  /** q206 — COHEN'S KAPPA ([[graft.ops.Agreement.cohensKappa]]):
+    * agreement between two deterministic document "raters" (size class
+    * from n_chars vs size class from whitespace-stripped length) in
+    * exact integer arithmetic — one K×K confusion aggregate, DECIMAL
+    * numerator/denominator, IEEE-identical final division. */
+  def q206CohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rated = d.select(
+      when(col("n_chars") < 150, "S")
+        .when(col("n_chars") < 350, "M").otherwise("L").as("r1"),
+      when(length(regexp_replace(col("text"), " ", "")) < 120, "S")
+        .when(length(regexp_replace(col("text"), " ", "")) < 280, "M")
+        .otherwise("L").as("r2"))
+    Agreement.cohensKappa(rated, col("r1"), col("r2"))
+  }
+
+  val q206Sql: String =
+    """WITH rated AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 150 THEN 'S'
+      |      WHEN n_chars < 350 THEN 'M' ELSE 'L' END AS r1,
+      |    CASE WHEN length(replace(text, ' ', '')) < 120 THEN 'S'
+      |      WHEN length(replace(text, ' ', '')) < 280 THEN 'M'
+      |      ELSE 'L' END AS r2
+      |  FROM documents),
+      |cells AS (
+      |  SELECT r1 AS ka, r2 AS kb, count(*) AS n_ab
+      |  FROM rated GROUP BY 1, 2),
+      |m AS (
+      |  SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+      |    CAST(COALESCE(sum(CASE WHEN ka = kb THEN n_ab END), 0)
+      |      AS BIGINT) AS agree_n
+      |  FROM cells),
+      |pe AS (
+      |  SELECT COALESCE(sum(r1k * r2k), 0) AS pe_num FROM
+      |    (SELECT ka, sum(n_ab) AS r1k FROM cells GROUP BY ka) x
+      |    JOIN (SELECT kb, sum(n_ab) AS r2k FROM cells GROUP BY kb) y
+      |    ON x.ka = y.kb)
+      |SELECT n, agree_n,
+      |  CAST(pe_num AS DECIMAL(38,0)) AS pe_num,
+      |  CAST(n * agree_n - pe_num AS DECIMAL(38,0)) AS kappa_num,
+      |  CAST(n * n - pe_num AS DECIMAL(38,0)) AS kappa_den,
+      |  CAST(n * agree_n - pe_num AS DOUBLE)
+      |    / CAST(n * n - pe_num AS DOUBLE) AS kappa
+      |FROM m CROSS JOIN pe""".stripMargin
+
+  /** q207 — WINSORIZED robust moments ([[graft.ops.Robust.winsorized]]):
+    * event values clamped at the EXACT global [p5, p95] order
+    * statistics (two-phase rank, no single-reducer window), counts of
+    * clamped tails, DECIMAL-quantized winsorized sum and mean. */
+  def q207Winsorized(spark: SparkSession, dir: String): DataFrame =
+    Robust.winsorized(Tables.events(spark, dir), col("value"),
+      pLoMille = 50, pHiMille = 950, col("event_id"))
+
+  val q207Sql: String =
+    """WITH r AS (
+      |  SELECT value,
+      |    row_number() OVER (ORDER BY value, event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM events),
+      |cut AS (
+      |  SELECT max(n) AS n,
+      |    max(CASE WHEN rn = (50 * n + 999) // 1000 THEN value END) AS lo,
+      |    max(CASE WHEN rn = (950 * n + 999) // 1000 THEN value END) AS hi
+      |  FROM r)
+      |SELECT c.n, c.lo, c.hi,
+      |  CAST(sum(CASE WHEN value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(sum(CASE WHEN value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(sum(CAST(least(greatest(value, c.lo), c.hi)
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
+      |  CAST(sum(CAST(least(greatest(value, c.lo), c.hi)
+      |    AS DECIMAL(18,2))) AS DOUBLE) / c.n AS wmean
+      |FROM events CROSS JOIN cut c
+      |GROUP BY c.n, c.lo, c.hi""".stripMargin
+
+  /** q208 — exact SPEARMAN rank correlation
+    * ([[graft.ops.Spearman.correlate]]): tie-averaged ranks kept ×2 in
+    * longs, computed by NDV-scale two-phase prefix sums (never a global
+    * rank window), five DECIMAL sufficient sums, one IEEE-exact final
+    * rho. Variables: document size vs whitespace count — the
+    * distribution-free "does length track token count" check. */
+  def q208Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("n_chars").as("x"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast("long").as("y"))
+    Spearman.correlate(d, col("x"), col("y"))
+  }
+
+  val q208Sql: String =
+    """WITH pts AS (
+      |  SELECT n_chars AS x,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+      |      AS y
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT
+      |    2 * rank() OVER (ORDER BY x)
+      |      + count(*) OVER (PARTITION BY x) - 1 AS r1,
+      |    2 * rank() OVER (ORDER BY y)
+      |      + count(*) OVER (PARTITION BY y) - 1 AS r2
+      |  FROM pts)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(r1) AS DECIMAL(38,0)) AS sx,
+      |  CAST(sum(r2) AS DECIMAL(38,0)) AS sy,
+      |  CAST(sum(r1 * r1) AS DECIMAL(38,0)) AS sxx,
+      |  CAST(sum(r2 * r2) AS DECIMAL(38,0)) AS syy,
+      |  CAST(sum(r1 * r2) AS DECIMAL(38,0)) AS sxy,
+      |  CAST(count(*) * sum(r1 * r2) - sum(r1) * sum(r2) AS DOUBLE)
+      |    / sqrt(CAST(count(*) * sum(r1 * r1) - sum(r1) * sum(r1)
+      |        AS DOUBLE)
+      |      * CAST(count(*) * sum(r2 * r2) - sum(r2) * sum(r2)
+      |        AS DOUBLE)) AS rho
+      |FROM ranked""".stripMargin
+
+  /** q209 — 2-D SKYLINE ([[graft.ops.Skyline.pareto2d]]): the Pareto
+    * frontier of user activity (event count, peak value in cents) —
+    * per-x maxima + the exclusive running max over strictly-greater x,
+    * O(n) data movement where the oracle's NOT-EXISTS formulation is
+    * the quadratic naive shape (spelled as a window for floor speed). */
+  def q209Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        round(max(col("value")) * 100.0).cast("long").as("y"))
+    Skyline.pareto2d(pts, col("x"), col("y"))
+      .orderBy(col("x"))
+  }
+
+  val q209Sql: String =
+    """WITH pts AS (
+      |  SELECT count(*) AS x,
+      |    CAST(round(max(value) * 100.0) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |perx AS (SELECT x, max(y) AS y FROM pts GROUP BY x),
+      |hw AS (
+      |  SELECT x, y, max(y) OVER (ORDER BY x DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM perx)
+      |SELECT x, y FROM hw
+      |WHERE hwm IS NULL OR y > hwm
+      |ORDER BY x""".stripMargin
+}

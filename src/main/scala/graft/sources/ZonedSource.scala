@@ -90,8 +90,20 @@ private[sources] class ZonedTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a snapshot with pending equality deletes must not be scanned raw by
+    // accident — rows the table contract says are gone would come back.
+    // Merge-on-read goes through ZonedCorpus.readWithDeletes; the escape
+    // hatch is explicit.
+    val m = ZonedManifest.read(path, manifestName)
+    if (m.deletes.nonEmpty && !options.getBoolean("ignoreDeletes", false))
+      throw new IllegalArgumentException(
+        s"zoned table at $path carries ${m.deletes.size} pending " +
+          "equality-delete zone(s); read it through " +
+          "ZonedCorpus.readWithDeletes (merge-on-read), or pass " +
+          ".option(\"ignoreDeletes\", true) to scan raw data zones")
     new ZonedScanBuilder(path, tableSchema, manifestName)
+  }
 }
 
 private[sources] class ZonedScanBuilder(path: String, schema: StructType,
@@ -370,12 +382,19 @@ private[sources] class ZonedReader(files: Array[String],
   override def close(): Unit = if (reader != null) reader.close()
 }
 
-/** The `_zonemap.tsv` manifest: one schema line, one line per zone. */
+/** The `_zonemap.tsv` manifest: one schema line, one line per zone,
+  * plus optional `dzone` lines — EQUALITY-DELETE zones (Iceberg v2
+  * style): a delete zone stores KEY VALUES whose rows are logically
+  * deleted; data files are never rewritten (merge-on-read), and because
+  * the deletes are by VALUE, not file position, compaction can move data
+  * files freely without invalidating them. */
 private[sources] object ZonedManifest {
   case class Zone(dirName: String, nRows: Long,
                   stats: Map[String, (Long, Long)])
+  case class DeleteZone(dirName: String, nRows: Long, keyCols: Seq[String])
   case class Manifest(root: String, schema: StructType,
-                      statCols: Set[String], zones: Seq[Zone])
+                      statCols: Set[String], zones: Seq[Zone],
+                      deletes: Seq[DeleteZone] = Seq.empty)
 
   val CurrentName = "_zonemap.tsv"
 
@@ -393,7 +412,9 @@ private[sources] object ZonedManifest {
       val Array(n, t) = s.split(":")
       StructField(n, if (t == "long") LongType else StringType)
     })
-    val zones = lines.tail.map { l =>
+    val (dzoneLines, zoneLines) =
+      lines.tail.partition(_.startsWith("dzone\t"))
+    val zones = zoneLines.map { l =>
       val parts = l.split("\t")
       val stats = if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(",").map { s =>
@@ -403,7 +424,12 @@ private[sources] object ZonedManifest {
       else Map.empty[String, (Long, Long)]
       Zone(parts(1), parts(2).toLong, stats)
     }
-    Manifest(root, schema, zones.flatMap(_.stats.keys).toSet, zones)
+    val deletes = dzoneLines.map { l =>
+      val parts = l.split("\t")
+      DeleteZone(parts(1), parts(2).toLong, parts(3).split(",").toSeq)
+    }
+    Manifest(root, schema, zones.flatMap(_.stats.keys).toSet, zones,
+      deletes)
   }
 }
 
@@ -487,7 +513,9 @@ object ZonedCorpus {
     * retained one. */
   private def installManifest(path: String, schema: StructType,
                               zones: Seq[ZonedManifest.Zone],
-                              v: Long): Long = {
+                              v: Long,
+                              deletes: Seq[ZonedManifest.DeleteZone] =
+                                Seq.empty): Long = {
     val statColsOrdered = zones.flatMap(_.stats.keys).toSet.toSeq.sorted
     val schemaLine = "schema\t" + schema.fields
       .map(f => s"${f.name}:${if (f.dataType == LongType) "long" else "string"}")
@@ -497,7 +525,9 @@ object ZonedCorpus {
         s"$c:${z.stats(c)._1}:${z.stats(c)._2}").mkString(",")
       s"zone\t${z.dirName}\t${z.nRows}\t$st"
     }
-    val bytes = ((schemaLine +: zoneLines).mkString("\n") + "\n")
+    val dzoneLines = deletes.map(d =>
+      s"dzone\t${d.dirName}\t${d.nRows}\t${d.keyCols.mkString(",")}")
+    val bytes = ((schemaLine +: (zoneLines ++ dzoneLines)).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     Files.write(Paths.get(path, ZonedManifest.versionName(v)), bytes)
     Files.write(Paths.get(path, ZonedManifest.CurrentName), bytes)
@@ -536,7 +566,89 @@ object ZonedCorpus {
     try stream.iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists)
     finally stream.close()
-    installManifest(path, m.schema, m.zones ++ renamed, v)
+    installManifest(path, m.schema, m.zones ++ renamed, v, m.deletes)
+  }
+
+  /**
+   * EQUALITY DELETE (Iceberg v2 style, merge-on-read): logically delete
+   * every row whose key tuple appears in `keys` — WITHOUT touching any
+   * data file. The distinct key tuples are written as a delete zone
+   * (`__del=a<v>`, same tab-CSV format) and a new snapshot manifest
+   * records it; earlier snapshots keep reading the undeleted table
+   * (time travel across the delete), and compaction never invalidates
+   * the delete because it references values, not positions.
+   *
+   * `keys` columns must be a non-empty subset of the table schema with
+   * matching types. Returns the new snapshot version.
+   *
+   * 100 TB shape: cost is O(|keys|) — one distinct + one CSV write;
+   * the expensive row rewrite is deferred to the next real compaction
+   * (exactly Delta/Iceberg merge-on-read economics).
+   */
+  def deleteWhere(keys: DataFrame, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val m = ZonedManifest.read(path)
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "delete needs at least one key column")
+    keyCols.foreach { c =>
+      val f = m.schema.fields.find(_.name == c)
+      require(f.isDefined, s"delete key $c is not a table column")
+      require(f.get.dataType == keys.schema(c).dataType,
+        s"delete key $c type ${keys.schema(c).dataType} != table " +
+          s"${f.get.dataType}")
+    }
+    val v = nextVersion(path)
+    val dirName = s"__del=a$v"
+    require(!Files.exists(Paths.get(path, dirName)),
+      s"delete zone $dirName collides with an existing directory")
+    val distinctKeys = keys.distinct()
+    val tmp = Files.createTempDirectory("graft-zoned-delete")
+    distinctKeys.write
+      .option("sep", "\t").option("nullValue", "\\N")
+      .option("emptyValue", "").option("quote", "")
+      .mode("overwrite").csv(tmp.toString)
+    val n = distinctKeys.count()
+    val target = Paths.get(path, dirName)
+    Files.createDirectories(target)
+    val stream = Files.list(tmp)
+    try stream.iterator().asScala.toSeq.foreach { f =>
+      val name = f.getFileName.toString
+      if (Files.isRegularFile(f) &&
+          !name.startsWith("_") && !name.startsWith("."))
+        Files.move(f, target.resolve(name))
+      else Files.deleteIfExists(f)
+    } finally stream.close()
+    Files.deleteIfExists(tmp)
+    installManifest(path, m.schema, m.zones, v,
+      m.deletes :+ ZonedManifest.DeleteZone(dirName, n, keyCols))
+  }
+
+  /**
+   * MERGE-ON-READ: the table with every pending equality delete
+   * applied — data zones scanned through the connector (zone pruning
+   * and column pruning intact), each delete zone anti-joined out on its
+   * own key columns. The delete side is usually metadata-sized and
+   * broadcast by the planner; a giant delete set degrades to a shuffle
+   * anti-join, which is still the right plan.
+   */
+  def readWithDeletes(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      version: Option[Long] = None): DataFrame = {
+    val m = ZonedManifest.read(path,
+      version.fold(ZonedManifest.CurrentName)(ZonedManifest.versionName))
+    var reader = spark.read.format("graft.sources.ZonedSource")
+      .option("ignoreDeletes", "true")
+    version.foreach(v => reader = reader.option("version", v.toString))
+    val data = reader.load(path)
+    m.deletes.foldLeft(data) { (df, del) =>
+      val keySchema = StructType(
+        del.keyCols.map(c => m.schema.fields.find(_.name == c).get))
+      val delKeys = spark.read
+        .option("sep", "\t").option("nullValue", "\\N")
+        .schema(keySchema)
+        .csv(Paths.get(path, del.dirName).toString)
+      df.join(delKeys, del.keyCols, "left_anti")
+    }
   }
 
   /**
@@ -587,8 +699,11 @@ object ZonedCorpus {
     // column from every rewritten zone whenever the head zone happened
     // to omit it (e.g. an all-null zone), permanently losing pruning
     // selectivity and aggregate pushdown for that column
+    // equality deletes survive compaction untouched: they reference key
+    // VALUES, not file positions — the reason this layout uses equality
+    // deletes rather than positional deletion vectors
     val newV = installManifest(path, m.schema, staying ++ merged,
-      nextVersion(path))
+      nextVersion(path), m.deletes)
     // compaction MOVED data files, so earlier snapshots can no longer
     // resolve their zone directories: EXPIRE them (delete their
     // manifests — a versioned read now fails with a clear message

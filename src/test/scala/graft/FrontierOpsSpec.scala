@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Agreement, BitmapIndex, CountMin, GlobalIndex, Robust,
+  Skyline, Spearman, WeightedSample}
+
+/** Property locks for the round-9 op tier: sketch guarantees, index
+  * round trips, sampling invariants, exact-statistics hand values. */
+class FrontierOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random rows without RNG state: hash mixing
+  private def synth(n: Int) = spark.range(n.toLong).select(
+    $"id",
+    pmod(hash($"id" * 7L + 3L), lit(997)).cast("long").as("k"),
+    pmod(hash($"id" * 13L + 1L), lit(100000)).cast("long").as("v"))
+
+  test("count-min: estimate >= true count for EVERY key; exact when no " +
+      "bucket collision; partitioning-invariant") {
+    val df = synth(20000)
+    val sketch = CountMin.build(df, $"k", depth = 4, width = 64)
+    val est = CountMin.estimate(sketch, df, $"k", depth = 4, width = 64)
+    val truth = df.groupBy($"k".as("tk")).agg(count(lit(1)).as("tn"))
+    val joined = est.join(truth, $"k" === $"tk")
+      .select($"k", $"est", $"tn").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated key ${r.getLong(0)}")
+    }
+    // the sketch is a merge-order-independent monoid: any partitioning
+    // yields the identical cell table
+    val repart = CountMin.build(df.repartition(13, $"v"), $"k", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val orig = sketch.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(repart === orig.toSeq)
+  }
+
+  test("bitmap index: AND/OR/popcount algebra equals direct predicate " +
+      "counts") {
+    val df = synth(5000)
+    val indexed = GlobalIndex.withGlobalIndex(df, "pos", $"id")
+    val bitmaps = BitmapIndex.build(indexed, "pos", Map(
+      "p" -> ($"k" % 3 === 0), "q" -> ($"v" < 40000)))
+    val got = BitmapIndex.algebra(bitmaps, "p", "q").collect().head
+    val want = df.agg(
+      sum(when($"k" % 3 === 0, 1L).otherwise(0L)),
+      sum(when($"v" < 40000, 1L).otherwise(0L)),
+      sum(when($"k" % 3 === 0 && $"v" < 40000, 1L).otherwise(0L)),
+      sum(when($"k" % 3 === 0 || $"v" < 40000, 1L).otherwise(0L)))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((want.getLong(0), want.getLong(1), want.getLong(2),
+        want.getLong(3))))
+    indexed.unpersist(blocking = false)
+  }
+
+  test("weighted systematic sample: heavy rows always in, count ~ " +
+      "target, deterministic under repartitioning") {
+    val df = synth(3000).withColumn("w", $"v" % 500 + 1L)
+    val total = df.agg(sum($"w")).as[Long].collect().head
+    val target = 50L
+    val stride = math.max(1L, total / target)
+    val sel = WeightedSample.systematic(df, $"w", target, $"id")
+    val ids = sel.select($"id").as[Long].collect().sorted.toSeq
+    // every row whose weight spans a full stride MUST be selected
+    val heavy = df.filter($"w" >= stride).select($"id").as[Long]
+      .collect().toSet
+    assert(heavy.subsetOf(ids.toSet),
+      s"heavy rows missed: ${heavy -- ids.toSet}")
+    // selected count is total/stride ± 1
+    assert(math.abs(ids.size - total / stride) <= 1,
+      s"selected ${ids.size}, expected ~${total / stride}")
+    val ids2 = WeightedSample.systematic(
+        df.repartition(17, $"v"), $"w", target, $"id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids2 === ids, "sample changed under repartitioning")
+  }
+
+  test("cohen's kappa: hand-checked confusion table") {
+    // the classic 2x2 example: 45 yes/yes, 15 yes/no, 25 no/yes, 15 no/no
+    val rows = Seq.fill(45)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(25)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("r1", "r2")
+    val got = Agreement.cohensKappa(df, $"r1", $"r2").collect().head
+    assert(got.getAs[Long]("n") === 100L)
+    assert(got.getAs[Long]("agree_n") === 60L)
+    // pe_num = r1y*r2y + r1n*r2n = 60*70 + 40*30 = 5400
+    assert(got.getAs[java.math.BigDecimal]("pe_num").longValueExact
+      === 5400L)
+    // kappa = (100*60 - 5400) / (10000 - 5400) = 600/4600
+    assert(got.getAs[java.math.BigDecimal]("kappa_num").longValueExact
+      === 600L)
+    assert(got.getAs[java.math.BigDecimal]("kappa_den").longValueExact
+      === 4600L)
+    assert(math.abs(got.getAs[Double]("kappa") - 600.0 / 4600.0) < 1e-15)
+  }
+
+  test("spearman: perfect monotone = 1, reversed = -1, ties match the " +
+      "tie-corrected hand formula") {
+    val mono = (1 to 200).map(i => (i.toLong, (i * i).toLong))
+      .toDF("x", "y")
+    val rhoUp = Spearman.correlate(mono, $"x", $"y")
+      .select($"rho").as[Double].collect().head
+    assert(math.abs(rhoUp - 1.0) < 1e-12)
+    val anti = (1 to 200).map(i => (i.toLong, (1000 - i).toLong))
+      .toDF("x", "y")
+    val rhoDown = Spearman.correlate(anti, $"x", $"y")
+      .select($"rho").as[Double].collect().head
+    assert(math.abs(rhoDown + 1.0) < 1e-12)
+    // tie case, hand-computed: x=(1,2,2,3), y=(1,3,2,4)
+    // rank2(x) = (2, 5, 5, 8); rank2(y) = (2, 6, 4, 8)
+    val tied = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L)).toDF("x", "y")
+    val r = Spearman.correlate(tied, $"x", $"y").collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[java.math.BigDecimal]("sx").longValueExact === 20L)
+    assert(r.getAs[java.math.BigDecimal]("sy").longValueExact === 20L)
+    assert(r.getAs[java.math.BigDecimal]("sxy").longValueExact
+      === (2 * 2 + 5 * 6 + 5 * 4 + 8 * 8).toLong)
+  }
+
+  test("skyline: matches the brute-force dominance definition") {
+    val pts = synth(2000).select(
+      pmod($"k", lit(50)).cast("long").as("x"),
+      pmod($"v", lit(50)).cast("long").as("y"))
+    val got = Skyline.pareto2d(pts, $"x", $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pts.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = all.filter { case (x, y) =>
+      !all.exists { case (x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }
+    assert(got === brute)
+  }
+
+  test("winsorized stats: clamps exactly at the rank-selected cuts") {
+    // 1..1000 uniform: p5 cut = rank 50 → 50, p95 cut = rank 950 → 950
+    val df = spark.range(1, 1001).select($"id",
+      $"id".cast("double").as("value"))
+    val r = Robust.winsorized(df, $"value", 50, 950, $"id")
+      .collect().head
+    assert(r.getAs[Long]("n") === 1000L)
+    assert(r.getAs[Double]("lo") === 50.0)
+    assert(r.getAs[Double]("hi") === 950.0)
+    assert(r.getAs[Long]("n_low") === 49L)
+    assert(r.getAs[Long]("n_high") === 50L)
+    // wsum = 49 clamped-up rows + untouched middle + 50 clamped-down rows
+    val expected = 49.0 * 50 + (50 to 950).sum + 50.0 * 950
+    assert(math.abs(r.getAs[Double]("wsum") - expected) < 1e-9)
+  }
+}

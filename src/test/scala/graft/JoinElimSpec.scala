@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+import graft.plans.{ConstraintCatalog, PkFkJoinElimination}
+
+/** The PK-FK join-elimination rule: fires exactly on the declared,
+  * provably-safe shape; vetoed everywhere else; always answer-preserving
+  * (the data is checked against the declared constraints first). */
+class JoinElimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def joins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+
+  private def withoutRule[A](body: => A): A =
+    spark.experimental.synchronized {
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ eq PkFkJoinElimination)
+      try body
+      finally spark.experimental.extraOptimizations = saved
+    }
+
+  private lazy val cust = Tables.customer(spark, dir)
+  private lazy val nat = spark.read.parquet(s"$dir/nation.parquet")
+
+  private def elimQuery = {
+    cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  test("the declared constraints hold in the data (RI, pk unique, fk " +
+      "non-null) — the soundness precondition") {
+    assert(nat.groupBy($"n_nationkey").count().filter($"count" > 1)
+      .isEmpty, "n_nationkey not unique")
+    assert(cust.filter($"c_nationkey".isNull).isEmpty,
+      "c_nationkey carries nulls")
+    assert(cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+      "left_anti").isEmpty, "dangling c_nationkey values")
+  }
+
+  test("rule eliminates the declared PK-FK join; answers unchanged") {
+    ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
+    PkFkJoinElimination.install(spark)
+    val withRule = elimQuery
+    assert(joins(withRule) === 0, "join not eliminated:\n" +
+      withRule.queryExecution.optimizedPlan.treeString)
+    val (noRuleJoins, noRuleRows) = withoutRule {
+      val df = elimQuery
+      (joins(df), df.collect().toSeq)
+    }
+    assert(noRuleJoins === 1, "control plan lost its join")
+    assert(withRule.collect().toSeq === noRuleRows)
+  }
+
+  test("veto: a filtered dimension keeps its join (multiplicity)") {
+    ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
+    PkFkJoinElimination.install(spark)
+    val filteredDim = nat.filter($"n_regionkey" === 1)
+    val df = cust.join(filteredDim,
+      cust("c_nationkey") === filteredDim("n_nationkey"))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(joins(df) === 1)
+  }
+
+  test("veto: projecting a dimension column keeps the join") {
+    ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
+    PkFkJoinElimination.install(spark)
+    val df = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy($"n_name").agg(count(lit(1)).as("n"))
+    assert(joins(df) === 1)
+  }
+
+  test("veto: outer joins and undeclared key pairs keep their joins") {
+    ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
+    PkFkJoinElimination.install(spark)
+    val left = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+        "left_outer")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(joins(left) === 1, "left join must never be eliminated")
+    val sup = Tables.supplier(spark, dir)
+    val undeclared = sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy($"s_name").agg(count(lit(1)).as("n"))
+    // s_nationkey → n_nationkey is NOT declared: join survives even
+    // though the data would satisfy it
+    assert(joins(undeclared) === 1)
+  }
+}

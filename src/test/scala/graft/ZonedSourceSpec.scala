@@ -317,4 +317,77 @@ class ZonedSourceSpec extends SparkSpec {
     assert(readVersion(tmp, 3L).orderBy("doc_id")
       .as[(Long, String, Option[String], Long)].collect() === want)
   }
+
+  private def dataFileState(tmp: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("_zonemap"))
+      .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    finally s.close()
+  }
+
+  test("equality deletes: merge-on-read removes exactly the keyed rows, " +
+      "no data file is touched, raw scans refuse, time travel intact") {
+    import spark.implicits._
+    val (tmp, df) = writeCorpus() // v1: doc_id 0..99
+    val before = dataFileState(tmp)
+    val keys = (0L until 100L).filter(_ % 9 == 0).toDF("doc_id")
+    val v = ZonedCorpus.deleteWhere(keys, tmp) // v2
+    assert(v === 2L && ZonedCorpus.versions(tmp) === Seq(1L, 2L))
+    // 1. NO data file was rewritten (merge-on-read) — only the new
+    //    delete zone and manifests appeared
+    val after = dataFileState(tmp)
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) },
+      "a data file was rewritten by a delete")
+    assert((after.keySet -- before.keySet)
+      .forall(_.contains("__del=")), "unexpected new files")
+    // 2. merged view == NOT-filter
+    val got = ZonedCorpus.readWithDeletes(spark, tmp).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    val want = df.filter($"doc_id" % 9 =!= 0).orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    assert(got === want)
+    // 3. raw scan refuses unless deletes acknowledged
+    val ex = intercept[IllegalArgumentException] { readZoned(tmp).count() }
+    assert(ex.getMessage.contains("pending"),
+      s"unhelpful refuse message: ${ex.getMessage}")
+    assert(spark.read.format("graft.sources.ZonedSource")
+      .option("ignoreDeletes", "true").load(tmp).count() === 100L)
+    // 4. pre-delete snapshot still reads the FULL table (deletes are a
+    //    snapshot property, not a table mutation)
+    assert(ZonedCorpus.readWithDeletes(spark, tmp, Some(1L)).count()
+      === 100L)
+    // 5. deleting again with overlapping keys converges (idempotent
+    //    anti-join; two delete zones stack)
+    ZonedCorpus.deleteWhere(keys, tmp)
+    assert(ZonedCorpus.readWithDeletes(spark, tmp).count() === want.length)
+  }
+
+  test("equality deletes survive compaction (value-keyed, not " +
+      "position-keyed)") {
+    import spark.implicits._
+    val (tmp, df) = writeCorpus()
+    ZonedCorpus.deleteWhere(
+      (0L until 100L).filter(_ % 9 == 0).toDF("doc_id"), tmp)
+    val mergedBefore = ZonedCorpus.readWithDeletes(spark, tmp)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    val zoneDirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filterNot(_.startsWith("__del=")).toSeq.sorted
+      } finally s.close()
+    }
+    ZonedCorpus.compact(tmp, zoneDirs.take(2).map(_ -> 0L).toMap)
+    val mergedAfter = ZonedCorpus.readWithDeletes(spark, tmp)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[String], Long)].collect()
+    assert(mergedAfter === mergedBefore)
+    assert(df.count() === 100L)
+  }
 }
