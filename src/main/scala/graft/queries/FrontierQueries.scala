@@ -417,4 +417,150 @@ object FrontierQueries {
       |SELECT x, y FROM hw
       |WHERE hwm IS NULL OR y > hwm
       |ORDER BY x""".stripMargin
+
+  // one bloom-zoned layout per (session, corpus): hive-style category
+  // zones + per-zone equality blooms on `source`
+  private val bloomStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bloomZonedPath(spark: SparkSession, dir: String): String =
+    bloomStore.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir + "|" +
+        PairStore.snapshotFingerprint(dir),
+      _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-zoned-bloom").toString
+        graft.sources.ZonedCorpus.write(
+          Tables.documents(spark, dir), tmp,
+          coalesce(col("source"), lit("null")),
+          Seq("doc_id", "n_chars"), bloomCols = Seq("source"))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists)
+            finally s.close()
+          }
+        }))
+        tmp
+      })
+
+  /** q210 — zone BLOOM-FILTER pruning
+    * ([[graft.sources.ZonedManifest]] blooms): min/max stats cannot
+    * prune STRING equality, the per-zone 8192-bit xxhash64 bloom can —
+    * `source = 'src1'` plans only the zones whose bloom admits the
+    * literal (driver-side, zero files opened for the rest; the
+    * ZonedSourceSpec locks the partition counts, this gate locks the
+    * answer). Equality is still re-checked post-scan — a bloom false
+    * positive costs a zone scan, never a wrong row. */
+  def q210BloomPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = bloomZonedPath(spark, dir)
+    spark.read.format("graft.sources.ZonedSource").load(path)
+      .filter(col("source") === "src1")
+      .orderBy(col("doc_id"))
+  }
+
+  val q210Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |WHERE source = 'src1'
+      |ORDER BY doc_id""".stripMargin
+
+  /** q211 — storage ENCODING ADVISOR
+    * ([[graft.ops.EncodingAdvisor]]): exact (n, ndv, runs) per candidate
+    * column under the table's sort order — run counting is the
+    * order-dependent statistic, computed two-phase (partitioned lag +
+    * driver boundary stitching, never a single-reducer lag window) —
+    * and the RLE/DICT/PLAIN verdict by integer cross-multiplication. */
+  def q211EncodingAdvisor(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EncodingAdvisor.advise(
+        Tables.events(spark, dir),
+        Seq(col("user_id"), col("event_id")),
+        Seq("user_id", "event_type", "event_id"))
+      .orderBy(col("column"))
+
+  val q211Sql: String = {
+    def prof(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(1 + sum(CASE WHEN rn > 1 AND $c IS DISTINCT FROM prev
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS runs
+         |FROM (SELECT $c, lag($c) OVER (ORDER BY user_id, event_id)
+         |    AS prev, row_number() OVER (ORDER BY user_id, event_id)
+         |    AS rn FROM events) t""".stripMargin
+    val cols = Seq("event_id", "event_type", "user_id")
+    val profiles = cols.map(prof).mkString(
+      "WITH p AS (\n", "\nUNION ALL\n", ")\n")
+    profiles +
+      """SELECT "column", n, ndv, runs,
+        |  CASE WHEN n = 0 THEN 'EMPTY'
+        |    WHEN runs * 4 <= n THEN 'RLE'
+        |    WHEN ndv * 16 <= n THEN 'DICT'
+        |    ELSE 'PLAIN' END AS advice
+        |FROM p ORDER BY "column"""".stripMargin
+  }
+
+  /** q212 — INCREMENTAL count-min ingest: four simulated micro-batches
+    * each build their own CMS ([[graft.ops.CountMin.build]] — a
+    * monoid), the partial sketches merge by cell addition, and the
+    * merged table must equal the one-shot sketch — which is exactly
+    * what the oracle computes. The streaming-ingest contract for
+    * sketches: ingest cost is O(batch), the stored summary never needs
+    * the raw history. */
+  def q212IncrementalCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val parts = (0 until 4).map(b =>
+      CountMin.build(ev.filter(expr(s"event_id % 4 = $b")),
+        col("user_id"), depth = 4, width = 64))
+    parts.reduce((x, y) => x.unionAll(y))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("d"), col("bucket"))
+  }
+
+  val q212Sql: String =
+    """WITH h(d, a, b) AS (VALUES
+      |  (0, 1299709, 104729), (1, 15485863, 1299721),
+      |  (2, 32452843, 15485917), (3, 49979687, 32452867))
+      |SELECT d, ((user_id * a + b) % 2147483647) % 64 AS bucket,
+      |  count(*) AS n
+      |FROM events CROSS JOIN h
+      |GROUP BY 1, 2
+      |ORDER BY d, bucket""".stripMargin
+
+  /** q213 — block RANGE-SUM INDEX ([[graft.ops.RangeSumIndex]]): the
+    * materialized aggregate tile — interior blocks answered from the
+    * index (metadata), only the ≤ 2 edge blocks per range touch rows.
+    * Five event-id ranges probed; the oracle computes each range
+    * directly from the data, so the gate proves the decomposition. */
+  def q213RangeSumIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    val idx = graft.ops.RangeSumIndex.build(ev, col("event_id"),
+      col("user_id"), blockWidth = 100L)
+    val ranges = Seq(
+      (1L, 0L, 999L), (2L, 150L, 2049L), (3L, 777L, 777L),
+      (4L, 300L, 399L), (5L, 12L, 8888L))
+      .toDF("id", "lo", "hi")
+    graft.ops.RangeSumIndex.probe(ranges, idx, ev, col("event_id"),
+        col("user_id"), blockWidth = 100L)
+      .orderBy(col("id"))
+  }
+
+  val q213Sql: String =
+    """WITH r(id, lo, hi) AS (VALUES
+      |  (1, 0, 999), (2, 150, 2049), (3, 777, 777),
+      |  (4, 300, 399), (5, 12, 8888))
+      |SELECT CAST(id AS BIGINT) AS id, CAST(lo AS BIGINT) AS lo,
+      |  CAST(hi AS BIGINT) AS hi,
+      |  CAST(COALESCE(sum(CASE WHEN event_id >= lo AND event_id <= hi
+      |    THEN user_id END), 0) AS BIGINT) AS range_sum,
+      |  CAST(COALESCE(sum(CASE WHEN event_id >= lo AND event_id <= hi
+      |    THEN 1 END), 0) AS BIGINT) AS range_n
+      |FROM r CROSS JOIN events
+      |GROUP BY id, lo, hi
+      |ORDER BY id""".stripMargin
 }

@@ -118,9 +118,12 @@ private[sources] class ZonedScanBuilder(path: String, schema: StructType,
   private var pushedAgg: Option[Aggregation] = None
 
   /** A filter prunes iff it is a comparison between a manifest stat
-    * column and a literal integer. */
+    * column and a literal integer — or an EQUALITY against a column
+    * with zone blooms (any literal type: that's the bloom's point). */
   private def prunable(f: Filter): Boolean = f match {
-    case EqualTo(a, v) => manifest.statCols(a) && isIntegral(v)
+    case EqualTo(a, v) =>
+      (manifest.statCols(a) && isIntegral(v)) ||
+        (manifest.bloomCols(a) && v != null)
     case GreaterThan(a, v) => manifest.statCols(a) && isIntegral(v)
     case GreaterThanOrEqual(a, v) => manifest.statCols(a) && isIntegral(v)
     case LessThan(a, v) => manifest.statCols(a) && isIntegral(v)
@@ -269,22 +272,36 @@ private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,
     case other => throw new IllegalStateException(s"non-integral $other")
   }
 
-  /** Can the zone's [min,max] interval for the filter column contain a
-    * satisfying row? (Conservative: unknown filter shapes keep the zone.) */
-  private def mayMatch(stats: Map[String, (Long, Long)], f: Filter): Boolean =
+  /** Can the zone contain a satisfying row? min/max interval check for
+    * integral comparisons, bloom membership for equality literals on
+    * bloomed columns. (Conservative: unknown filter shapes and zones
+    * missing the stat/bloom keep the zone.) */
+  private def mayMatch(z: ZonedManifest.Zone, f: Filter): Boolean = {
+    val stats = z.stats
     f match {
       case EqualTo(a, v) =>
-        stats.get(a).forall { case (lo, hi) =>
-          asLong(v) >= lo && asLong(v) <= hi }
+        val statOk = if (isIntegralV(v))
+          stats.get(a).forall { case (lo, hi) =>
+            asLong(v) >= lo && asLong(v) <= hi }
+        else true
+        val bloomOk = z.blooms.get(a).forall(words =>
+          ZonedManifest.bloomMayContain(words, v))
+        statOk && bloomOk
       case GreaterThan(a, v) => stats.get(a).forall(_._2 > asLong(v))
       case GreaterThanOrEqual(a, v) => stats.get(a).forall(_._2 >= asLong(v))
       case LessThan(a, v) => stats.get(a).forall(_._1 < asLong(v))
       case LessThanOrEqual(a, v) => stats.get(a).forall(_._1 <= asLong(v))
       case _ => true
     }
+  }
+
+  private def isIntegralV(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte => true
+    case _ => false
+  }
 
   private lazy val survivors: Seq[ZonedManifest.Zone] =
-    manifest.zones.filter(z => pruning.forall(mayMatch(z.stats, _)))
+    manifest.zones.filter(z => pruning.forall(mayMatch(z, _)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -390,16 +407,82 @@ private[sources] class ZonedReader(files: Array[String],
   * files freely without invalidating them. */
 private[sources] object ZonedManifest {
   case class Zone(dirName: String, nRows: Long,
-                  stats: Map[String, (Long, Long)])
+                  stats: Map[String, (Long, Long)],
+                  blooms: Map[String, Array[Long]] = Map.empty)
   case class DeleteZone(dirName: String, nRows: Long, keyCols: Seq[String])
   case class Manifest(root: String, schema: StructType,
                       statCols: Set[String], zones: Seq[Zone],
-                      deletes: Seq[DeleteZone] = Seq.empty)
+                      deletes: Seq[DeleteZone] = Seq.empty) {
+    /** Columns EVERY zone carries a bloom for (pruning needs totality —
+      * a zone without a bloom can never be skipped, but a column where
+      * only SOME zones have blooms still prunes those zones... we keep
+      * the per-zone conservative check in mayMatch and advertise any
+      * column with at least one bloom). */
+    val bloomCols: Set[String] = zones.flatMap(_.blooms.keys).toSet
+  }
 
   val CurrentName = "_zonemap.tsv"
 
   /** Manifest file name of snapshot version `v`. */
   def versionName(v: Long): String = s"_zonemap.v$v.tsv"
+
+  /** ZONE BLOOM FILTERS (the Parquet-bloom / Iceberg idea at zone
+    * granularity): min/max stats cannot prune STRING equality — a zone's
+    * [min,max] over strings is useless against `source = 'x'`. A small
+    * per-zone bloom (8192 bits, 2 xxhash64-derived probes) answers
+    * "definitely absent" for equality literals of ANY column type at
+    * planning time, driver-side, zero data files opened. FPR at 1k
+    * distinct values/zone ≈ 6% — a false positive only costs an
+    * un-skipped zone (correctness is the post-scan re-check, as for all
+    * pruning in this source). */
+  val BloomBits = 8192
+  val BloomWords: Int = BloomBits / 64
+
+  /** The two bit positions of a value, from Spark's xxhash64 (seed 42)
+    * and a salted second hash — the WRITER evaluates the identical
+    * expressions distributed, the READER evaluates them driver-side on
+    * the filter literal via Catalyst eval, so probe == build by
+    * construction. */
+  def bloomPositions(value: Any): (Int, Int) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit1 = Literal.create(value)
+    // seed 42 = the default of the SQL function xxhash64(...) the
+    // writer evaluates distributed
+    val h1 = XxHash64(Seq(lit1), 42L).eval(null).asInstanceOf[Long]
+    val h2 = XxHash64(Seq(Literal(BloomSalt), lit1), 42L).eval(null)
+      .asInstanceOf[Long]
+    (pmodInt(h1, BloomBits), pmodInt(h2, BloomBits))
+  }
+
+  val BloomSalt = 0x9e3779b97f4a7c15L
+
+  private def pmodInt(h: Long, m: Int): Int = {
+    val r = (h % m).toInt
+    if (r < 0) r + m else r
+  }
+
+  def bloomMayContain(words: Array[Long], value: Any): Boolean = {
+    val (p1, p2) = bloomPositions(value)
+    def bit(p: Int): Boolean =
+      (words(p >> 6) & (1L << (p & 63))) != 0L
+    bit(p1) && bit(p2)
+  }
+
+  /** Sparse serialization: `idx-hexWord` pairs joined by `.` (dense
+    * zeros omitted — most zones set a few hundred bits). */
+  def bloomToString(words: Array[Long]): String =
+    words.zipWithIndex.collect {
+      case (w, i) if w != 0L => s"$i-${java.lang.Long.toHexString(w)}"
+    }.mkString(".")
+
+  def bloomFromString(s: String): Array[Long] = {
+    val words = new Array[Long](BloomWords)
+    if (s.nonEmpty) s.split("\\.").foreach { t =>
+      val Array(i, h) = t.split("-")
+      words(i.toInt) = java.lang.Long.parseUnsignedLong(h, 16)
+    }
+    words
+  }
 
   def read(root: String, name: String = CurrentName): Manifest = {
     val p = Paths.get(root, name)
@@ -422,7 +505,13 @@ private[sources] object ZonedManifest {
           c -> ((lo.toLong, hi.toLong))
         }.toMap
       else Map.empty[String, (Long, Long)]
-      Zone(parts(1), parts(2).toLong, stats)
+      val blooms = if (parts.length > 4 && parts(4).nonEmpty)
+        parts(4).split(";").map { s =>
+          val Array(c, words) = s.split("~", 2)
+          c -> bloomFromString(words)
+        }.toMap
+      else Map.empty[String, Array[Long]]
+      Zone(parts(1), parts(2).toLong, stats, blooms)
     }
     val deletes = dzoneLines.map { l =>
       val parts = l.split("\t")
@@ -439,10 +528,12 @@ object ZonedCorpus {
 
   /** Write `df` under `path`, one zone directory per distinct value of
     * `zone` (must be non-null), with min/max manifest stats for each of
-    * `statCols` (long columns). Column order in the files is the
-    * DataFrame's column order, recorded in the manifest schema line. */
+    * `statCols` (long columns) and an 8192-bit equality bloom for each
+    * of `bloomCols` (any column type — the string-equality pruning
+    * min/max can't give). Column order in the files is the DataFrame's
+    * column order, recorded in the manifest schema line. */
   def write(df: DataFrame, path: String, zone: Column,
-            statCols: Seq[String]): Unit = {
+            statCols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
     val dataCols = df.columns.toSeq
     require(df.schema.fields.forall(f =>
       f.dataType == LongType || f.dataType == StringType),
@@ -478,7 +569,36 @@ object ZonedCorpus {
           c -> ((r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))).toMap
       ZonedManifest.Zone(s"__zone=${r.get(0)}", r.getAs[Long]("n"), st)
     }
-    installManifest(path, df.schema, zones, v)
+    // per-zone equality blooms: ONE metadata-scale aggregate per bloom
+    // column — explode each row into its two bit positions, bit_or the
+    // words per (zone, word); zones × ≤2·BloomWords rows reach the driver
+    val blooms: Map[String, Map[String, Array[Long]]] =
+      bloomCols.map { c =>
+        val posCols = Seq(
+          pmod(xxhash64(col(c)), lit(ZonedManifest.BloomBits)),
+          pmod(xxhash64(lit(ZonedManifest.BloomSalt), col(c)),
+            lit(ZonedManifest.BloomBits)))
+        val cells = zoned.select(col("__zone"),
+            explode(array(posCols.map(p => p.cast("int")): _*)).as("__p"))
+          .filter(col("__p").isNotNull)
+          .groupBy(col("__zone"), expr("shiftright(__p, 6)").as("__w"))
+          .agg(expr("bit_or(shiftleft(1L, CAST(__p & 63 AS INT)))")
+            .as("__word"))
+          .collect()
+        val byZone = cells.groupBy(r => s"__zone=${r.get(0)}").map {
+          case (zn, rows) =>
+            val words = new Array[Long](ZonedManifest.BloomWords)
+            rows.foreach(r => words(r.getInt(1)) |= r.getLong(2))
+            zn -> words
+        }
+        c -> byZone
+      }.toMap
+    val zonesWithBlooms = zones.map { z =>
+      val bl = bloomCols.flatMap(c =>
+        blooms(c).get(z.dirName).map(c -> _)).toMap
+      if (bl.isEmpty) z else z.copy(blooms = bl)
+    }
+    installManifest(path, df.schema, zonesWithBlooms, v)
     // a full (over)write REPLACED every zone directory, so any earlier
     // snapshot manifest that survived on disk is now a lie — a versioned
     // read through it would return the NEW files (or nothing) under the
@@ -523,7 +643,10 @@ object ZonedCorpus {
     val zoneLines = zones.map { z =>
       val st = statColsOrdered.filter(z.stats.contains).map(c =>
         s"$c:${z.stats(c)._1}:${z.stats(c)._2}").mkString(",")
-      s"zone\t${z.dirName}\t${z.nRows}\t$st"
+      val bl = z.blooms.toSeq.sortBy(_._1).map { case (c, w) =>
+        s"$c~${ZonedManifest.bloomToString(w)}" }.mkString(";")
+      if (bl.isEmpty) s"zone\t${z.dirName}\t${z.nRows}\t$st"
+      else s"zone\t${z.dirName}\t${z.nRows}\t$st\t$bl"
     }
     val dzoneLines = deletes.map(d =>
       s"dzone\t${d.dirName}\t${d.nRows}\t${d.keyCols.mkString(",")}")
@@ -545,7 +668,8 @@ object ZonedCorpus {
    * append contract. Returns the new snapshot version.
    */
   def appendZones(df: DataFrame, path: String, zone: Column,
-                  statCols: Seq[String]): Long = {
+                  statCols: Seq[String], bloomCols: Seq[String] = Nil)
+      : Long = {
     import scala.jdk.CollectionConverters._
     val m = ZonedManifest.read(path)
     require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
@@ -553,7 +677,7 @@ object ZonedCorpus {
       "appended frame must match the table schema exactly")
     val v = nextVersion(path)
     val tmp = Files.createTempDirectory("graft-zoned-append")
-    write(df, tmp.toString, zone, statCols)
+    write(df, tmp.toString, zone, statCols, bloomCols)
     val appended = ZonedManifest.read(tmp.toString)
     val renamed = appended.zones.map { z =>
       val dirName = s"${z.dirName}-a$v"
@@ -691,7 +815,22 @@ object ZonedCorpus {
         val stats = members.flatMap(_.stats.toSeq)
           .groupBy(_._1).map { case (c, vs) =>
             c -> ((vs.map(_._2._1).min, vs.map(_._2._2).max)) }
-        ZonedManifest.Zone(dirName, members.map(_.nRows).sum, stats)
+        // merged bloom = OR of member blooms, only when EVERY member
+        // carries one (a bloom-less member could hold any value — the
+        // merged zone must then stay conservative, i.e. no bloom)
+        val bloomCols = members.head.blooms.keySet
+          .filter(c => members.forall(_.blooms.contains(c)))
+        val blooms = bloomCols.map { c =>
+          val words = new Array[Long](ZonedManifest.BloomWords)
+          members.foreach { m =>
+            val mw = m.blooms(c)
+            var i = 0
+            while (i < words.length) { words(i) |= mw(i); i += 1 }
+          }
+          c -> words
+        }.toMap
+        ZonedManifest.Zone(dirName, members.map(_.nRows).sum, stats,
+          blooms)
       }
     // stat columns derive per-zone inside installManifest over the
     // union of ALL zones (matching ZonedManifest.read's derivation):

@@ -136,6 +136,61 @@ class FrontierOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("encoding advisor: exact run counts across partition boundaries, " +
+      "null-safe, verdicts by threshold") {
+    import graft.ops.EncodingAdvisor
+    // hand-built order: values AAAABBBBAAAA over ord 0..11 → 3 runs;
+    // with a null pair in the middle: A A null null B → runs 3
+    val runsDf = (0 until 12).map(i =>
+      (i.toLong, if ((i / 4) % 2 == 0) "A" else "B")).toDF("ord", "v")
+    // force many partitions so boundary stitching is exercised
+    val spread = runsDf.repartition(7)
+    val (n, ndv, runs) = EncodingAdvisor.profile(
+      spread, Seq(col("ord")), "v")
+    assert((n, ndv, runs) === ((12L, 2L, 3L)))
+    val nullDf = Seq((0L, Some("A")), (1L, Some("A")), (2L, None),
+      (3L, None), (4L, Some("B"))).toDF("ord", "v")
+    val (n2, ndv2, runs2) = EncodingAdvisor.profile(
+      nullDf.repartition(3), Seq(col("ord")), "v")
+    assert(n2 === 5L)
+    assert(runs2 === 3L, "null run must count as ONE run")
+    assert(ndv2 === 2L) // COUNT(DISTINCT) semantics: nulls excluded
+    val advice = EncodingAdvisor.advise(
+        (0 until 160).map(i => (i.toLong, i / 40, i.toLong))
+          .toDF("ord", "rle_col", "plain_col"),
+        Seq(col("ord")), Seq("rle_col", "plain_col"))
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(advice === Map("rle_col" -> "RLE", "plain_col" -> "PLAIN"))
+  }
+
+  test("range-sum index: probe == direct sums on alignment edge cases") {
+    import graft.ops.RangeSumIndex
+    val df = synth(4000).select(($"id" * 3L).as("k"), $"v")
+    val idx = RangeSumIndex.build(df, $"k", $"v", blockWidth = 64L)
+    // index is metadata-sized: <= maxKey/64 + 1 entries
+    assert(idx.count() <= 4000L * 3 / 64 + 1)
+    val ranges = Seq(
+      (1L, 0L, 63L),      // exactly one full block
+      (2L, 64L, 64L),     // single key on a boundary
+      (3L, 10L, 2000L),   // generic
+      (4L, 128L, 511L),   // aligned both ends, multi-block
+      (5L, 65L, 126L),    // strictly interior to one block
+      (6L, 11990L, 99999L) // tail overrun
+    ).toDF("id", "lo", "hi")
+    val got = RangeSumIndex.probe(ranges, idx, df, $"k", $"v", 64L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val rows = df.select($"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = Seq((1L, 0L, 63L), (2L, 64L, 64L), (3L, 10L, 2000L),
+      (4L, 128L, 511L), (5L, 65L, 126L), (6L, 11990L, 99999L))
+      .map { case (id, lo, hi) =>
+        val in = rows.filter(p => p._1 >= lo && p._1 <= hi)
+        id -> ((in.map(_._2).sum, in.length.toLong))
+      }.toMap
+    assert(got === want)
+  }
+
   test("winsorized stats: clamps exactly at the rank-selected cuts") {
     // 1..1000 uniform: p5 cut = rank 50 → 50, p95 cut = rank 950 → 950
     val df = spark.range(1, 1001).select($"id",

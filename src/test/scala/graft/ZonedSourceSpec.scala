@@ -365,6 +365,40 @@ class ZonedSourceSpec extends SparkSpec {
     assert(ZonedCorpus.readWithDeletes(spark, tmp).count() === want.length)
   }
 
+  test("bloom pruning: string equality plans only the zones whose bloom " +
+      "admits the literal; answers stay exact; compaction ORs blooms") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-zoned-bloomspec").toString
+    // 8 zones × 50 rows; tag 'rare' appears ONLY in zone 3
+    val df = (0L until 400L).map { i =>
+      (i, if (i == 175L) "rare" else s"common${i % 5}", i * 2)
+    }.toDF("doc_id", "tag", "n")
+    ZonedCorpus.write(df, tmp, expr("doc_id DIV 50"), Seq("doc_id"),
+      bloomCols = Seq("tag"))
+    def q(tag: String) = spark.read
+      .format("graft.sources.ZonedSource").load(tmp)
+      .filter(col("tag") === tag)
+    // rare value: bloom admits ~1 zone (FP margin: allow <= 2 of 8)
+    assert(plannedPartitions(q("rare")) <= 2,
+      "bloom failed to prune zones for a rare literal")
+    assert(q("rare").select($"doc_id").as[Long].collect().toSeq
+      === Seq(175L))
+    // common value in every zone: nothing pruned, nothing lost
+    assert(plannedPartitions(q("common0")) === 8)
+    assert(q("common0").count() === df.filter($"tag" === "common0").count())
+    // absent value: bloom can prune everything — still a correct answer
+    assert(q("absent-value").count() === 0L)
+    // compaction: merged zone's bloom = OR of members — the rare literal
+    // still prunes down to the merged zone's neighborhood, still answers
+    val plan = Seq("__zone=2", "__zone=3").map(_ -> 0L).toMap
+    ZonedCorpus.compact(tmp, plan)
+    assert(q("rare").select($"doc_id").as[Long].collect().toSeq
+      === Seq(175L))
+    assert(plannedPartitions(q("rare")) <= 2,
+      "merged zone lost its bloom")
+  }
+
   test("equality deletes survive compaction (value-keyed, not " +
       "position-keyed)") {
     import spark.implicits._
