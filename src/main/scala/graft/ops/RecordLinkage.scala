@@ -39,17 +39,56 @@ object RecordLinkage {
    * `a` and `b` must be pre-renamed disjoint (the caller's projection
    * defines the pair frame the rules see). Pairs below `tPossible` are
    * dropped (they are the overwhelming mass); `tMatch` splits the rest.
+   *
+   * SCALE WARNING (measured, r9): a single COARSE block key whose
+   * cardinality does not grow with the data (e.g. nation alone — 25
+   * blocks forever) makes the candidate mass Σ block² QUADRATIC in
+   * table size (59.6× wall at 10× data in the r9 scaling run). Use
+   * [[linkPasses]] with several FINE blocking passes instead — the
+   * standard production-linkage design (Splink et al.).
    */
   def link(a: DataFrame, b: DataFrame,
            blockColA: Column, blockColB: Column,
            rules: Seq[FieldRule],
-           tMatch: Int, tPossible: Int): DataFrame = {
+           tMatch: Int, tPossible: Int): DataFrame =
+    linkPasses(a, b, Seq(blockColA === blockColB), Nil, rules,
+      tMatch, tPossible)
+
+  /**
+   * MULTI-PASS blocking (union of candidate joins, deduplicated on the
+   * id pair): each pass is one equi-joinable condition designed so at
+   * least one pass survives each field's dirt — pass recall composes
+   * (a pair is a candidate if ANY pass catches it), so every pass can
+   * afford a much FINER key than a single-pass design. Fine keys whose
+   * cardinality scales with the data (name fragments) keep Σ block²
+   * near-linear; pairs missed by EVERY pass are the disclosed recall
+   * bound, exactly as in production linkers.
+   *
+   * `idCols` names the pair-identity columns for the cross-pass dedup
+   * (a pair caught by two passes must score once).
+   */
+  def linkPasses(a: DataFrame, b: DataFrame,
+                 passes: Seq[Column], idCols: Seq[String],
+                 rules: Seq[FieldRule],
+                 tMatch: Int, tPossible: Int): DataFrame = {
     require(rules.nonEmpty, "need at least one field rule")
+    require(passes.nonEmpty, "need at least one blocking pass")
     require(tMatch >= tPossible, "tMatch must be >= tPossible")
+    val candidates = passes.map(cond => a.join(b, cond))
+      .reduce((x, y) => x.unionByName(y))
+    val deduped =
+      if (passes.size == 1) candidates
+      else {
+        require(idCols.nonEmpty,
+          "multi-pass blocking needs idCols for the pair dedup")
+        // duplicate candidates are byte-identical rows (same a×b pair
+        // joined by two passes) — any representative is THE pair
+        candidates.dropDuplicates(idCols)
+      }
     val score = rules.map(r =>
         when(r.agree, lit(r.wAgree)).otherwise(lit(-r.wDisagree)))
       .reduce(_ + _)
-    a.join(b, blockColA === blockColB)
+    deduped
       .withColumn("score", score.cast("long"))
       .filter(col("score") >= tPossible)
       .withColumn("verdict",

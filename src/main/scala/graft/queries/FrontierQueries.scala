@@ -104,13 +104,20 @@ object FrontierQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** q202 — Fellegi-Sunter RECORD LINKAGE
-    * ([[graft.ops.RecordLinkage]]): customers vs a deterministically
-    * dirtied copy (digit-swapped names on custkey%7, segment wiped on
-    * %5, balance band shifted on %3), blocked on nation (Σ block²
-    * candidates), scored by integer log-weights over three field rules
-    * — reversed-name Jaro-Winkler (the native codegen'd kernel, DuckDB
-    * bit-parity gated since q149), segment equality, balance-band
-    * equality — and classified match / possible by thresholds. */
+    * ([[graft.ops.RecordLinkage.linkPasses]]): customers vs a
+    * deterministically dirtied copy (digit-swapped names on custkey%7,
+    * segment wiped on %5, balance band shifted on %3), candidates from
+    * TWO FINE blocking passes — (nation, reversed-name-prefix-8): key
+    * cardinality scales with the data, catches every clean-name pair;
+    * (nation, band, segment): fixed-domain but narrow, catches the
+    * dirty-name pairs whose band+segment survived — unioned and
+    * pair-deduped. Scored by integer log-weights over three field rules
+    * (reversed-name Jaro-Winkler via the DuckDB-bit-parity native
+    * kernel, segment equality, band equality), classified match /
+    * possible. Pairs dirty in BOTH name and (band or segment) escape
+    * both passes — the disclosed recall bound every production linker
+    * has. The single-pass nation-only variant measured 59.6× at 10×
+    * data (quadratic); this shape is the fix. */
   def q202RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val c = Tables.customer(spark, dir)
@@ -130,8 +137,16 @@ object FrontierQueries {
         .otherwise(col("c_mktsegment")).as("seg_b"),
       (floor(col("c_acctbal") / 100.0).cast("long") +
         when(expr("c_custkey % 3 = 0"), 1L).otherwise(0L)).as("band_b"))
-    RecordLinkage.link(a, b, col("nk_a"), col("nk_b"),
-        Seq(
+    RecordLinkage.linkPasses(a, b,
+        passes = Seq(
+          col("nk_a") === col("nk_b") &&
+            substring(reverse(col("name_a")), 1, 8) ===
+              substring(reverse(col("name_b")), 1, 8),
+          col("nk_a") === col("nk_b") &&
+            col("band_a") === col("band_b") &&
+            col("seg_a") === col("seg_b")),
+        idCols = Seq("id_a", "id_b"),
+        rules = Seq(
           RecordLinkage.FieldRule("name",
             expr("jaro_winkler(reverse(name_a), reverse(name_b)) >= 0.95"),
             40, 30),
@@ -160,6 +175,12 @@ object FrontierQueries {
       |    CAST(floor(c_acctbal / 100.0) AS BIGINT)
       |      + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS band_b
       |  FROM customer),
+      |cand AS (
+      |  SELECT a.*, b.* FROM a JOIN b ON nk_a = nk_b
+      |    AND substr(reverse(name_a), 1, 8) = substr(reverse(name_b), 1, 8)
+      |  UNION
+      |  SELECT a.*, b.* FROM a JOIN b ON nk_a = nk_b
+      |    AND band_a = band_b AND seg_a = seg_b),
       |scored AS (
       |  SELECT id_a, id_b,
       |    CAST(CASE WHEN jaro_winkler_similarity(
@@ -168,7 +189,7 @@ object FrontierQueries {
       |    + CASE WHEN seg_a = seg_b THEN 15 ELSE -10 END
       |    + CASE WHEN band_a = band_b THEN 25 ELSE -20 END
       |      AS BIGINT) AS score
-      |  FROM a JOIN b ON nk_a = nk_b)
+      |  FROM cand)
       |SELECT id_a, id_b, score,
       |  CASE WHEN score >= 50 THEN 'match' ELSE 'possible' END AS verdict
       |FROM scored WHERE score >= 25

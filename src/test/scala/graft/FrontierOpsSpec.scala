@@ -121,6 +121,24 @@ class FrontierOpsSpec extends SparkSpec {
       === (2 * 2 + 5 * 6 + 5 * 4 + 8 * 8).toLong)
   }
 
+  test("multi-pass linkage: pair caught by two passes scores ONCE; " +
+      "union recall = either pass") {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.FieldRule
+    val a = Seq((1L, "k1", "x"), (2L, "k2", "y")).toDF("id_a", "ka", "fa")
+    val b = Seq((10L, "k1", "x"), (20L, "zz", "y")).toDF("id_b", "kb", "fb")
+    val rules = Seq(FieldRule("f", $"fa" === $"fb", 10, 5))
+    val out = RecordLinkage.linkPasses(a, b,
+      passes = Seq($"ka" === $"kb", $"fa" === $"fb"),
+      idCols = Seq("id_a", "id_b"), rules = rules,
+      tMatch = 10, tPossible = 0)
+      .select($"id_a", $"id_b", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // (1,10) caught by BOTH passes (key k1 AND field x) → one row;
+    // (2,20) caught only by the field pass → one row
+    assert(out === Seq((1L, 10L, 10L), (2L, 20L, 10L)))
+  }
+
   test("skyline: matches the brute-force dominance definition") {
     val pts = synth(2000).select(
       pmod($"k", lit(50)).cast("long").as("x"),
