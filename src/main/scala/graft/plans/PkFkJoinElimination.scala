@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo,
   IsNotNull}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -30,16 +30,30 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 object ConstraintCatalog {
   private val riPairs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private val uniqueCols =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Declare fk→pk referential integrity + fk NOT NULL + pk UNIQUE. */
-  def declareRi(fkCol: String, pkCol: String): Unit =
+  def declareRi(fkCol: String, pkCol: String): Unit = {
     riPairs.add((fkCol.toLowerCase, pkCol.toLowerCase))
+    uniqueCols.add(pkCol.toLowerCase)
+  }
+
+  /** Declare a column UNIQUE in its table — the weaker constraint:
+    * enough to eliminate a LEFT OUTER join against it (each left row
+    * matches at most once, unmatched rows null-pad — either way exactly
+    * one output row per left row, no RI or non-null assumption). */
+  def declareUnique(pkCol: String): Unit =
+    uniqueCols.add(pkCol.toLowerCase)
 
   def hasRi(fkCol: String, pkCol: String): Boolean =
     riPairs.contains((fkCol.toLowerCase, pkCol.toLowerCase))
 
+  def isUnique(pkCol: String): Boolean =
+    uniqueCols.contains(pkCol.toLowerCase)
+
   /** Test hook. */
-  private[graft] def clear(): Unit = riPairs.clear()
+  private[graft] def clear(): Unit = { riPairs.clear(); uniqueCols.clear() }
 }
 
 /**
@@ -99,7 +113,15 @@ object PkFkJoinElimination extends Rule[LogicalPlan] {
       case other => Seq(other)
     }
 
-  /** If `j` is an eliminable PK-FK join, the surviving fact side. */
+  /** If `j` is an eliminable PK-FK join, the surviving fact side.
+    *
+    *  - INNER: needs full RI (pk unique + fk non-null + every fk has a
+    *    pk row) — only then is multiplicity exactly preserved. Either
+    *    side may be the dim.
+    *  - LEFT OUTER: needs only pk UNIQUE on the RIGHT side — each left
+    *    row yields exactly one output row whether it matches (unique ⇒
+    *    at most one) or not (null-padded). No RI, no non-null fk.
+    */
   private def survivor(j: Join): Option[LogicalPlan] = j match {
     case Join(left, right, Inner, Some(EqualTo(a: Attribute, b: Attribute)),
         _) =>
@@ -118,6 +140,16 @@ object PkFkJoinElimination extends Rule[LogicalPlan] {
         case (fk, pk, fact, dim)
             if ConstraintCatalog.hasRi(fk.name, pk.name) &&
               bareScan(dim, pk) => fact
+      }
+    case Join(left, right, LeftOuter,
+        Some(EqualTo(a: Attribute, b: Attribute)), _) =>
+      val rOut = right.outputSet
+      val pk = if (rOut.contains(a) && left.outputSet.contains(b)) Some(a)
+        else if (rOut.contains(b) && left.outputSet.contains(a)) Some(b)
+        else None
+      pk.collect {
+        case p if ConstraintCatalog.isUnique(p.name) &&
+            bareScan(right, p) => left
       }
     case _ => None
   }

@@ -571,6 +571,35 @@ object FrontierQueries {
       .orderBy(col("id"))
   }
 
+  /** q214 — LEFT-OUTER join elimination under a UNIQUE-only declaration
+    * ([[graft.plans.PkFkJoinElimination]], the weaker sibling of q200's
+    * inner-join case): a left join against a unique key emits exactly
+    * one row per left row whether it matches or not, so when nothing
+    * above reads the right side the join vanishes — no referential
+    * integrity, no non-null assumption, just uniqueness. BI tools emit
+    * this shape for every optional dimension. Oracle keeps the join. */
+  def q214LeftJoinElim(spark: SparkSession, dir: String): DataFrame = {
+    ConstraintCatalog.declareUnique("c_custkey")
+    PkFkJoinElimination.install(spark)
+    val o = Tables.orders(spark, dir)
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q214Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val q213Sql: String =
     """WITH r(id, lo, hi) AS (VALUES
       |  (1, 0, 999), (2, 150, 2049), (3, 777, 777),

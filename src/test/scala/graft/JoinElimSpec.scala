@@ -77,18 +77,52 @@ class JoinElimSpec extends SparkSpec {
     assert(joins(df) === 1)
   }
 
-  test("veto: outer joins and undeclared key pairs keep their joins") {
+  test("LEFT OUTER against a declared-unique key is eliminated (no RI " +
+      "needed); answers unchanged even with dangling fks") {
+    ConstraintCatalog.declareUnique("c_custkey")
+    PkFkJoinElimination.install(spark)
+    val o = Tables.orders(spark, dir)
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    def q(cf: org.apache.spark.sql.DataFrame) =
+      o.join(cf, o("o_custkey") === cf("c_custkey"), "left_outer")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    assert(joins(q(c)) === 0, "left-outer not eliminated")
+    val (ctrlJoins, ctrlRows) = withoutRule {
+      val df = q(spark.read.parquet(s"$dir/customer.parquet"))
+      (joins(df), df.collect().toSeq)
+    }
+    assert(ctrlJoins === 1)
+    assert(q(c).collect().toSeq === ctrlRows)
+    // uniqueness (the ONLY assumption) holds in the data
+    assert(c.groupBy($"c_custkey").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("veto: outer joins of other shapes and undeclared key pairs " +
+      "keep their joins") {
     ConstraintCatalog.declareRi("c_nationkey", "n_nationkey")
     PkFkJoinElimination.install(spark)
-    val left = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
-        "left_outer")
+    // left outer against a FILTERED dim: stays (padding would change)
+    val filteredDim = nat.filter($"n_regionkey" === 1)
+    val lf = cust.join(filteredDim,
+        cust("c_nationkey") === filteredDim("n_nationkey"), "left_outer")
       .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
-    assert(joins(left) === 1, "left join must never be eliminated")
+    assert(joins(lf) === 1, "left join over filtered dim must survive")
+    // right outer: never eliminated (unmatched dim rows must surface)
+    val ro = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+        "right_outer")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(joins(ro) === 1, "right join must never be eliminated")
     val sup = Tables.supplier(spark, dir)
     val undeclared = sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
       .groupBy($"s_name").agg(count(lit(1)).as("n"))
     // s_nationkey → n_nationkey is NOT declared: join survives even
     // though the data would satisfy it
     assert(joins(undeclared) === 1)
+    // left outer on an undeclared-unique key: survives
+    val lu = sup.join(nat, sup("s_nationkey") === nat("n_regionkey"),
+        "left_outer")
+      .groupBy($"s_name").agg(count(lit(1)).as("n"))
+    assert(joins(lu) === 1, "non-unique left-outer key must survive")
   }
 }
