@@ -571,6 +571,24 @@ object FrontierQueries {
       .orderBy(col("id"))
   }
 
+  /** q215 — IN-LIST zone pruning on the bloomed layout: `source IN
+    * ('src0','src2')` prunes every zone where NO member may be present
+    * (per-member stats/bloom disjunction — the EqualTo logic folded
+    * over the list). IN-lists are the second most common pruning shape
+    * BI tools emit after equality; rows still re-checked post-scan. */
+  def q215InListPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = bloomZonedPath(spark, dir)
+    spark.read.format("graft.sources.ZonedSource").load(path)
+      .filter(col("source").isin("src0", "src2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q215Sql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents
+      |WHERE source IN ('src0', 'src2')
+      |ORDER BY doc_id""".stripMargin
+
   /** q214 — LEFT-OUTER join elimination under a UNIQUE-only declaration
     * ([[graft.plans.PkFkJoinElimination]], the weaker sibling of q200's
     * inner-join case): a left join against a unique key emits exactly

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Ex
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -124,6 +124,12 @@ private[sources] class ZonedScanBuilder(path: String, schema: StructType,
     case EqualTo(a, v) =>
       (manifest.statCols(a) && isIntegral(v)) ||
         (manifest.bloomCols(a) && v != null)
+    case In(a, vs) =>
+      // an IN prunes when EVERY member is individually checkable (a
+      // single unverifiable member could match anywhere)
+      vs.nonEmpty && vs.forall(v =>
+        (manifest.statCols(a) && isIntegral(v)) ||
+          (manifest.bloomCols(a) && v != null))
     case GreaterThan(a, v) => manifest.statCols(a) && isIntegral(v)
     case GreaterThanOrEqual(a, v) => manifest.statCols(a) && isIntegral(v)
     case LessThan(a, v) => manifest.statCols(a) && isIntegral(v)
@@ -287,6 +293,18 @@ private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,
         val bloomOk = z.blooms.get(a).forall(words =>
           ZonedManifest.bloomMayContain(words, v))
         statOk && bloomOk
+      case In(a, vs) =>
+        // zone survives iff SOME member may be present (per-member
+        // stats/bloom check — disjunction of the EqualTo logic)
+        vs.exists { v =>
+          val statOk = if (isIntegralV(v))
+            stats.get(a).forall { case (lo, hi) =>
+              asLong(v) >= lo && asLong(v) <= hi }
+          else true
+          val bloomOk = z.blooms.get(a).forall(words =>
+            ZonedManifest.bloomMayContain(words, v))
+          statOk && bloomOk
+        }
       case GreaterThan(a, v) => stats.get(a).forall(_._2 > asLong(v))
       case GreaterThanOrEqual(a, v) => stats.get(a).forall(_._2 >= asLong(v))
       case LessThan(a, v) => stats.get(a).forall(_._1 < asLong(v))

@@ -399,6 +399,32 @@ class ZonedSourceSpec extends SparkSpec {
       "merged zone lost its bloom")
   }
 
+  test("IN-list pruning: per-member stats/bloom disjunction — zones " +
+      "survive iff SOME member may be present") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-zoned-inspec").toString
+    // zone k holds tags t<k> only (k = 0..7), plus doc_id stats
+    val df = (0L until 400L).map(i =>
+      (i, s"t${i / 50}", i)).toDF("doc_id", "tag", "n")
+    ZonedCorpus.write(df, tmp, expr("doc_id DIV 50"), Seq("doc_id"),
+      bloomCols = Seq("tag"))
+    def rd = spark.read.format("graft.sources.ZonedSource").load(tmp)
+    // bloom IN: members live in 2 known zones → plans ≤ 3 (FP margin)
+    val inTags = rd.filter(col("tag").isin("t1", "t6"))
+    assert(plannedPartitions(inTags) <= 3, "IN failed to prune by bloom")
+    assert(inTags.count() === 100L)
+    // stats IN on the long column: members in 2 zones
+    val inIds = rd.filter(col("doc_id").isin(10L, 210L))
+    assert(plannedPartitions(inIds) === 2, "IN failed to prune by stats")
+    assert(inIds.select($"doc_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 210L))
+    // an IN with one un-prunable member keeps every zone (conservative)
+    // — null member: not checkable → whole filter not pushed
+    val withNull = rd.filter(col("tag").isin("t1", null))
+    assert(plannedPartitions(withNull) === 8)
+  }
+
   test("equality deletes survive compaction (value-keyed, not " +
       "position-keyed)") {
     import spark.implicits._
