@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
  *
  * The numerator and denominator are published as DECIMAL(38,0) —
  * bit-reproducible on any cluster; the convenience double is one final
- * division of those exact integers (IEEE-identical everywhere).
+ * division of those exact integers, QUANTIZED to 9 decimals. The raw
+ * IEEE quotient is deliberately not on the output surface: once N²
+ * exceeds 2^53 the DECIMAL→double casts are correctly-rounded but
+ * engine-implementation-sensitive (round 9 saw DuckDB and Spark differ
+ * in the last ulp), so the hashed contract carries the exact integers
+ * plus a 1e-9-granular double that every engine renders identically.
  *
  * Spark shape: ONE hash aggregation builds the K×K confusion table
  * (map-side combinable; K² cells of metadata), the marginal products
@@ -47,7 +52,8 @@ object Agreement {
       .withColumn("kappa_den",
         col("n").cast(d) * col("n").cast(d) - col("pe_num"))
       .withColumn("kappa",
-        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+        round(col("kappa_num").cast("double") /
+          col("kappa_den").cast("double"), 9))
       .select(col("n"), col("agree_n"), col("pe_num").cast(d).as("pe_num"),
         col("kappa_num").cast(d).as("kappa_num"),
         col("kappa_den").cast(d).as("kappa_den"), col("kappa"))

@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
  * is metadata-sized.
  *
  * Determinism: the hash family is explicit modular arithmetic
- * (`((a_d · k + b_d) mod P) mod width`, P = 2^31−1 prime, products of a
- * 31-bit prime by a long key ride DECIMAL(38,0) so nothing overflows),
- * NOT a black-box murmur — so the DuckDB oracle replays the exact same
- * sketch cell-for-cell, and merge order cannot change any counter (sums
- * commute). No floating point anywhere.
+ * (`((a_d · k + b_d) mod P) mod width`, P = 2^61−1 prime, products of a
+ * ≤61-bit prime by a long key reach ~2^124 and ride DECIMAL(38,0) —
+ * capacity ~2^126 — so nothing overflows), NOT a black-box murmur — so
+ * the DuckDB oracle replays the exact same sketch cell-for-cell (HUGEINT
+ * arithmetic on its side), and merge order cannot change any counter
+ * (sums commute). No floating point anywhere.
+ *
+ * Why the 61-bit modulus (round-9 advice): with P = 2^31−1 the family
+ * reduced the key mod P FIRST, so any two keys congruent mod 2^31−1
+ * collided in EVERY hash row — a cross-row correlation no depth can
+ * minimize away once keys exceed ~2.1e9 (any real 64-bit id space).
+ * Under P = 2^61−1 the full long key domain is below the modulus, so
+ * the pairwise-independence argument holds for every representable key.
  *
  * Reference scope: the reference engine has no sketches at all
  * (trends.go's only aggregate is COUNT(*), /root/reference/trends.go:450)
@@ -31,13 +39,17 @@ import org.apache.spark.sql.functions._
  */
 object CountMin {
 
-  /** Mersenne prime 2^31−1: the classic universal-hash modulus. */
-  val P: Long = 2147483647L
+  /** Mersenne prime 2^61−1: a universal-hash modulus ABOVE the whole
+    * long key domain (|k| < P), so no two distinct keys are congruent
+    * before hashing. */
+  val P: Long = 2305843009213693951L
 
-  /** Fixed odd multipliers / offsets per hash row (any values in [1,P)
+  /** Fixed prime multipliers / offsets per hash row (any values in [1,P)
     * work; pinned constants keep the sketch reproducible everywhere). */
-  val As: Seq[Long] = Seq(1299709L, 15485863L, 32452843L, 49979687L)
-  val Bs: Seq[Long] = Seq(104729L, 1299721L, 15485917L, 32452867L)
+  val As: Seq[Long] = Seq(100000000000000003L, 300000000000000011L,
+    700000000000000033L, 1200000000000000011L)
+  val Bs: Seq[Long] = Seq(10000000000000061L, 50000000000000051L,
+    900000000000000059L, 1500000000000000041L)
 
   /** The bucket column for hash row `d` over key column `k` — exact
     * integer arithmetic end to end (DECIMAL(38,0) products). */

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
  * Tie handling: the average rank of a value v is
  * `(2·|{x < v}| + |{x = v}| + 1) / 2` — kept ×2 in longs (`rank2`), so
  * ties never touch floating point. ρ is then Pearson over the rank2
- * pairs: five DECIMAL(38,0) sums and one final double division +
- * IEEE-exact sqrt (bit-identical on every platform).
+ * pairs: five DECIMAL(38,0) sums, one final double division + sqrt,
+ * QUANTIZED to 9 decimals. The rank2 cross-products reach ~8·N⁴ > 2^53
+ * well before N hits test scale, so the DECIMAL→double cast is where
+ * engines can differ by an ulp (round 9: DuckDB vs Spark hash miss on
+ * exactly this column) — the hashed surface carries the exact sums and
+ * a 1e-9-granular rho, never a raw IEEE quotient.
  *
  * Spark shape — NO single-reducer rank window: per-variable value
  * counts (one hash agg, NDV-sized), then `|{x < v}|` as the
@@ -70,11 +74,11 @@ object Spearman {
       sum((col("r2").cast(d) * col("r2").cast(d))).cast(d).as("syy"),
       sum((col("r1").cast(d) * col("r2").cast(d))).cast(d).as("sxy"))
     s.withColumn("rho",
-      (col("n").cast(d) * col("sxy") - col("sx") * col("sy"))
+      round((col("n").cast(d) * col("sxy") - col("sx") * col("sy"))
         .cast("double") /
         sqrt((col("n").cast(d) * col("sxx") - col("sx") * col("sx"))
           .cast("double") *
           (col("n").cast(d) * col("syy") - col("sy") * col("sy"))
-            .cast("double")))
+            .cast("double")), 9))
   }
 }

@@ -43,6 +43,86 @@ object StringSim {
   }
 
   /**
+   * Data-SCALING multi-pass blocking for edit-distance joins over
+   * multi-word strings — the fix for the fixed-cardinality-blocking
+   * disease: a key like (last token, length band) over a FIXED
+   * vocabulary has constant block COUNT, so block SIZE — and the
+   * Σ block² candidate mass — grows linearly with the data (measured:
+   * q75 15.2×, q108 7.35× work at 10× data in round 9). Here every
+   * block key embeds n−1 of the string's n words, so key cardinality
+   * grows WITH the corpus and blocks stay O(1):
+   *
+   *   pass D0:    key = the whole string                     — 1 key
+   *   pass D1(i): key = (i, words with position i removed)   — n keys,
+   *               only for n ≥ 2
+   *   pass D2(i): key = (i, words i and i+1 removed)         — n−1 keys,
+   *               only for n ≥ 3
+   *
+   * Two strings share a D1 key iff they are equal outside ONE word
+   * position, a D2 key iff equal outside two ADJACENT positions — which
+   * is where a ≤ `maxDist`-char edit of a multi-word string lives (a
+   * ≤ 4-char edit can touch at most two adjacent words). Same-position
+   * equality also forces equal word COUNTS, so keys never cross shapes.
+   * A pass is emitted ONLY when its remainder is non-empty: an empty
+   * remainder (D1 of a 1-word string, D2 of a 2-word string) is one
+   * UNIVERSAL block holding every string of that shape — the degenerate
+   * all-pairs quadratic this operator exists to avoid. D0 keeps exact
+   * duplicates findable for every shape.
+   *
+   * Recall contract (documented, like the banding bound in ops/Dedup):
+   * found iff the pair differs in ≤ 1 word (n ≥ 2), ≤ 2 adjacent words
+   * (n ≥ 3), or is an exact duplicate — word-count-changing edits and
+   * both-words-changed 2-word pairs are traded away. The oracle pays
+   * the same passes in SQL.
+   *
+   * 100 TB shape: explode to ~2n keys per row (map-side, no shuffle
+   * amplification beyond the constant factor), ONE shuffle on the
+   * drop key, candidate DISTINCT before the Levenshtein verify so a
+   * pair caught by several passes is verified once.
+   */
+  def editDistancePairsWordDrop(df: DataFrame, idCol: String,
+                                strCol: String, maxDist: Int): DataFrame = {
+    val keyed = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        explode(wordDropKeys(col(strCol))).as("__blk"))
+    val a = keyed.select(col("__blk"), col("__id").as("id_a"),
+      col("__s").as("s_a"))
+    val b = keyed.select(col("__blk"), col("__id").as("id_b"),
+      col("__s").as("s_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** The D0 (exact) + D1 (drop one word) + D2 (drop two adjacent words)
+    * key array for one string — `\u0001`-joined (tag, position,
+    * remainder) so remainder content can never collide across
+    * tags/positions; D1/D2 guarded to non-empty remainders (see the
+    * operator doc — an empty remainder is a universal block). */
+  private[graft] def wordDropKeys(s: Column): Column = {
+    val w = split(s, " ")
+    val n = size(w)
+    val none = array().cast("array<string>")
+    val d0 = array(concat_ws("\u0001", lit("D0"), s))
+    val d1 = when(n >= 2, transform(sequence(lit(1), n), i =>
+        concat_ws("\u0001", lit("D1"), i.cast("string"),
+          array_join(concat(
+            slice(w, lit(1), i - lit(1)),
+            slice(w, i + lit(1), n - i)), " "))))
+      .otherwise(none)
+    val d2 = when(n >= 3, transform(sequence(lit(1), n - 1), i =>
+        concat_ws("\u0001", lit("D2"), i.cast("string"),
+          array_join(concat(
+            slice(w, lit(1), i - lit(1)),
+            slice(w, i + lit(2), n - i - lit(1))), " "))))
+      .otherwise(none)
+    concat(d0, d1, d2)
+  }
+
+  /**
    * Size-capped variant: each natural block is split into deterministic
    * chunks of ≤ `cap` rows (row_number over the id within the block) and
    * the pairwise Levenshtein runs per (block, chunk). Work is O(N·cap) —

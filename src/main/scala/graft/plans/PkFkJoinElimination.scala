@@ -6,7 +6,11 @@ import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+import graft.sources.GraftScanIntrospection
 
 /**
  * DECLARED-CONSTRAINT catalog for the optimizer extensions: Spark has no
@@ -26,25 +30,39 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
  * Declaring a constraint the data violates yields wrong results, same
  * as every RELY constraint system; the gate (q200) and spec re-verify
  * the declared pairs against the data.
+ *
+ * TABLE BINDING (round-9 advice): the column-name convention is the
+ * safety linchpin of a result-changing rewrite, so a declaration may
+ * additionally bind the pk to a TABLE TAG — a substring of the scanned
+ * table's identity (file path / layout root / catalog name). When a
+ * binding exists, the rule eliminates the join only if the dim leaf's
+ * identity carries the tag; a LocalRelation (no identity) is then never
+ * eligible. Unbound declarations keep the documented convention.
  */
 object ConstraintCatalog {
   private val riPairs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   private val uniqueCols =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pkTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Declare fk→pk referential integrity + fk NOT NULL + pk UNIQUE. */
-  def declareRi(fkCol: String, pkCol: String): Unit = {
+  /** Declare fk→pk referential integrity + fk NOT NULL + pk UNIQUE,
+    * optionally binding the pk to its table (identity substring). */
+  def declareRi(fkCol: String, pkCol: String,
+                pkTableTag: String = null): Unit = {
     riPairs.add((fkCol.toLowerCase, pkCol.toLowerCase))
-    uniqueCols.add(pkCol.toLowerCase)
+    declareUnique(pkCol, pkTableTag)
   }
 
   /** Declare a column UNIQUE in its table — the weaker constraint:
     * enough to eliminate a LEFT OUTER join against it (each left row
     * matches at most once, unmatched rows null-pad — either way exactly
     * one output row per left row, no RI or non-null assumption). */
-  def declareUnique(pkCol: String): Unit =
+  def declareUnique(pkCol: String, pkTableTag: String = null): Unit = {
     uniqueCols.add(pkCol.toLowerCase)
+    if (pkTableTag != null) pkTables.put(pkCol.toLowerCase, pkTableTag)
+  }
 
   def hasRi(fkCol: String, pkCol: String): Boolean =
     riPairs.contains((fkCol.toLowerCase, pkCol.toLowerCase))
@@ -52,8 +70,14 @@ object ConstraintCatalog {
   def isUnique(pkCol: String): Boolean =
     uniqueCols.contains(pkCol.toLowerCase)
 
+  /** The table tag the pk is bound to, if any. */
+  def tableBinding(pkCol: String): Option[String] =
+    Option(pkTables.get(pkCol.toLowerCase))
+
   /** Test hook. */
-  private[graft] def clear(): Unit = { riPairs.clear(); uniqueCols.clear() }
+  private[graft] def clear(): Unit = {
+    riPairs.clear(); uniqueCols.clear(); pkTables.clear()
+  }
 }
 
 /**
@@ -81,14 +105,25 @@ object ConstraintCatalog {
  */
 object PkFkJoinElimination extends Rule[LogicalPlan] {
 
-  /** The dim side must be attribute-only Projects over a leaf scan —
-    * v1 relations and local relations only (a DSv2 scan can carry
-    * pushed filters invisible at this level, so it is NOT eligible).
+  /** The dim side must be attribute-only Projects over a leaf scan.
     * One Filter shape is admitted: `IsNotNull(pk)` conjunctions that
     * the optimizer itself derives from the inner-join condition — a
     * null pk can never match an inner join, so dropping those rows
     * never changes which fact rows survive. Any OTHER dim filter
-    * changes multiplicity and vetoes the rewrite. */
+    * changes multiplicity and vetoes the rewrite.
+    *
+    * Eligible leaves:
+    *  - v1 `LogicalRelation` / `LocalRelation` (column pruning only);
+    *  - a DSv2 scan that exposes [[GraftScanIntrospection]] AND pushed
+    *    NO filters (this rule runs in the user-provided batch, after
+    *    V2ScanRelationPushDown — the planned Scan's pushed-filter list
+    *    is readable, and an empty list plus the admitted-IsNotNull-only
+    *    Filter shape above proves the scan returns every dim row).
+    *    Opaque v2 scans stay ineligible: their pushdown is invisible.
+    *
+    * When the pk carries a TABLE BINDING, the leaf's identity (file
+    * paths / layout root / catalog name) must contain the bound tag —
+    * a same-named column on a different table no longer qualifies. */
   private def bareScan(plan: LogicalPlan, pk: Attribute): Boolean =
     plan match {
       case Project(projectList, child) =>
@@ -99,10 +134,36 @@ object PkFkJoinElimination extends Rule[LogicalPlan] {
           case IsNotNull(a: Attribute) => a.semanticEquals(pk)
           case _ => false
         } && bareScan(child, pk)
-      case _: LogicalRelation => true
-      case _: LocalRelation => true
+      case lr: LogicalRelation => boundTo(pk, leafIdent(lr))
+      case _: LocalRelation =>
+        // no identity to verify — eligible only for UNBOUND declarations
+        ConstraintCatalog.tableBinding(pk.name).isEmpty
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case g: GraftScanIntrospection =>
+          g.pushedPruningFilters.isEmpty &&
+            boundTo(pk, Some(g.tableIdent))
+        case _ => false
+      }
       case _ => false
     }
+
+  /** Leaf identity honors the pk's table binding (absent binding ⇒
+    * the documented globally-unique-column-name convention). */
+  private def boundTo(pk: Attribute, ident: => Option[String]): Boolean =
+    ConstraintCatalog.tableBinding(pk.name) match {
+      case None => true
+      case Some(tag) => ident.exists(_.contains(tag))
+    }
+
+  private def leafIdent(lr: LogicalRelation): Option[String] = {
+    val rel = lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toString).mkString(",")
+      case other => other.toString
+    }
+    Some((rel +: lr.catalogTable.map(_.identifier.unquotedString).toSeq)
+      .mkString(","))
+  }
 
   private def splitConjunctivePredicates(
       cond: org.apache.spark.sql.catalyst.expressions.Expression)

@@ -243,10 +243,13 @@ object FrontierQueries {
 
   val q204Sql: String =
     """WITH h(d, a, b) AS (VALUES
-      |  (0, 1299709, 104729), (1, 15485863, 1299721),
-      |  (2, 32452843, 15485917), (3, 49979687, 32452867)),
+      |  (0, 100000000000000003, 10000000000000061),
+      |  (1, 300000000000000011, 50000000000000051),
+      |  (2, 700000000000000033, 900000000000000059),
+      |  (3, 1200000000000000011, 1500000000000000041)),
       |cells AS (
-      |  SELECT d, ((user_id * a + b) % 2147483647) % 64 AS bucket,
+      |  SELECT d, CAST(((CAST(user_id AS HUGEINT) * a + b)
+      |      % 2305843009213693951) % 64 AS BIGINT) AS bucket,
       |    count(*) AS n
       |  FROM events CROSS JOIN h
       |  GROUP BY 1, 2),
@@ -256,7 +259,8 @@ object FrontierQueries {
       |  SELECT p.k, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est
       |  FROM probes p CROSS JOIN h
       |  LEFT JOIN cells c ON c.d = h.d
-      |    AND c.bucket = ((p.k * h.a + h.b) % 2147483647) % 64
+      |    AND c.bucket = CAST(((CAST(p.k AS HUGEINT) * h.a + h.b)
+      |      % 2305843009213693951) % 64 AS BIGINT)
       |  GROUP BY p.k),
       |tru AS (
       |  SELECT user_id AS k, count(*) AS true_n FROM events
@@ -336,8 +340,8 @@ object FrontierQueries {
       |  CAST(pe_num AS DECIMAL(38,0)) AS pe_num,
       |  CAST(n * agree_n - pe_num AS DECIMAL(38,0)) AS kappa_num,
       |  CAST(n * n - pe_num AS DECIMAL(38,0)) AS kappa_den,
-      |  CAST(n * agree_n - pe_num AS DOUBLE)
-      |    / CAST(n * n - pe_num AS DOUBLE) AS kappa
+      |  round(CAST(n * agree_n - pe_num AS DOUBLE)
+      |    / CAST(n * n - pe_num AS DOUBLE), 9) AS kappa
       |FROM m CROSS JOIN pe""".stripMargin
 
   /** q207 — WINSORIZED robust moments ([[graft.ops.Robust.winsorized]]):
@@ -404,11 +408,11 @@ object FrontierQueries {
       |  CAST(sum(r1 * r1) AS DECIMAL(38,0)) AS sxx,
       |  CAST(sum(r2 * r2) AS DECIMAL(38,0)) AS syy,
       |  CAST(sum(r1 * r2) AS DECIMAL(38,0)) AS sxy,
-      |  CAST(count(*) * sum(r1 * r2) - sum(r1) * sum(r2) AS DOUBLE)
+      |  round(CAST(count(*) * sum(r1 * r2) - sum(r1) * sum(r2) AS DOUBLE)
       |    / sqrt(CAST(count(*) * sum(r1 * r1) - sum(r1) * sum(r1)
       |        AS DOUBLE)
       |      * CAST(count(*) * sum(r2 * r2) - sum(r2) * sum(r2)
-      |        AS DOUBLE)) AS rho
+      |        AS DOUBLE)), 9) AS rho
       |FROM ranked""".stripMargin
 
   /** q209 — 2-D SKYLINE ([[graft.ops.Skyline.pareto2d]]): the Pareto
@@ -543,9 +547,12 @@ object FrontierQueries {
 
   val q212Sql: String =
     """WITH h(d, a, b) AS (VALUES
-      |  (0, 1299709, 104729), (1, 15485863, 1299721),
-      |  (2, 32452843, 15485917), (3, 49979687, 32452867))
-      |SELECT d, ((user_id * a + b) % 2147483647) % 64 AS bucket,
+      |  (0, 100000000000000003, 10000000000000061),
+      |  (1, 300000000000000011, 50000000000000051),
+      |  (2, 700000000000000033, 900000000000000059),
+      |  (3, 1200000000000000011, 1500000000000000041))
+      |SELECT d, CAST(((CAST(user_id AS HUGEINT) * a + b)
+      |    % 2305843009213693951) % 64 AS BIGINT) AS bucket,
       |  count(*) AS n
       |FROM events CROSS JOIN h
       |GROUP BY 1, 2
@@ -617,6 +624,155 @@ object FrontierQueries {
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  // one zoned REGION dim per (session, corpus) for the DSv2 join-elim
+  // gate — the tiny-dimension-as-stored-table shape BI stacks put behind
+  // every star join
+  private val zonedRegionStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zonedRegionPath(spark: SparkSession, dir: String): String =
+    zonedRegionStore.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + dir + "|" +
+        PairStore.snapshotFingerprint(dir),
+      _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-zoned-region").toString
+        // long/string layout contract: key cast at WRITE time so the
+        // stored pk attribute joins bare (a Cast in the join condition
+        // would rightly veto the rewrite)
+        graft.sources.ZonedCorpus.write(
+          Tables.region(spark, dir).select(
+            col("r_regionkey").cast("long").as("r_regionkey"),
+            col("r_name")), tmp,
+          expr("r_regionkey DIV 2"), Seq("r_regionkey"))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(tmp)
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists)
+            finally s.close()
+          }
+        }))
+        tmp
+      })
+
+  /** q216 — PK-FK join elimination over a DSv2 (ZonedSource) dimension
+    * ([[graft.plans.PkFkJoinElimination]] extended past its round-9
+    * all-DSv2 veto): the planned ZonedScan exposes its pushed-filter
+    * list through [[graft.sources.GraftScanIntrospection]], an EMPTY
+    * list plus the IsNotNull-only residual admits the leaf, and the
+    * declared RI is TABLE-BOUND to the zoned layout's root path — a
+    * same-named column on any other table no longer qualifies (the
+    * round-9 soundness advice). nation ⋈ zoned(region) reads nothing
+    * from region ⇒ the optimized plan scans ONLY nation; the oracle
+    * keeps the join. JoinElimSpec re-pins the veto shapes (filtered
+    * zoned scan, binding mismatch, opaque v2 scan). */
+  def q216JoinElimZoned(spark: SparkSession, dir: String): DataFrame = {
+    val zpath = zonedRegionPath(spark, dir)
+    ConstraintCatalog.declareRi("n_regionkey", "r_regionkey",
+      pkTableTag = zpath)
+    PkFkJoinElimination.install(spark)
+    val n = Tables.nation(spark, dir)
+      .withColumn("n_regionkey", col("n_regionkey").cast("long"))
+    val r = spark.read.format("graft.sources.ZonedSource").load(zpath)
+    n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        max(length(col("n_name"))).cast("long").as("max_name_len"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q216Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |  count(*) AS n_nations,
+      |  CAST(max(length(n_name)) AS BIGINT) AS max_name_len
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** q217 — HIGH-CARDINALITY disjunctive join (q05's union-of-equi-joins
+    * rewrite where the advantage is MEASURABLE): q05's nation-key
+    * disjunct makes the RESULT quadratic by declared semantics, so at
+    * 10× data its scaling row only shows output growth. Here both
+    * disjuncts are selective — same entity key OR same account balance
+    * in cents (~1.1M-value domain) — so output stays near-linear and the
+    * scaling row isolates the JOIN work: two hash equi-joins + distinct,
+    * never the BroadcastNestedLoopJoin Spark plans for a raw OR. */
+  def q217DisjunctHighCard(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    val byKey = s.join(c, col("s_suppkey") === col("c_custkey"))
+      .select(col("s_suppkey"), col("c_custkey"))
+    val byBal = s.join(c, col("s_cents") === col("c_cents"))
+      .select(col("s_suppkey"), col("c_custkey"))
+    byKey.union(byBal).dropDuplicates("s_suppkey", "c_custkey")
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+  }
+
+  val q217Sql: String =
+    """SELECT DISTINCT s_suppkey, c_custkey
+      |FROM supplier JOIN customer
+      |  ON s_suppkey = c_custkey
+      |  OR CAST(round(s_acctbal * 100) AS BIGINT)
+      |    = CAST(round(c_acctbal * 100) AS BIGINT)
+      |ORDER BY s_suppkey, c_custkey""".stripMargin
+
+  /** q218 — GROUPED range-sum index
+    * ([[graft.ops.RangeSumIndex.buildGrouped]]/probeGrouped): q213's
+    * block decomposition with a group key riding every join — 25 ranges
+    * (5 id windows × 5 event types) answered in ONE pass against the
+    * per-type index, interior blocks from metadata, ≤ 2 edge blocks per
+    * (range, group) from data. The per-key/windowed analytics shape
+    * ("per event type, value sums over k id windows"). */
+  def q218GroupedRangeSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val idx = graft.ops.RangeSumIndex.buildGrouped(ev, col("event_type"),
+      col("event_id"), col("user_id"), blockWidth = 100L)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val windows =
+      Seq((0L, 999L), (150L, 2049L), (777L, 777L), (300L, 399L),
+        (12L, 8888L))
+    val ranges = (for {
+      (t, ti) <- types.zipWithIndex
+      ((lo, hi), wi) <- windows.zipWithIndex
+    } yield ((ti * windows.size + wi + 1).toLong, t, lo, hi))
+      .toDF("id", "g", "lo", "hi")
+    graft.ops.RangeSumIndex.probeGrouped(ranges, idx, ev,
+        col("event_type"), col("event_id"), col("user_id"),
+        blockWidth = 100L)
+      .orderBy(col("id"))
+  }
+
+  val q218Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val windows =
+      Seq((0L, 999L), (150L, 2049L), (777L, 777L), (300L, 399L),
+        (12L, 8888L))
+    val values = (for {
+      (t, ti) <- types.zipWithIndex
+      ((lo, hi), wi) <- windows.zipWithIndex
+    } yield s"(${ti * windows.size + wi + 1}, '$t', $lo, $hi)")
+      .mkString(",\n  ")
+    s"""WITH r(id, g, lo, hi) AS (VALUES
+      |  $values)
+      |SELECT CAST(id AS BIGINT) AS id, g, CAST(lo AS BIGINT) AS lo,
+      |  CAST(hi AS BIGINT) AS hi,
+      |  CAST(COALESCE(sum(CASE WHEN event_type = g
+      |    AND event_id >= lo AND event_id <= hi THEN user_id END), 0)
+      |    AS BIGINT) AS range_sum,
+      |  CAST(COALESCE(sum(CASE WHEN event_type = g
+      |    AND event_id >= lo AND event_id <= hi THEN 1 END), 0)
+      |    AS BIGINT) AS range_n
+      |FROM r CROSS JOIN events
+      |GROUP BY id, g, lo, hi
+      |ORDER BY id""".stripMargin
+  }
 
   val q213Sql: String =
     """WITH r(id, lo, hi) AS (VALUES

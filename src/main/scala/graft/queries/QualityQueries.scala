@@ -312,33 +312,59 @@ object QualityQueries {
       |GROUP BY 1, 2
       |ORDER BY label, pos""".stripMargin
 
-  /** q75 — blocked edit-distance join ([[graft.ops.StringSim]]) over part
-    * names ("red widget" ~ "hot widget"): block on (last token, length
-    * band), verify with exact Levenshtein ≤ 4. O(Σ block²) with bounded
-    * blocks, never the all-pairs cross join; the band is the documented
-    * recall bound (a ≥2-char length gap can cross bands), exactly the
-    * LSH-banding contract. Oracle pays the same blocked shape in SQL —
-    * both engines implement plain Levenshtein identically. */
+  /** q75 — blocked edit-distance join
+    * ([[graft.ops.StringSim.editDistancePairsWordDrop]]) over part names
+    * ("red widget" ~ "rose widget"): multi-pass word-drop blocking (key
+    * = the name with one word, or two adjacent words, removed — keyed by
+    * position), verify with exact Levenshtein ≤ 4. The round-9 (last
+    * token, length band) key had CONSTANT cardinality over TPC-H's fixed
+    * word vocabulary, so Σ block² — the candidate mass — grew
+    * quadratically (measured 15.2× at 10× data); word-drop keys embed
+    * n−1 words, so block count scales WITH the corpus and blocks stay
+    * O(1). Recall contract (documented): exact duplicates, pairs
+    * differing in one word, or in two adjacent words of a ≥3-word name
+    * (empty-remainder passes are suppressed — they are universal
+    * blocks); the oracle pays the same passes in SQL. */
   def q75EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.StringSim.editDistancePairs(
+    graft.ops.StringSim.editDistancePairsWordDrop(
         Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
-        "p_partkey", "p_name",
-        s => concat_ws("#", element_at(split(s, " "), -1),
-          expr("length(p_name) div 2").cast("string")), maxDist = 4)
+        "p_partkey", "p_name", maxDist = 4)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("dist"))
 
-  val q75Sql: String =
-    """WITH p AS (
+  /** The word-drop candidate CTE shared by q75/q108's oracles — the SQL
+    * twin of [[graft.ops.StringSim.wordDropKeys]] (chr(1)-joined tag,
+    * position, remainder; D1 drops word i, D2 drops words i and i+1). */
+  private[queries] val wordDropPairsCte: String =
+    """p AS (
+      |  SELECT p_partkey, p_name, string_split(p_name, ' ') AS w
+      |  FROM part),
+      |keys AS (
+      |  SELECT p_partkey, p_name, 'D0' || chr(1) || p_name AS blk FROM p
+      |  UNION ALL
       |  SELECT p_partkey, p_name,
-      |    regexp_extract(p_name, '([^ ]+)$', 1) || '#' ||
-      |      (length(p_name) // 2) AS blk
-      |  FROM part)
-      |SELECT levenshtein(a.p_name, b.p_name) AS dist,
-      |  count(*) AS n_pairs
-      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |    'D1' || chr(1) || i || chr(1) ||
+      |      array_to_string(list_concat(w[1:i-1], w[i+1:len(w)]), ' ')
+      |  FROM p, UNNEST(generate_series(1,
+      |    CASE WHEN len(w) >= 2 THEN len(w) ELSE 0 END)) AS t(i)
+      |  UNION ALL
+      |  SELECT p_partkey, p_name,
+      |    'D2' || chr(1) || i || chr(1) ||
+      |      array_to_string(list_concat(w[1:i-1], w[i+2:len(w)]), ' ')
+      |  FROM p, UNNEST(generate_series(1,
+      |    CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 0 END)) AS t(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |    a.p_name AS s_a, b.p_name AS s_b
+      |  FROM keys a JOIN keys b
+      |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)""".stripMargin
+
+  val q75Sql: String =
+    s"""WITH $wordDropPairsCte
+      |SELECT levenshtein(s_a, s_b) AS dist, count(*) AS n_pairs
+      |FROM cand
+      |WHERE levenshtein(s_a, s_b) <= 4
       |GROUP BY 1
       |ORDER BY dist""".stripMargin
 

@@ -533,10 +533,11 @@ object WarehouseQueries {
     * q43's mega-clusters needed the iterative runner). */
   def q108EntityResolution(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    val pairs = graft.ops.StringSim.editDistancePairs(parts,
-      "p_partkey", "p_name",
-      s => concat_ws("#", element_at(split(s, " "), -1),
-        expr("length(p_name) div 2").cast("string")), maxDist = 2)
+    // word-drop multi-pass blocking (see q75): data-scaling block keys,
+    // not the constant-cardinality (last token, length band) key that
+    // measured 7.35× work at 10× data in round 9
+    val pairs = graft.ops.StringSim.editDistancePairsWordDrop(parts,
+      "p_partkey", "p_name", maxDist = 2)
     graft.ops.Cluster.connectedComponents(pairs, "id_a", "id_b")
       .join(parts, col("node") === col("p_partkey"))
       .groupBy(col("component"))
@@ -546,15 +547,10 @@ object WarehouseQueries {
   }
 
   val q108Sql: String =
-    """WITH RECURSIVE p AS (
-      |  SELECT p_partkey, p_name,
-      |    regexp_extract(p_name, '([^ ]+)$', 1) || '#' ||
-      |      (length(p_name) // 2) AS blk
-      |  FROM part),
+    s"""WITH RECURSIVE ${QualityQueries.wordDropPairsCte},
       |pairs AS (
-      |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-      |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE levenshtein(s_a, s_b) <= 2),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION

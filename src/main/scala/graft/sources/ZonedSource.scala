@@ -268,7 +268,11 @@ private[sources] class ZonedScan(manifest: ZonedManifest.Manifest,
                                  fullSchema: StructType,
                                  required: StructType,
                                  pruning: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with GraftScanIntrospection {
+
+  override def pushedPruningFilters: Seq[Filter] = pruning.toSeq
+  override def tableIdent: String = manifest.root
 
   private def asLong(v: Any): Long = v match {
     case l: Long => l
@@ -540,6 +544,23 @@ private[sources] object ZonedManifest {
   }
 }
 
+/** Introspection surface a graft DSv2 Scan exposes to OPTIMIZER RULES
+  * (plans.PkFkJoinElimination): which filters the scan pushed, and which
+  * stored table it reads. A v2 scan is otherwise a black box at the
+  * logical level — a rule that rewrites around one must be able to
+  * verify (a) no pushed filter could change the row set it assumes and
+  * (b) the scan really reads the table a declared constraint binds to. */
+trait GraftScanIntrospection {
+  /** Filters this scan will apply at STORAGE level. For ZonedScan these
+    * are row-neutral (zones are pruned only when no row can match, and
+    * every filter is also returned as a post-scan residual), but rules
+    * stay conservative and only trust an EMPTY list. */
+  def pushedPruningFilters: Seq[Filter]
+
+  /** Stable identity of the stored table (the layout root path). */
+  def tableIdent: String
+}
+
 /** Writer for the zoned layout: data via Spark's distributed CSV writer
   * (tab sep, `\N` nulls), manifest from ONE metadata-scale aggregate. */
 object ZonedCorpus {
@@ -744,12 +765,33 @@ object ZonedCorpus {
     require(!Files.exists(Paths.get(path, dirName)),
       s"delete zone $dirName collides with an existing directory")
     val distinctKeys = keys.distinct()
+    // the delete zone rides the layout's tab-CSV contract, where a
+    // NULL key never matches the left_anti join of readWithDeletes, an
+    // EMPTY string round-trips to null (same silent no-op), and a
+    // tab/newline inside a key tears the row — all three would be
+    // deletes that silently don't delete. Fail LOUDLY instead (fused
+    // into the same metadata-scale aggregate that counts the keys).
+    val badKey = keyCols.map { c =>
+      val base = col(c).isNull
+      if (keys.schema(c).dataType == StringType)
+        base || col(c) === "" || col(c) === "\\N" ||
+          col(c).contains("\t") || col(c).contains("\n") ||
+          col(c).contains("\r")
+      else base
+    }.reduce(_ || _)
+    val cnts = distinctKeys.agg(count(lit(1)).as("n"),
+      sum(when(badKey, 1L).otherwise(0L)).as("bad")).head()
+    val n = cnts.getLong(0)
+    val nBad = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
+    require(nBad == 0L,
+      s"$nBad delete key row(s) are null/empty or contain tab/newline/" +
+        "\\N — unsupported by the delete-zone CSV layout; such deletes " +
+        "would be silently dropped")
     val tmp = Files.createTempDirectory("graft-zoned-delete")
     distinctKeys.write
       .option("sep", "\t").option("nullValue", "\\N")
       .option("emptyValue", "").option("quote", "")
       .mode("overwrite").csv(tmp.toString)
-    val n = distinctKeys.count()
     val target = Paths.get(path, dirName)
     Files.createDirectories(target)
     val stream = Files.list(tmp)

@@ -21,10 +21,17 @@ import graft.ops.IncrementalAgg
  * Versioning gives replay idempotence without a transactional format:
  * batch b always merges the batch data into the newest version < b and
  * writes version b. Structured Streaming replays a failed batch with the
- * SAME batch id and content, so the replay recomputes version b from the
- * same inputs — converging, never double-counting (the double-run spec
- * asserts this byte-for-byte). Versions > the replayed id are by
- * construction absent (a batch id commits only after the batch ran).
+ * SAME batch id and content, so when version b is already COMMITTED
+ * (_SUCCESS present) the replay's merge would recompute the identical
+ * rows — mergeBatch therefore SKIPS it outright. That skip is what makes
+ * a replay safe for concurrent readers: published version directories
+ * are never deleted or rewritten in place (an overwrite would yank part
+ * files from under any DataFrame that already planned its scan over the
+ * old listing — the round-9 SketchStreamSpec race), and an UNcommitted
+ * directory (torn write after a crash) is invisible to readers —
+ * committedVersions requires _SUCCESS — so overwriting THAT is safe.
+ * Versions > the replayed id are by construction absent (a batch id
+ * commits only after the batch ran).
  *
  * All path handling goes through Hadoop's FileSystem API resolved from
  * the store URI itself, so the store may live on any supported
@@ -57,11 +64,16 @@ object PartialStore {
 
   /** One micro-batch: partials of `batch` merged into the newest store
     * version < `batchId`, written as version `batchId`. Public because it
-    * is exactly what a replay re-invokes — the specs call it directly. */
+    * is exactly what a replay re-invokes — the specs call it directly.
+    * A replay of an already-COMMITTED version is a no-op (deterministic
+    * merge of the same parent + same content ⇒ identical rows), which
+    * keeps published files immutable under concurrent readers. */
   def mergeBatch(batch: DataFrame, batchId: Long, store: String,
                  keyCols: Seq[String], valueCol: String): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(versionDir(store, batchId))
+    if (fs(store, conf).exists(new Path(target, "_SUCCESS"))) return
     val batchPartials =
       IncrementalAgg.partials(batch, keyCols, valueCol)
     val merged = latestVersion(store, beforeId = batchId, conf = conf) match {

@@ -95,7 +95,11 @@ class FrontierOpsSpec extends SparkSpec {
       === 600L)
     assert(got.getAs[java.math.BigDecimal]("kappa_den").longValueExact
       === 4600L)
-    assert(math.abs(got.getAs[Double]("kappa") - 600.0 / 4600.0) < 1e-15)
+    // the published kappa is quantized to 9 decimals (hash-stable
+    // across engines) — compare against the same quantization
+    assert(got.getAs[Double]("kappa")
+      === BigDecimal(600.0 / 4600.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("spearman: perfect monotone = 1, reversed = -1, ties match the " +
@@ -207,6 +211,63 @@ class FrontierOpsSpec extends SparkSpec {
         id -> ((in.map(_._2).sum, in.length.toLong))
       }.toMap
     assert(got === want)
+  }
+
+  test("range-sum index: NEGATIVE keys use floor blocks — no overcount " +
+      "on boundary-aligned ranges (round-9 advice)") {
+    import graft.ops.RangeSumIndex
+    // keys −6000..5997 step 3: blocks below zero everywhere
+    val df = synth(4000).select(($"id" * 3L - 6000L).as("k"), $"v")
+    val idx = RangeSumIndex.build(df, $"k", $"v", blockWidth = 10L)
+    val ranges = Seq(
+      (1L, -20L, -1L),    // lo on a (floor) block boundary, hi at −1
+      (2L, -20L, 19L),    // boundary-aligned both ends, crosses zero
+      (3L, -29L, -21L),   // exactly the keys trunc-div misassigned
+      (4L, -6000L, -5990L), // head of the domain
+      (5L, -7L, 4L)       // strictly interior, crosses zero
+    ).toDF("id", "lo", "hi")
+    val got = RangeSumIndex.probe(ranges, idx, df, $"k", $"v", 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val rows = df.select($"k", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = Seq((1L, -20L, -1L), (2L, -20L, 19L), (3L, -29L, -21L),
+      (4L, -6000L, -5990L), (5L, -7L, 4L))
+      .map { case (id, lo, hi) =>
+        val in = rows.filter(p => p._1 >= lo && p._1 <= hi)
+        id -> ((in.map(_._2).sum, in.length.toLong))
+      }.toMap
+    assert(got === want)
+  }
+
+  test("grouped range-sum index: many ranges per group == direct sums; " +
+      "a range never sees another group's blocks") {
+    import graft.ops.RangeSumIndex
+    val df = synth(3000).select(
+      (($"id" % 3).cast("string")).as("g"), ($"id" * 2L).as("k"), $"v")
+    val idx = RangeSumIndex.buildGrouped(df, $"g", $"k", $"v", 64L)
+    val ranges = Seq(
+      (1L, "0", 0L, 63L), (2L, "1", 0L, 63L),    // same window, two groups
+      (3L, "2", 64L, 64L), (4L, "0", 10L, 2000L),
+      (5L, "1", 128L, 511L), (6L, "2", 65L, 126L),
+      (7L, "0", 5990L, 99999L)
+    ).toDF("id", "g", "lo", "hi")
+    val got = RangeSumIndex.probeGrouped(ranges, idx, df, $"g", $"k", $"v",
+        64L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    val rows = df.select($"g", $"k", $"v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Seq((1L, "0", 0L, 63L), (2L, "1", 0L, 63L),
+      (3L, "2", 64L, 64L), (4L, "0", 10L, 2000L), (5L, "1", 128L, 511L),
+      (6L, "2", 65L, 126L), (7L, "0", 5990L, 99999L))
+      .map { case (id, g, lo, hi) =>
+        val in = rows.filter(p => p._1 == g && p._2 >= lo && p._2 <= hi)
+        id -> ((in.map(_._3).sum, in.length.toLong))
+      }.toMap
+    assert(got === want)
+    // the two same-window ranges (ids 1/2) answer from DIFFERENT groups
+    assert(got(1L) !== got(2L) || want(1L) === want(2L))
   }
 
   test("winsorized stats: clamps exactly at the rank-selected cuts") {

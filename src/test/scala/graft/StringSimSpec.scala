@@ -69,4 +69,51 @@ class StringSimSpec extends SparkSpec {
     // and chunk membership is deterministic (same input -> same pairs)
     assert(keyed.count() === nPairs)
   }
+
+  test("word-drop blocking == brute force restricted to the documented " +
+      "recall; empty-remainder passes are suppressed") {
+    val rows = Seq(
+      (1L, "red widget"), (2L, "rose widget"),      // one word changed
+      (3L, "red gadget"),                           // other word changed
+      (4L, "alpha beta gamma"), (5L, "alpha zeta gamma"), // D1 on 3 words
+      (6L, "alpha zz yy"),                          // D2 vs 4 (adjacent)
+      (7L, "bolt"), (8L, "bolt"), (9L, "rod"),      // 1-word: exact only
+      (10L, "old bolt"), (11L, "cold rod")          // 2-word, BOTH words
+        // changed: dist 4 but NOT a candidate — the degenerate D2 block
+        // (empty remainder) is suppressed, else every 2-word string
+        // would pair with every other (the all-pairs quadratic)
+    )
+    val df = rows.toDF("id", "name")
+    val got = StringSim.editDistancePairsWordDrop(df, "id", "name", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force oracle: the documented recall predicate
+    def words(s: String) = s.split(" ").toSeq
+    def candidate(a: String, b: String): Boolean = {
+      val (wa, wb) = (words(a), words(b))
+      if (a == b) true
+      else if (wa.length != wb.length) false
+      else {
+        val diff = wa.indices.filter(i => wa(i) != wb(i))
+        (diff.length == 1 && wa.length >= 2) ||
+          (diff.length == 2 && diff(1) == diff(0) + 1 && wa.length >= 3)
+      }
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && candidate(sa, sb) && lev(sa, sb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L)) && got.contains((4L, 5L)) &&
+      got.contains((7L, 8L)), "substitution + exact-dup recall")
+    assert(!got.contains((10L, 11L)),
+      "2-word both-words-changed pair must NOT be a candidate")
+  }
 }
