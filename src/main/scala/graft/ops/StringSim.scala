@@ -97,6 +97,50 @@ object StringSim {
       .filter(col("dist") <= maxDist)
   }
 
+  /**
+   * VALUE-COLLAPSED word-drop pairs — the high-multiplicity fast path.
+   * When the string domain is much smaller than the row count (TPC-H
+   * part names: 64 distinct values over 20k rows at sf0.1 — ~312 copies
+   * each), ROW-level blocking is doomed no matter the key: identical
+   * strings must meet, so candidate mass is Σ multiplicity² ≈ N²/|domain|
+   * — quadratic in rows at fixed domain. The scale-correct plan
+   * collapses duplicates FIRST (one hash aggregate: distinct string,
+   * its row count, its min id as a stable representative), runs the
+   * word-drop blocking + Levenshtein verify over the DISTINCT strings
+   * only, and lets the caller multiply counts back arithmetically
+   * (cross pairs = n_a·n_b; within-string pairs = C(n,2) at dist 0).
+   *
+   * Output: one row per distinct candidate string pair with
+   * lev ≤ maxDist, ordered s_a < s_b —
+   * (s_a, s_b, id_a, id_b, n_a, n_b, dist) where id_* is the min
+   * original id bearing that string (a deterministic representative for
+   * graph ops) and n_* its multiplicity. Recall contract = the word-drop
+   * contract (keys are string-determined, so collapsing loses nothing).
+   *
+   * 100 TB shape: one aggregate collapses rows to the distinct domain,
+   * everything pairwise happens at domain scale; work is
+   * O(rows + Σ distinct-block²), never O(Σ row-block²).
+   */
+  def editDistanceNamePairs(df: DataFrame, idCol: String, strCol: String,
+                            maxDist: Int): DataFrame = {
+    val names = df.filter(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("s"))
+      .agg(min(col(idCol)).as("mid"), count(lit(1)).as("n"))
+    val keyed = names.select(col("s"), col("mid"), col("n"),
+      explode(wordDropKeys(col("s"))).as("__blk"))
+    val a = keyed.select(col("__blk"), col("s").as("s_a"),
+      col("mid").as("id_a"), col("n").as("n_a"))
+    val b = keyed.select(col("__blk"), col("s").as("s_b"),
+      col("mid").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"), col("id_a"), col("id_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The D0 (exact) + D1 (drop one word) + D2 (drop two adjacent words)
     * key array for one string — `\u0001`-joined (tag, position,
     * remainder) so remainder content can never collide across

@@ -325,13 +325,28 @@ object QualityQueries {
     * differing in one word, or in two adjacent words of a ≥3-word name
     * (empty-remainder passes are suppressed — they are universal
     * blocks); the oracle pays the same passes in SQL. */
-  def q75EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.StringSim.editDistancePairsWordDrop(
-        Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
-        "p_partkey", "p_name", maxDist = 4)
+  def q75EditDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"))
+    // VALUE-COLLAPSED plan (see editDistanceNamePairs): the part-name
+    // domain is tiny relative to rows (64 names over 20k rows at
+    // sf0.1), so pairing happens on DISTINCT names and the histogram
+    // is reconstructed arithmetically — cross pairs n_a·n_b, exact
+    // duplicates C(n,2) at dist 0. Row-level blocking here is
+    // Σ multiplicity² ≈ N²/64 candidates — quadratic in rows — no
+    // matter how good the key is.
+    val cross = graft.ops.StringSim.editDistanceNamePairs(
+        parts, "p_partkey", "p_name", maxDist = 4)
+      .select(col("dist"), (col("n_a") * col("n_b")).as("np"))
+    val self = parts.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(lit(0).as("dist"), expr("c * (c - 1) div 2").as("np"))
+    cross.unionByName(self)
       .groupBy(col("dist"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("np")).as("n_pairs"))
       .orderBy(col("dist"))
+  }
 
   /** The word-drop candidate CTE shared by q75/q108's oracles — the SQL
     * twin of [[graft.ops.StringSim.wordDropKeys]] (chr(1)-joined tag,

@@ -533,15 +533,24 @@ object WarehouseQueries {
     * q43's mega-clusters needed the iterative runner). */
   def q108EntityResolution(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    // word-drop multi-pass blocking (see q75): data-scaling block keys,
-    // not the constant-cardinality (last token, length band) key that
-    // measured 7.35× work at 10× data in round 9
-    val pairs = graft.ops.StringSim.editDistancePairsWordDrop(parts,
+    // VALUE-COLLAPSED plan (q75's discipline applied to graph building):
+    // connectivity is NAME-determined — ids sharing a name are pairwise
+    // dist-0 edges — so the component graph collapses to one node per
+    // distinct name (representative = min id, so component ids equal the
+    // row-level ones), with a self-loop keeping duplicated-but-isolated
+    // names in the census. Membership counts multiply back (Σ n per
+    // component). Row-level edges here are Σ multiplicity² — quadratic.
+    val names = parts.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("c"))
+    val namePairs = graft.ops.StringSim.editDistanceNamePairs(parts,
       "p_partkey", "p_name", maxDist = 2)
-    graft.ops.Cluster.connectedComponents(pairs, "id_a", "id_b")
-      .join(parts, col("node") === col("p_partkey"))
+    val edges = namePairs.select(col("id_a"), col("id_b"))
+      .unionByName(names.filter(col("c") >= 2)
+        .select(col("nid").as("id_a"), col("nid").as("id_b")))
+    graft.ops.Cluster.connectedComponents(edges, "id_a", "id_b")
+      .join(names, col("node") === col("nid"))
       .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"),
+      .agg(sum(col("c")).cast("long").as("n_members"),
         min(col("p_name")).as("canonical_name"))
       .orderBy(col("component"))
   }

@@ -267,7 +267,7 @@ class FrontierOpsSpec extends SparkSpec {
       }.toMap
     assert(got === want)
     // the two same-window ranges (ids 1/2) answer from DIFFERENT groups
-    assert(got(1L) !== got(2L) || want(1L) === want(2L))
+    assert(got(1L) != got(2L) || want(1L) == want(2L))
   }
 
   test("winsorized stats: clamps exactly at the rank-selected cuts") {

@@ -116,4 +116,37 @@ class StringSimSpec extends SparkSpec {
     assert(!got.contains((10L, 11L)),
       "2-word both-words-changed pair must NOT be a candidate")
   }
+
+  test("value-collapsed name pairs reconstruct the row-level histogram " +
+      "exactly under heavy multiplicity") {
+    // 3 distinct names with multiplicities 4/3/2 + a singleton with no
+    // neighbors — the tiny-domain/huge-multiplicity shape where
+    // row-level blocking is quadratic in rows
+    val rows = (1L to 4L).map(i => (i, "red widget")) ++
+      (5L to 7L).map(i => (i, "rose widget")) ++
+      (8L to 9L).map(i => (i, "red gadget")) ++
+      Seq((10L, "lonely unique thing"))
+    val df = rows.toDF("id", "name")
+    val rowLevel = StringSim.editDistancePairsWordDrop(df, "id", "name", 4)
+      .groupBy($"dist").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val namePairs = StringSim.editDistanceNamePairs(df, "id", "name", 4)
+    val cross = namePairs
+      .select($"dist", ($"n_a" * $"n_b").as("np")).as[(Int, Long)].collect()
+    val self = df.groupBy($"name").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .select(lit(0).as("dist"), expr("c * (c - 1) div 2").as("np"))
+      .as[(Int, Long)].collect()
+    val reconstructed = (cross ++ self).groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).sum }
+    assert(reconstructed === rowLevel)
+    // representatives are the min id per name; counts are multiplicities
+    val reps = namePairs.select($"s_a", $"id_a", $"n_a")
+      .union(namePairs.select($"s_b", $"id_b", $"n_b"))
+      .distinct().as[(String, Long, Long)].collect()
+      .map { case (s, i, n) => s -> ((i, n)) }.toMap
+    assert(reps("red widget") === ((1L, 4L)))
+    assert(reps("rose widget") === ((5L, 3L)))
+    assert(reps("red gadget") === ((8L, 2L)))
+  }
 }
