@@ -14,14 +14,23 @@ import org.apache.spark.sql.functions._
  *   pe = Σ_k r1_k · r2_k / N²  (chance agreement from the marginals)
  *   κ  = (po − pe) / (1 − pe) = (N·Σn_kk − Σr1_k·r2_k) / (N² − Σr1_k·r2_k)
  *
- * The numerator and denominator are published as DECIMAL(38,0) —
- * bit-reproducible on any cluster; the convenience double is one final
- * division of those exact integers, QUANTIZED to 9 decimals. The raw
- * IEEE quotient is deliberately not on the output surface: once N²
- * exceeds 2^53 the DECIMAL→double casts are correctly-rounded but
- * engine-implementation-sensitive (round 9 saw DuckDB and Spark differ
- * in the last ulp), so the hashed contract carries the exact integers
- * plus a 1e-9-granular double that every engine renders identically.
+ * The numerator and denominator are computed in DECIMAL(38,0) — exact
+ * integer arithmetic end to end — and PUBLISHED as BIGINT: every
+ * sufficient statistic is bounded by N², so BIGINT holds it exactly up
+ * to N ≈ 3·10⁹ rated rows; past that, publish the DECIMAL rendered as
+ * a string (the documented escape hatch), never as a raw decimal
+ * column — engines disagree on how a decimal SURFACES to clients
+ * (round 10: Spark parquet delivers Decimal objects, DuckDB converts
+ * DECIMAL(38,0) to float64, so `92638` vs `92638.0` hash-missed on
+ * numerically identical values). The convenience double is one final
+ * division of those exact integers, QUANTIZED to 9 decimals: the raw
+ * IEEE quotient is deliberately not on the output surface (round 9 saw
+ * DuckDB and Spark differ in the last ulp once N² passed 2^53).
+ * Residual risk, disclosed: 9-decimal rounding itself is
+ * engine-implemented (Spark HALF_UP on the decimal rendering, DuckDB
+ * on the scaled binary), so a quotient within an ulp of a .5e-9
+ * boundary could still split — consumers needing bit-certainty
+ * re-derive the double from the published exact integers.
  *
  * Spark shape: ONE hash aggregation builds the K×K confusion table
  * (map-side combinable; K² cells of metadata), the marginal products
@@ -54,8 +63,9 @@ object Agreement {
       .withColumn("kappa",
         round(col("kappa_num").cast("double") /
           col("kappa_den").cast("double"), 9))
-      .select(col("n"), col("agree_n"), col("pe_num").cast(d).as("pe_num"),
-        col("kappa_num").cast(d).as("kappa_num"),
-        col("kappa_den").cast(d).as("kappa_den"), col("kappa"))
+      .select(col("n"), col("agree_n"),
+        col("pe_num").cast("long").as("pe_num"),
+        col("kappa_num").cast("long").as("kappa_num"),
+        col("kappa_den").cast("long").as("kappa_den"), col("kappa"))
   }
 }

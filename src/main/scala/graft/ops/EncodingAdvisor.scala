@@ -70,6 +70,16 @@ object EncodingAdvisor {
     case (null, null)           => true
     case (a: Double, b: Double) => a == b || (a.isNaN && b.isNaN)
     case (a: Float, b: Float)   => a == b || (a.isNaN && b.isNaN)
+    // BinaryType surfaces as Array[Byte], whose == is reference
+    // equality — without this case every partition boundary of a
+    // binary candidate counted as a run change while <=> compared
+    // in-partition pairs by value (the same inconsistency class the
+    // NaN cases fix)
+    case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+    // DecimalType: <=> compares numerically, BigDecimal.equals also
+    // compares scale (2.0 != 2.00) — use compareTo
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+      a.compareTo(b) == 0
     case _                      => x != null && x == y
   }
 

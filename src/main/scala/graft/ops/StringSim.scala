@@ -59,9 +59,11 @@ object StringSim {
    *               only for n ≥ 3
    *
    * Two strings share a D1 key iff they are equal outside ONE word
-   * position, a D2 key iff equal outside two ADJACENT positions — which
-   * is where a ≤ `maxDist`-char edit of a multi-word string lives (a
-   * ≤ 4-char edit can touch at most two adjacent words). Same-position
+   * position, a D2 key iff equal outside two ADJACENT positions — the
+   * most common shapes of a small edit (a contiguous ≤ `maxDist`-char
+   * edit spans at most two adjacent words; NON-adjacent multi-word
+   * edits, e.g. two 1-char substitutions in separate words, are traded
+   * away exactly as the recall contract below states). Same-position
    * equality also forces equal word COUNTS, so keys never cross shapes.
    * A pass is emitted ONLY when its remainder is non-empty: an empty
    * remainder (D1 of a 1-word string, D2 of a 2-word string) is one

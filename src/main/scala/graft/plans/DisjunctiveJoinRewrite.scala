@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, EqualTo,
+  Expression, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan,
+  Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * DISJUNCTIVE-JOIN rewrite — a custom Catalyst `Rule[LogicalPlan]` that
+ * promotes the J4 union-of-equi-joins convention (SURVEY §7.4, built by
+ * hand in q05/q217 since round 2) into the optimizer, so ANY user query
+ * joining on `k1 = k1' OR k2 = k2'` gets the scale-safe plan without
+ * knowing the trick (reference shape: trends.go:357-367 joins
+ * status.ust_status_id twice under an OR).
+ *
+ * Spark plans an inner join whose condition is a pure disjunction as a
+ * BroadcastNestedLoopJoin — O(|L|·|R|) comparisons, the plan that dies
+ * first at 100 TB. But a disjunction of k cross-side equality
+ * predicates is a union of k HASH joins, provided double-counting is
+ * compensated. This rule rewrites
+ *
+ *   Join(L, R, Inner, d1 OR d2 OR … OR dk)
+ *     ⇒ Union_i Join(L, R, Inner, di AND ¬coalesce(d1, false)
+ *                                    AND … AND ¬coalesce(d(i-1), false))
+ *
+ * Branch i admits a pair iff di is TRUE and every earlier disjunct is
+ * NOT TRUE (false or null — exactly the pairs earlier branches did not
+ * emit), so each qualifying (l, r) pair appears in EXACTLY ONE branch:
+ * the rewrite is BAG-EXACT for any inner join — no Distinct ancestor
+ * required, duplicates from duplicate input rows preserved. Each
+ * branch's condition carries di's cross-side `EqualTo` as a hash key
+ * (ExtractEquiJoinKeys lifts it at planning; the ¬coalesce guards
+ * evaluate as the join's residual), so every branch is a shuffled or
+ * broadcast HASH join — linear data movement, k scans of each side
+ * instead of the nested-loop quadratic.
+ *
+ * Fires ONLY when ALL of:
+ *  - the join is INNER with a condition that is a top-level disjunction
+ *    (2 ≤ k ≤ `MaxDisjuncts`) — outer joins change null-padding
+ *    semantics per branch and are vetoed;
+ *  - every disjunct is DETERMINISTIC (a nondeterministic predicate
+ *    evaluated once per pair cannot be re-evaluated once per branch);
+ *  - every disjunct contains at least one conjunct `EqualTo(a, b)` with
+ *    `a` referencing only one side and `b` only the other — a disjunct
+ *    without a cross-side hash key (e.g. `x > y`) leaves its branch a
+ *    nested loop, so the rewrite would gain nothing: vetoed, the
+ *    nested loop is then semantically required.
+ * A condition like `a = b AND (… OR …)` is NOT a top-level disjunction
+ * — it already carries a hash key and plans as an equi join with the
+ * OR as residual; untouched.
+ *
+ * Scale note: the branches share the left/right subplans, so the k
+ * branches re-scan each side k times (Spark unions do not share
+ * subplan results). That is the same cost the handwritten form pays
+ * and is linear in the data — the trade this rewrite exists to make.
+ */
+object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
+
+  /** Plan-size guard: a 9-way OR is 9 joins — past this, keep the
+    * nested loop rather than explode the plan. */
+  val MaxDisjuncts = 8
+
+  private def disjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+    case other    => Seq(other)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Does `d` carry a hash-joinable cross-side equality conjunct? */
+  private def hasCrossEquiKey(d: Expression, left: LogicalPlan,
+                              right: LogicalPlan): Boolean =
+    conjuncts(d).exists {
+      case EqualTo(a, b) =>
+        val (ar, br) = (a.references, b.references)
+        ar.nonEmpty && br.nonEmpty &&
+          ((ar.subsetOf(left.outputSet) && br.subsetOf(right.outputSet)) ||
+            (br.subsetOf(left.outputSet) && ar.subsetOf(right.outputSet)))
+      case _ => false
+    }
+
+  /** TRUE-complement of a possibly-null predicate: rows where `e` is
+    * false OR null — the pairs no earlier branch emitted. */
+  private def notTrue(e: Expression): Expression =
+    Not(Coalesce(Seq(e, Literal.FalseLiteral)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val ds = disjuncts(cond)
+      val eligible = ds.length >= 2 && ds.length <= MaxDisjuncts &&
+        ds.forall(d => d.deterministic && hasCrossEquiKey(d, left, right))
+      if (!eligible) j
+      else {
+        val branches: Seq[LogicalPlan] = ds.zipWithIndex.map {
+          case (d, i) =>
+            val guards = ds.take(i).map(notTrue)
+            Join(left, right, Inner,
+              Some((d +: guards).reduce(And)), hint)
+        }
+        Union(branches)
+      }
+  }
+
+  /** Idempotently install into the session's experimental optimizations
+    * (the user-provided batch — pruning and pushdown have already run,
+    * so the disjunction is bare on the Join by the time we see it). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(this))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ this
+    }
+}

@@ -33,11 +33,14 @@ import graft.sources.GraftScanIntrospection
  *
  * TABLE BINDING (round-9 advice): the column-name convention is the
  * safety linchpin of a result-changing rewrite, so a declaration may
- * additionally bind the pk to a TABLE TAG — a substring of the scanned
- * table's identity (file path / layout root / catalog name). When a
- * binding exists, the rule eliminates the join only if the dim leaf's
- * identity carries the tag; a LocalRelation (no identity) is then never
- * eligible. Unbound declarations keep the documented convention.
+ * additionally bind the pk to a TABLE TAG — the scanned table's
+ * identity (file path / layout root / catalog name), compared EXACTLY
+ * per identity component after path normalization, never by substring
+ * (round-10 advice: `/data/dim` must not bind `/data/dim_backup`).
+ * When a binding exists, the rule eliminates the join only if the dim
+ * leaf's identity carries the tag; a LocalRelation (no identity) is
+ * then never eligible. Unbound declarations keep the documented
+ * convention.
  */
 object ConstraintCatalog {
   private val riPairs =
@@ -121,9 +124,11 @@ object PkFkJoinElimination extends Rule[LogicalPlan] {
     *    Filter shape above proves the scan returns every dim row).
     *    Opaque v2 scans stay ineligible: their pushdown is invisible.
     *
-    * When the pk carries a TABLE BINDING, the leaf's identity (file
-    * paths / layout root / catalog name) must contain the bound tag —
-    * a same-named column on a different table no longer qualifies. */
+    * When the pk carries a TABLE BINDING, one of the leaf's identity
+    * components (file paths / layout root / catalog name) must EQUAL
+    * the bound tag after path normalization — a same-named column on a
+    * different table, or one whose path merely extends the tag, never
+    * qualifies. */
   private def bareScan(plan: LogicalPlan, pk: Attribute): Boolean =
     plan match {
       case Project(projectList, child) =>
@@ -141,28 +146,43 @@ object PkFkJoinElimination extends Rule[LogicalPlan] {
       case r: DataSourceV2ScanRelation => r.scan match {
         case g: GraftScanIntrospection =>
           g.pushedPruningFilters.isEmpty &&
-            boundTo(pk, Some(g.tableIdent))
+            boundTo(pk, Seq(g.tableIdent))
         case _ => false
       }
       case _ => false
     }
 
   /** Leaf identity honors the pk's table binding (absent binding ⇒
-    * the documented globally-unique-column-name convention). */
-  private def boundTo(pk: Attribute, ident: => Option[String]): Boolean =
+    * the documented globally-unique-column-name convention). The bound
+    * tag must equal one identity COMPONENT exactly after path
+    * normalization — never substring containment, which would let a
+    * tag that is a path prefix of another table (`/data/dim` vs
+    * `/data/dim_backup`) mis-bind and eliminate a join against the
+    * wrong table (round-10 advice). */
+  private def boundTo(pk: Attribute, ident: => Seq[String]): Boolean =
     ConstraintCatalog.tableBinding(pk.name) match {
       case None => true
-      case Some(tag) => ident.exists(_.contains(tag))
+      case Some(tag) =>
+        val t = normIdent(tag)
+        ident.exists(normIdent(_) == t)
     }
 
-  private def leafIdent(lr: LogicalRelation): Option[String] = {
+  /** Strip a URI scheme (`file:`, `hdfs://…` host-less forms Spark
+    * emits for rootPaths) and any trailing slash so a declared local
+    * path compares equal to the scan's qualified form of it. */
+  private def normIdent(p: String): String = {
+    val noScheme = p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:(//)?", "/")
+      .replaceFirst("^/+", "/")
+    if (noScheme.length > 1) noScheme.reverse.dropWhile(_ == '/').reverse
+    else noScheme
+  }
+
+  private def leafIdent(lr: LogicalRelation): Seq[String] = {
     val rel = lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.map(_.toString).mkString(",")
-      case other => other.toString
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case other => Seq(other.toString)
     }
-    Some((rel +: lr.catalogTable.map(_.identifier.unquotedString).toSeq)
-      .mkString(","))
+    rel ++ lr.catalogTable.map(_.identifier.unquotedString).toSeq
   }
 
   private def splitConjunctivePredicates(

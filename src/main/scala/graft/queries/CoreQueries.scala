@@ -133,19 +133,22 @@ object CoreQueries {
 
   /**
    * q05 — disjunctive (OR-condition) join (J4; trends.go:357-367). Spark
-   * would plan the OR as a BroadcastNestedLoopJoin; at 100 TB that is
-   * quadratic, so we apply SURVEY §7.4's rewrite: a UNION of the two
-   * equi-joins (each hash-partitioned on its own key) + dropDuplicates.
-   * The oracle states the original OR form.
+   * would plan the OR as a BroadcastNestedLoopJoin — at 100 TB that is
+   * quadratic. Since round 11 the query STATES the natural OR form and
+   * [[graft.plans.DisjunctiveJoinRewrite]] (the SURVEY §7.4 rewrite
+   * promoted from builder convention to a Catalyst rule) turns it into
+   * the union of hash equi-joins with complement compensation — any
+   * user query with this shape now gets the scale-safe plan.
+   * The oracle states the same OR form.
    */
   def q05DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DisjunctiveJoinRewrite.install(spark)
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
-    val byNation = s.join(c, col("s_nationkey") === col("c_nationkey"))
+    s.join(c, col("s_nationkey") === col("c_nationkey") ||
+        col("s_suppkey") === col("c_custkey"))
       .select(col("s_suppkey"), col("c_custkey"))
-    val byKey = s.join(c, col("s_suppkey") === col("c_custkey"))
-      .select(col("s_suppkey"), col("c_custkey"))
-    byNation.union(byKey).dropDuplicates("s_suppkey", "c_custkey")
+      .dropDuplicates("s_suppkey", "c_custkey")
       .orderBy(col("s_suppkey"), col("c_custkey"))
   }
 

@@ -248,7 +248,8 @@ object FrontierQueries {
       |  (2, 700000000000000033, 900000000000000059),
       |  (3, 1200000000000000011, 1500000000000000041)),
       |cells AS (
-      |  SELECT d, CAST(((CAST(user_id AS HUGEINT) * a + b)
+      |  SELECT d, CAST((((CAST(user_id AS HUGEINT) * a + b)
+      |      % 2305843009213693951 + 2305843009213693951)
       |      % 2305843009213693951) % 64 AS BIGINT) AS bucket,
       |    count(*) AS n
       |  FROM events CROSS JOIN h
@@ -259,7 +260,8 @@ object FrontierQueries {
       |  SELECT p.k, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est
       |  FROM probes p CROSS JOIN h
       |  LEFT JOIN cells c ON c.d = h.d
-      |    AND c.bucket = CAST(((CAST(p.k AS HUGEINT) * h.a + h.b)
+      |    AND c.bucket = CAST((((CAST(p.k AS HUGEINT) * h.a + h.b)
+      |      % 2305843009213693951 + 2305843009213693951)
       |      % 2305843009213693951) % 64 AS BIGINT)
       |  GROUP BY p.k),
       |tru AS (
@@ -302,7 +304,9 @@ object FrontierQueries {
     * agreement between two deterministic document "raters" (size class
     * from n_chars vs size class from whitespace-stripped length) in
     * exact integer arithmetic — one K×K confusion aggregate, DECIMAL
-    * numerator/denominator, IEEE-identical final division. */
+    * numerator/denominator internally, PUBLISHED AS BIGINT (raw
+    * decimal columns surface differently per client engine — the
+    * round-10 hash-miss class), IEEE-identical final division. */
   def q206CohensKappa(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val rated = d.select(
@@ -337,9 +341,9 @@ object FrontierQueries {
       |    JOIN (SELECT kb, sum(n_ab) AS r2k FROM cells GROUP BY kb) y
       |    ON x.ka = y.kb)
       |SELECT n, agree_n,
-      |  CAST(pe_num AS DECIMAL(38,0)) AS pe_num,
-      |  CAST(n * agree_n - pe_num AS DECIMAL(38,0)) AS kappa_num,
-      |  CAST(n * n - pe_num AS DECIMAL(38,0)) AS kappa_den,
+      |  CAST(pe_num AS BIGINT) AS pe_num,
+      |  CAST(n * agree_n - pe_num AS BIGINT) AS kappa_num,
+      |  CAST(n * n - pe_num AS BIGINT) AS kappa_den,
       |  round(CAST(n * agree_n - pe_num AS DOUBLE)
       |    / CAST(n * n - pe_num AS DOUBLE), 9) AS kappa
       |FROM m CROSS JOIN pe""".stripMargin
@@ -378,8 +382,8 @@ object FrontierQueries {
   /** q208 — exact SPEARMAN rank correlation
     * ([[graft.ops.Spearman.correlate]]): tie-averaged ranks kept ×2 in
     * longs, computed by NDV-scale two-phase prefix sums (never a global
-    * rank window), five DECIMAL sufficient sums, one IEEE-exact final
-    * rho. Variables: document size vs whitespace count — the
+    * rank window), five exact sufficient sums (DECIMAL internally,
+    * BIGINT on the published surface), one IEEE-exact final rho. Variables: document size vs whitespace count — the
     * distribution-free "does length track token count" check. */
   def q208Spearman(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
@@ -403,11 +407,11 @@ object FrontierQueries {
       |      + count(*) OVER (PARTITION BY y) - 1 AS r2
       |  FROM pts)
       |SELECT CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(r1) AS DECIMAL(38,0)) AS sx,
-      |  CAST(sum(r2) AS DECIMAL(38,0)) AS sy,
-      |  CAST(sum(r1 * r1) AS DECIMAL(38,0)) AS sxx,
-      |  CAST(sum(r2 * r2) AS DECIMAL(38,0)) AS syy,
-      |  CAST(sum(r1 * r2) AS DECIMAL(38,0)) AS sxy,
+      |  CAST(sum(r1) AS BIGINT) AS sx,
+      |  CAST(sum(r2) AS BIGINT) AS sy,
+      |  CAST(sum(r1 * r1) AS BIGINT) AS sxx,
+      |  CAST(sum(r2 * r2) AS BIGINT) AS syy,
+      |  CAST(sum(r1 * r2) AS BIGINT) AS sxy,
       |  round(CAST(count(*) * sum(r1 * r2) - sum(r1) * sum(r2) AS DOUBLE)
       |    / sqrt(CAST(count(*) * sum(r1 * r1) - sum(r1) * sum(r1)
       |        AS DOUBLE)
@@ -551,7 +555,8 @@ object FrontierQueries {
       |  (1, 300000000000000011, 50000000000000051),
       |  (2, 700000000000000033, 900000000000000059),
       |  (3, 1200000000000000011, 1500000000000000041))
-      |SELECT d, CAST(((CAST(user_id AS HUGEINT) * a + b)
+      |SELECT d, CAST((((CAST(user_id AS HUGEINT) * a + b)
+      |    % 2305843009213693951 + 2305843009213693951)
       |    % 2305843009213693951) % 64 AS BIGINT) AS bucket,
       |  count(*) AS n
       |FROM events CROSS JOIN h
@@ -693,24 +698,26 @@ object FrontierQueries {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
-  /** q217 — HIGH-CARDINALITY disjunctive join (q05's union-of-equi-joins
-    * rewrite where the advantage is MEASURABLE): q05's nation-key
-    * disjunct makes the RESULT quadratic by declared semantics, so at
-    * 10× data its scaling row only shows output growth. Here both
-    * disjuncts are selective — same entity key OR same account balance
-    * in cents (~1.1M-value domain) — so output stays near-linear and the
-    * scaling row isolates the JOIN work: two hash equi-joins + distinct,
-    * never the BroadcastNestedLoopJoin Spark plans for a raw OR. */
+  /** q217 — HIGH-CARDINALITY disjunctive join (q05's shape where the
+    * rewrite's advantage is MEASURABLE): q05's nation-key disjunct
+    * makes the RESULT quadratic by declared semantics, so at 10× data
+    * its scaling row only shows output growth. Here both disjuncts are
+    * selective — same entity key OR same account balance in cents
+    * (~1.1M-value domain) — so output stays near-linear and the scaling
+    * row isolates the JOIN work. Since round 11 the query states the
+    * raw OR and [[graft.plans.DisjunctiveJoinRewrite]] plans it as the
+    * compensated union of hash equi-joins — never the
+    * BroadcastNestedLoopJoin Spark plans for a raw OR. */
   def q217DisjunctHighCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DisjunctiveJoinRewrite.install(spark)
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
       round(col("s_acctbal") * 100).cast("long").as("s_cents"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"),
       round(col("c_acctbal") * 100).cast("long").as("c_cents"))
-    val byKey = s.join(c, col("s_suppkey") === col("c_custkey"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents"))
       .select(col("s_suppkey"), col("c_custkey"))
-    val byBal = s.join(c, col("s_cents") === col("c_cents"))
-      .select(col("s_suppkey"), col("c_custkey"))
-    byKey.union(byBal).dropDuplicates("s_suppkey", "c_custkey")
+      .dropDuplicates("s_suppkey", "c_custkey")
       .orderBy(col("s_suppkey"), col("c_custkey"))
   }
 
@@ -773,6 +780,43 @@ object FrontierQueries {
       |GROUP BY id, g, lo, hi
       |ORDER BY id""".stripMargin
   }
+
+  /** q219 — THREE-disjunct OR-join through
+    * [[graft.plans.DisjunctiveJoinRewrite]]: entity key OR balance
+    * cents OR the 9-digit name suffix. The suffix disjunct duplicates
+    * the key disjunct EXACTLY (both names zero-pad the key to 9
+    * digits), so the rule's complement compensation is load-bearing —
+    * branch 3 must emit zero rows or the bag double-counts; the oracle
+    * states the raw 3-way OR. Also the k>2 gate for the rewrite's
+    * n-ary guard chain (¬d1 ∧ ¬d2 on the last branch). */
+  def q219TripleDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.DisjunctiveJoinRewrite.install(spark)
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"),
+      expr("right(s_name, 9)").as("s_sfx"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("c_cents"),
+      expr("right(c_name, 9)").as("c_sfx"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents") ||
+        col("s_sfx") === col("c_sfx"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("c_custkey")).as("min_cust"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q219Sql: String =
+    """SELECT s_suppkey, count(*) AS n_matches,
+      |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM supplier JOIN customer
+      |  ON s_suppkey = c_custkey
+      |  OR CAST(round(s_acctbal * 100) AS BIGINT)
+      |    = CAST(round(c_acctbal * 100) AS BIGINT)
+      |  OR right(s_name, 9) = right(c_name, 9)
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
 
   val q213Sql: String =
     """WITH r(id, lo, hi) AS (VALUES

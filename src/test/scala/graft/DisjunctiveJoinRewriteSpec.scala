@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+import org.apache.spark.sql.functions._
+
+import graft.plans.DisjunctiveJoinRewrite
+
+/** The disjunctive-join rewrite rule: an inner join on a pure
+  * disjunction of cross-side equalities becomes a compensated union of
+  * hash joins — BAG-exact (no Distinct required), so every test
+  * compares full multiset answers against the vetoed nested-loop plan.
+  * Veto shapes pinned: outer joins, non-deterministic disjuncts,
+  * disjuncts without a cross-side equi key, And-around-Or conditions,
+  * and the MaxDisjuncts cap. */
+class DisjunctiveJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unions(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case u: Union => u }.size
+
+  private def joins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+
+  private def nlJoins(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .split('\n').count(_.contains("BroadcastNestedLoopJoin"))
+
+  private def withoutRule[A](body: => A): A =
+    spark.experimental.synchronized {
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ eq DisjunctiveJoinRewrite)
+      try body
+      finally spark.experimental.extraOptimizations = saved
+    }
+
+  // duplicate rows on both sides + a pair matching BOTH disjuncts +
+  // a null key on each side: the compensation stress shape
+  private lazy val left = Seq(
+    (1L, 10L), (1L, 10L), (2L, 20L), (3L, 30L),
+    (4L, 99L), (5L, 77L)
+  ).toDF("lk", "lv").withColumn("lnull",
+    when($"lk" === 5L, lit(null).cast("long")).otherwise($"lk"))
+
+  private lazy val right = Seq(
+    (1L, 10L), (2L, 25L), (3L, 30L), (3L, 30L),
+    (9L, 99L), (5L, 88L)
+  ).toDF("rk", "rv").withColumn("rnull",
+    when($"rk" === 5L, lit(null).cast("long")).otherwise($"rk"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("2-disjunct inner OR-join: rewritten to a Union of hash joins, " +
+      "answers (bag, with duplicates and both-disjunct pairs) unchanged") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
+    assert(unions(q) === 1, "no Union in:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    assert(joins(q) === 2)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("3-disjunct with one disjunct DUPLICATING another: compensation " +
+      "keeps the bag exact (no double counting) under count(*)") {
+    DisjunctiveJoinRewrite.install(spark)
+    // lk=rk duplicates lnull=rnull for every non-null key
+    val q = left.join(right,
+        $"lk" === $"rk" || $"lv" === $"rv" || $"lnull" === $"rnull")
+      .groupBy($"lk").agg(count(lit(1)).as("n")).orderBy($"lk")
+    assert(unions(q) === 1)
+    assert(joins(q) === 3)
+    val expected = withoutRule {
+      sortedRows(left.join(right,
+          $"lk" === $"rk" || $"lv" === $"rv" || $"lnull" === $"rnull")
+        .groupBy($"lk").agg(count(lit(1)).as("n")).orderBy($"lk"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("null keys: a null disjunct value routes the pair to the other " +
+      "branch, never drops or doubles it") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv")
+    val expected = withoutRule {
+      sortedRows(left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("veto: outer joins keep their OR condition") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "left_outer")
+    assert(unions(q) === 0)
+    assert(joins(q) === 1)
+  }
+
+  test("veto: a non-deterministic disjunct is untouched (defense in " +
+      "depth — Spark's analyzer already rejects the shape end-to-end, " +
+      "so the rule is exercised directly on a constructed Join)") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Or, Rand}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      JoinHint}
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    val lk = l.output.find(_.name == "lk").get
+    val rk = r.output.find(_.name == "rk").get
+    val rv = r.output.find(_.name == "rv").get
+    val cond = Or(EqualTo(lk, rk),
+      EqualTo(org.apache.spark.sql.catalyst.expressions.Cast(
+        Rand(org.apache.spark.sql.catalyst.expressions.Literal(7L)),
+        org.apache.spark.sql.types.LongType), rv))
+    val j = LJoin(l, r, Inner, Some(cond), JoinHint.NONE)
+    assert(DisjunctiveJoinRewrite(j) eq j,
+      "nondeterministic disjunct was rewritten")
+    // same shape with a deterministic second disjunct DOES rewrite —
+    // the guard is the determinism, not the construction
+    val detCond = Or(EqualTo(lk, rk), EqualTo(lk, rv))
+    val dj = LJoin(l, r, Inner, Some(detCond), JoinHint.NONE)
+    assert(!(DisjunctiveJoinRewrite(dj) eq dj),
+      "deterministic control did not rewrite")
+  }
+
+  test("veto: a disjunct without a cross-side equi key (range predicate) " +
+      "keeps the nested loop — it is semantically required") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lk" === $"rk" || $"lv" > $"rv")
+    assert(unions(q) === 0)
+    assert(joins(q) === 1)
+  }
+
+  test("veto: And-around-Or already has a hash key — untouched (the OR " +
+      "is the hash join's residual, a union would be a pessimization)") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right,
+      $"lk" === $"rk" && ($"lv" === $"rv" || $"lv" > $"rv"))
+    assert(unions(q) === 0)
+    assert(joins(q) === 1)
+  }
+
+  test("veto: same-side equality is not a cross-side key") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lk" === $"rk" || $"lk" === $"lv")
+    assert(unions(q) === 0)
+  }
+
+  test("cap: more than MaxDisjuncts disjuncts keep the original join") {
+    DisjunctiveJoinRewrite.install(spark)
+    val cond = (0 to DisjunctiveJoinRewrite.MaxDisjuncts)
+      .map(i => ($"lk" + lit(i.toLong)) === $"rk")
+      .reduce(_ || _)
+    val q = left.join(right, cond)
+    assert(unions(q) === 0)
+  }
+}

@@ -88,13 +88,12 @@ class FrontierOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n") === 100L)
     assert(got.getAs[Long]("agree_n") === 60L)
     // pe_num = r1y*r2y + r1n*r2n = 60*70 + 40*30 = 5400
-    assert(got.getAs[java.math.BigDecimal]("pe_num").longValueExact
-      === 5400L)
+    // (published as BIGINT — raw decimal columns surface differently
+    // per client engine, the round-10 hash-miss class)
+    assert(got.getAs[Long]("pe_num") === 5400L)
     // kappa = (100*60 - 5400) / (10000 - 5400) = 600/4600
-    assert(got.getAs[java.math.BigDecimal]("kappa_num").longValueExact
-      === 600L)
-    assert(got.getAs[java.math.BigDecimal]("kappa_den").longValueExact
-      === 4600L)
+    assert(got.getAs[Long]("kappa_num") === 600L)
+    assert(got.getAs[Long]("kappa_den") === 4600L)
     // the published kappa is quantized to 9 decimals (hash-stable
     // across engines) — compare against the same quantization
     assert(got.getAs[Double]("kappa")
@@ -119,10 +118,9 @@ class FrontierOpsSpec extends SparkSpec {
     val tied = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L)).toDF("x", "y")
     val r = Spearman.correlate(tied, $"x", $"y").collect().head
     assert(r.getAs[Long]("n") === 4L)
-    assert(r.getAs[java.math.BigDecimal]("sx").longValueExact === 20L)
-    assert(r.getAs[java.math.BigDecimal]("sy").longValueExact === 20L)
-    assert(r.getAs[java.math.BigDecimal]("sxy").longValueExact
-      === (2 * 2 + 5 * 6 + 5 * 4 + 8 * 8).toLong)
+    assert(r.getAs[Long]("sx") === 20L)
+    assert(r.getAs[Long]("sy") === 20L)
+    assert(r.getAs[Long]("sxy") === (2 * 2 + 5 * 6 + 5 * 4 + 8 * 8).toLong)
   }
 
   test("multi-pass linkage: pair caught by two passes scores ONCE; " +

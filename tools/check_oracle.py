@@ -6,6 +6,7 @@ with the Spark result parquet dumped by graft.Verify.
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
+import decimal
 import duckdb
 import pandas as pd
 
@@ -64,12 +65,32 @@ def main(sf_dir, out_dir):
             # when every value is numerically identical (round-5 q114).
             # Fail loudly on any int-vs-float kind mismatch so the
             # self-gate can never be greener than the driver's gate.
+            # Round-10 extension: a Spark DECIMAL column reaches pandas
+            # as OBJECT-kind decimal.Decimal while DuckDB's fetchdf()
+            # converts DECIMAL(38,0) to float64 — that bridge renders
+            # `92638` vs `92638.0` and hash-misses on identical values,
+            # and assert_frame_equal(check_exact=True) treats
+            # Decimal('92638') == 92638.0 as equal, so it is invisible
+            # below. Flag any Decimal-vs-numeric (or Decimal-vs-anything
+            # non-Decimal) pair the same loud way.
+            def _is_decimal_col(s):
+                if s.dtype.kind != "O":
+                    return False
+                nn = s.dropna()
+                return len(nn) > 0 and isinstance(nn.iloc[0], decimal.Decimal)
             for c in spark_df.columns:
                 sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
                 if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
                     print(f"FAIL {name}: dtype bridge col={c} "
                           f"spark={spark_df[c].dtype} duck={duck_df[c].dtype} "
                           "(CAST the oracle aggregate to the Spark type)")
+                    ok = False
+                elif _is_decimal_col(spark_df[c]) != _is_decimal_col(duck_df[c]):
+                    print(f"FAIL {name}: Decimal bridge col={c} "
+                          f"spark_decimal={_is_decimal_col(spark_df[c])} "
+                          f"duck_decimal={_is_decimal_col(duck_df[c])} "
+                          "(publish BIGINT, or strings beyond 2^63 — raw "
+                          "decimal columns render differently per engine)")
                     ok = False
             if ok:
                 try:
@@ -78,6 +99,23 @@ def main(sf_dir, out_dir):
                 except AssertionError as e:
                     print(f"FAIL {name}: values differ\n{str(e)[:600]}")
                     ok = False
+            if ok:
+                # RENDERING equality — the driver hashes str() of every
+                # cell, so numeric equality is not enough: compare the
+                # actual hashed surface cell by cell (catches any future
+                # same-value-different-rendering class, not just the two
+                # seen so far).
+                for c in spark_df.columns:
+                    sr = spark_df[c].map(lambda v: str(v))
+                    dr = duck_df[c].map(lambda v: str(v))
+                    bad = sr[sr != dr]
+                    if len(bad):
+                        i = bad.index[0]
+                        print(f"FAIL {name}: rendering differs col={c} "
+                              f"row={i} spark={sr[i]!r} duck={dr[i]!r} "
+                              f"({len(bad)} cells)")
+                        ok = False
+                        break
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
         else:
