@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, EqualTo,
-  Expression, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet,
+  Coalesce, EqualTo, Expression, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan,
-  Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+  LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /**
@@ -89,21 +89,52 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
   private def notTrue(e: Expression): Expression =
     Not(Coalesce(Seq(e, Literal.FalseLiteral)))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+  /** The compensated union when `j` is eligible, else None. */
+  private def rewrite(j: Join): Option[Union] = j match {
+    case Join(left, right, Inner, Some(cond), hint) =>
       val ds = disjuncts(cond)
       val eligible = ds.length >= 2 && ds.length <= MaxDisjuncts &&
         ds.forall(d => d.deterministic && hasCrossEquiKey(d, left, right))
-      if (!eligible) j
-      else {
-        val branches: Seq[LogicalPlan] = ds.zipWithIndex.map {
-          case (d, i) =>
-            val guards = ds.take(i).map(notTrue)
-            Join(left, right, Inner,
-              Some((d +: guards).reduce(And)), hint)
-        }
-        Union(branches)
-      }
+      if (!eligible) None
+      else Some(Union(ds.zipWithIndex.map { case (d, i) =>
+        val guards = ds.take(i).map(notTrue)
+        Join(left, right, Inner,
+          Some((d +: guards).reduce(And)), hint): LogicalPlan
+      }))
+    case _ => None
+  }
+
+  /** Column-prune each branch to the attributes the PARENT reads: this
+    * rule runs in the user-provided batch AFTER the standard optimizer,
+    * so nothing re-runs ColumnPruning on the new Union — without this,
+    * every branch would shuffle the join's FULL output width through
+    * the parent aggregate (measured on q05 at 10×: the unpruned union
+    * carried both nation keys through a 60M-row dedup exchange, ~2×
+    * the handwritten plan's cost). Branches project the SAME attribute
+    * sequence, so the Union's output stays position-aligned and the
+    * parent's references resolve against child 0 as before. */
+  private def pruned(u: Union, parentRefs: AttributeSet): LogicalPlan = {
+    val filtered = u.children.head.output.filter(parentRefs.contains)
+    // a pure count(*) parent reads NO columns — keep one rather than
+    // unioning zero-width rows
+    val kept =
+      if (filtered.isEmpty) u.children.head.output.take(1) else filtered
+    if (kept.length == u.children.head.output.length) u
+    else Union(u.children.map(b =>
+      Project(kept, b): LogicalPlan))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(plist, j: Join) =>
+      rewrite(j).map(u => p.copy(child = pruned(u, p.references)))
+        .getOrElse(p)
+    case a @ Aggregate(_, _, j: Join, _) =>
+      rewrite(j).map(u => a.copy(child = pruned(u, a.references)))
+        .getOrElse(a)
+    case j: Join =>
+      // unknown parent — rewrite without pruning (still bag-exact;
+      // the extra width is bounded by the join's own output)
+      rewrite(j).getOrElse(j)
   }
 
   /** Idempotently install into the session's experimental optimizations

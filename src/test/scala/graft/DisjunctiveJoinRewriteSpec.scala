@@ -96,6 +96,24 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
     assert(sortedRows(q) === expected)
   }
 
+  test("branch pruning: a Project parent narrows every union branch to " +
+      "the referenced columns (the rule runs after ColumnPruning, so it " +
+      "must prune its own rewrite)") {
+    DisjunctiveJoinRewrite.install(spark)
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
+      .select($"lk", $"rk")
+    val u = q.queryExecution.optimizedPlan
+      .collect { case un: Union => un }.head
+    assert(u.children.forall(_.output.map(_.name) == Seq("lk", "rk")),
+      "branches not pruned to (lk, rk):\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    val expected = withoutRule {
+      sortedRows(left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
+        .select($"lk", $"rk"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
   test("veto: outer joins keep their OR condition") {
     DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
