@@ -153,6 +153,17 @@ object Skew {
    * right side like the uniform [[saltedJoin]]. Inner/left semantics
    * preserved; the advisor runs on the LEFT side's key distribution
    * (the probe side whose skew serializes the join).
+   *
+   * When to reach for this vs AQE (measured, round 11 at 10× events):
+   * AQE's skew-join already splits a hot key whose PROBE-SIDE shuffle
+   * partition is oversized — for that input-skew shape the unsalted
+   * plan wins (the advisor pass + wider exchange are pure overhead).
+   * AQE is blind to OUTPUT-amplification skew: when both sides'
+   * partitions look small but one key's left×right product explodes
+   * post-shuffle (fan-out joins, per-key pair generation), the shuffle
+   * block sizes AQE inspects are unremarkable and the product lands on
+   * ONE reducer — that is this transform's regime (SkewSpec measures
+   * the win on exactly that shape, AQE on).
    */
   def advisedJoin(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String, hotFactor: Long,
@@ -183,6 +194,15 @@ object Skew {
   def skewAdvisor(df: DataFrame, keyCol: String,
                   hotFactor: Long): DataFrame = {
     require(hotFactor >= 1, s"hotFactor must be >= 1: $hotFactor")
+    // Bucket recommendations are CAPPED at the session's shuffle
+    // parallelism: a hot key spread over more buckets than there are
+    // reducers buys no additional parallelism and keeps multiplying the
+    // right-side replication in advisedJoin (measured round 11: an
+    // uncapped verdict of 1876 buckets for a 50%-hot key at 10x events
+    // made the advised join 1.4x SLOWER than unsalted). ceil(excess
+    // factor) remains the recommendation below the cap.
+    val maxBuckets = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toLong
     val d = "decimal(38,0)"
     val freq = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("freq"))
@@ -197,7 +217,8 @@ object Skew {
         .filter(col("lhs") > col("rhs"))
         .select(col(keyCol), col("freq"),
           // ceil division of exact decimals: (lhs + rhs - 1) div rhs
-          expr("CAST((lhs + rhs - 1) div rhs AS BIGINT)").as("salt_buckets")))
+          least(expr("CAST((lhs + rhs - 1) div rhs AS BIGINT)"),
+            lit(maxBuckets)).as("salt_buckets")))
     }
   }
 }

@@ -883,7 +883,12 @@ object ExtQueries {
     val outDir = s"$tmp/out"
     IngestPipeline.writeIndexSlice(corpus, indexDir,
       IngestPipeline.CorpusBatchId)
-    val protIdx = Dedup.buildMinhashIndex(prot, "doc_id", "text", n = 2)
+    // the protected index is a STORED artifact loaded once (the
+    // IngestPipeline contract) — as a lazy frame its signature pass would
+    // recompute on every consumption (bands + verify, per batch = 4x)
+    val protDir = s"$tmp/prot"
+    IngestPipeline.writeIndexSlice(prot, protDir, 0L, n = 2)
+    val protIdx = IngestPipeline.readIndexBefore(spark, protDir, 1L)
     IngestPipeline.processBatch(b0, 0L, indexDir, protIdx, outDir)
     IngestPipeline.processBatch(b1, 1L, indexDir, protIdx, outDir)
     IngestPipeline.readSurvivors(spark, outDir)

@@ -818,6 +818,54 @@ object FrontierQueries {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q220 — advisor-driven SALTED JOIN on a genuinely skewed key
+    * ([[graft.ops.Skew.advisedJoin]]): the join topology where salting
+    * actually changes wall time (Skew's own scale note — GROUP-BY skew
+    * is largely defused by map-side partials, a hot JOIN key's probe
+    * work serializes onto one reducer with no partial aggregation to
+    * save it). The left side derives a hot key — every even event_id
+    * collapses onto user 0, so key 0 carries ~50% of the table while
+    * the other ~ndv keys stay at the mean — and joins the per-user
+    * profile (fan-out 1, output linear). [[graft.ops.Skew.skewAdvisor]]
+    * flags exactly key 0 (freq·ndv ≈ n/2·ndv ≫ 4n at every SF, while a
+    * tolerable key's freq·ndv ≈ n/2) and assigns its own bucket count;
+    * tolerable keys ride salt 0 with a single right-side copy. The result is provably the plain join (salt assignment never
+    * reaches the output), which is the oracle. Scale evidence lives in
+    * the round-11 probe: at sf1wh with broadcast disabled (the regime a
+    * too-big-to-broadcast right side forces at 100 TB) the advised plan
+    * is measured against the unsalted shuffle join. */
+  def q220AdvisedJoinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val left = ev.select(col("event_type"), col("value"),
+      when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
+        .as("skew_uid"))
+    val profile = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+    graft.ops.Skew.advisedJoin(left, profile, "skew_uid", "user_id",
+        hotFactor = 4L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_events")).as("sum_user_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
+  val q220Sql: String =
+    """WITH l AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS skew_uid
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, count(*) AS user_events FROM events
+      |  GROUP BY user_id)
+      |SELECT l.event_type, count(*) AS n,
+      |  CAST(sum(p.user_events) AS BIGINT) AS sum_user_events,
+      |  CAST(sum(CAST(l.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM l JOIN p ON l.skew_uid = p.user_id
+      |GROUP BY l.event_type
+      |ORDER BY l.event_type""".stripMargin
+
   val q213Sql: String =
     """WITH r(id, lo, hi) AS (VALUES
       |  (1, 0, 999), (2, 150, 2049), (3, 777, 777),

@@ -63,15 +63,21 @@ object IngestPipeline {
   }
 
   /** Append `docs`' LSH artifacts to the stored index as partition
-    * `ingest_batch=batchId` (dynamic overwrite — replay-idempotent). */
+    * `ingest_batch=batchId` (dynamic overwrite — replay-idempotent).
+    * The `base` stage (shingle sets + signatures, the expensive map-side
+    * pass) is staged for the slice write: `bands` derives from it, so
+    * without the stage the two writes would each recompute the
+    * signatures from the raw text. */
   def writeIndexSlice(docs: DataFrame, indexDir: String, batchId: Long,
                       idCol: String = "doc_id", textCol: String = "text",
                       n: Int = 2, k: Int = 64, bands: Int = 16): Unit = {
     val idx = Dedup.buildMinhashIndex(docs, idCol, textCol, n, k, bands)
-    writePartitioned(idx.bands.withColumn("ingest_batch", lit(batchId)),
-      bandsDir(indexDir))
-    writePartitioned(idx.base.withColumn("ingest_batch", lit(batchId)),
-      baseDir(indexDir))
+    graft.ops.CacheScope.withStages(idx.base) {
+      writePartitioned(idx.bands.withColumn("ingest_batch", lit(batchId)),
+        bandsDir(indexDir))
+      writePartitioned(idx.base.withColumn("ingest_batch", lit(batchId)),
+        baseDir(indexDir))
+    }
   }
 
   /** The stored index restricted to partitions `ingest_batch < beforeId`

@@ -117,6 +117,33 @@ class SkewSpec extends SparkSpec {
     } finally spark.conf.set(bcKey, prev)
   }
 
+  test("q220's derived key: advisor flags exactly user 0, answer == plain join") {
+    // the gate's skew construction (every even event_id collapses onto
+    // user 0 → ~50% of rows on one key) must trip the advisor at EVERY
+    // SF: key 0's freq·ndv ≈ (n/2)·ndv, a tolerable key's ≈ n/2, so
+    // hotFactor 4 separates them as long as ndv > 8
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+    val left = ev.select($"event_type", $"value",
+      when($"event_id" % 2 === 0, lit(0L)).otherwise($"user_id")
+        .as("skew_uid"))
+    val verdicts = Skew.skewAdvisor(left, "skew_uid", hotFactor = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(verdicts === Map(0L -> 2L)) // 533·15 / (4·1000) → ⌈2.0⌉ = 2
+    val out = graft.queries.FrontierQueries
+      .q220AdvisedJoinSkew(spark, dir).collect()
+    val profile = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("user_events"))
+    val expected = left.join(profile, $"skew_uid" === $"user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"user_events").as("sum_user_events"),
+        sum($"value".cast("decimal(18,2)")).as("sum_value"))
+      .withColumn("sum_value", $"sum_value".cast("double"))
+      .orderBy($"event_type").collect()
+    assert(out.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
+  }
+
   test("saltedJoin == plain join on skewed keys (inner and left)") {
     val dim = Seq(("hot", 100), ("k1", 1), ("k3", 3), ("absent", 9))
       .toDF("dk", "weight")
