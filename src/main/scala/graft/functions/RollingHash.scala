@@ -89,8 +89,10 @@ object GraftFunctions {
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` installs the
-  * functions permanently, plus the optimizer rules of `graft.plans` —
-  * both Catalyst extension tiers ride the one entry point. */
+  * functions permanently, plus the semantics-preserving optimizer rules of
+  * `graft.plans` (RegexExistenceRewrite, DisjunctiveJoinRewrite) and the
+  * as-of planner strategy — both Catalyst extension tiers ride the one
+  * entry point. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -143,8 +145,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     // tier-c Catalyst extensions: optimizer rewrites + the native as-of
-    // physical operator (see graft.plans)
+    // physical operator (see graft.plans). PkFkJoinElimination is NOT
+    // injected — it is result-changing without declared constraints and
+    // stays opt-in via ConstraintCatalog.
     ext.injectOptimizerRule(_ => graft.plans.RegexExistenceRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DisjunctiveJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

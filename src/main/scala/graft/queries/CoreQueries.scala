@@ -142,7 +142,6 @@ object CoreQueries {
    * The oracle states the same OR form.
    */
   def q05DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.DisjunctiveJoinRewrite.install(spark)
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     s.join(c, col("s_nationkey") === col("c_nationkey") ||

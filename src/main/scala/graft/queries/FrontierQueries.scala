@@ -709,7 +709,6 @@ object FrontierQueries {
     * compensated union of hash equi-joins — never the
     * BroadcastNestedLoopJoin Spark plans for a raw OR. */
   def q217DisjunctHighCard(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.DisjunctiveJoinRewrite.install(spark)
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
       round(col("s_acctbal") * 100).cast("long").as("s_cents"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"),
@@ -790,7 +789,6 @@ object FrontierQueries {
     * states the raw 3-way OR. Also the k>2 gate for the rewrite's
     * n-ary guard chain (¬d1 ∧ ¬d2 on the last branch). */
   def q219TripleDisjunct(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.DisjunctiveJoinRewrite.install(spark)
     val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
       round(col("s_acctbal") * 100).cast("long").as("s_cents"),
       expr("right(s_name, 9)").as("s_sfx"))
@@ -815,6 +813,43 @@ object FrontierQueries {
       |  OR CAST(round(s_acctbal * 100) AS BIGINT)
       |    = CAST(round(c_acctbal * 100) AS BIGINT)
       |  OR right(s_name, 9) = right(c_name, 9)
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q221 — And-around-Or disjunctive join WITHOUT a top-level hash key
+    * (the round-12 arm of [[graft.plans.DisjunctiveJoinRewrite]]): the
+    * shape a cross-side filter produces after predicate pushdown merges
+    * it into the join condition — `ON (key OR cents) WHERE s_acctbal >
+    * c_acctbal`. Neither conjunct of the And is a cross-side equality,
+    * so pre-round-12 Spark (and the rule's pure-Or form) planned the
+    * whole thing as a BroadcastNestedLoopJoin; now the disjunction
+    * branches into hash joins and the range conjunct rides every branch
+    * as a residual. The oracle states the raw ON + WHERE. */
+  def q221DisjunctFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      col("s_acctbal"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_acctbal"),
+      round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    s.join(c, (col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents")) &&
+        col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("c_custkey")).as("min_cust"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q221Sql: String =
+    """SELECT s_suppkey, count(*) AS n_matches,
+      |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM supplier JOIN customer
+      |  ON (s_suppkey = c_custkey
+      |    OR CAST(round(s_acctbal * 100) AS BIGINT)
+      |      = CAST(round(c_acctbal * 100) AS BIGINT))
+      |WHERE s_acctbal > c_acctbal
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 

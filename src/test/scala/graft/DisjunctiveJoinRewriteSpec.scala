@@ -10,9 +10,15 @@ import graft.plans.DisjunctiveJoinRewrite
   * disjunction of cross-side equalities becomes a compensated union of
   * hash joins — BAG-exact (no Distinct required), so every test
   * compares full multiset answers against the vetoed nested-loop plan.
-  * Veto shapes pinned: outer joins, non-deterministic disjuncts,
-  * disjuncts without a cross-side equi key, And-around-Or conditions,
-  * and the MaxDisjuncts cap. */
+  * The rule is SESSION-DEFAULT (GraftExtensions injects it into the
+  * operator-optimization batch — SparkSpec's session carries it), so no
+  * test installs anything; the negative controls exclude it per-query
+  * via `spark.sql.optimizer.excludedRules`. Veto shapes pinned: outer
+  * joins, non-deterministic disjuncts, disjuncts without a cross-side
+  * equi key, And-around-Or WITH a top-level hash key, and the
+  * MaxDisjuncts cap. And-around-Or WITHOUT a hash key (the
+  * cross-side-filter shape) rewrites with the extra conjuncts riding
+  * every branch. */
 class DisjunctiveJoinRewriteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -26,14 +32,19 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
       .split('\n').count(_.contains("BroadcastNestedLoopJoin"))
 
-  private def withoutRule[A](body: => A): A =
-    spark.experimental.synchronized {
-      val saved = spark.experimental.extraOptimizations
-      spark.experimental.extraOptimizations =
-        saved.filterNot(_ eq DisjunctiveJoinRewrite)
-      try body
-      finally spark.experimental.extraOptimizations = saved
+  /** Disable the session-default rule for `body` — the negative control
+    * proving what Spark would plan without it. */
+  private def withoutRule[A](body: => A): A = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (prev.toSeq :+ DisjunctiveJoinRewrite.ruleName)
+      .mkString(","))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
+  }
 
   // duplicate rows on both sides + a pair matching BOTH disjuncts +
   // a null key on each side: the compensation stress shape
@@ -52,9 +63,9 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  test("2-disjunct inner OR-join: rewritten to a Union of hash joins, " +
+  test("2-disjunct inner OR-join: rewritten to a Union of hash joins " +
+      "with NO install call (session-default via GraftExtensions), " +
       "answers (bag, with duplicates and both-disjunct pairs) unchanged") {
-    DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
     assert(unions(q) === 1, "no Union in:\n" +
       q.queryExecution.optimizedPlan.treeString)
@@ -71,7 +82,6 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
 
   test("3-disjunct with one disjunct DUPLICATING another: compensation " +
       "keeps the bag exact (no double counting) under count(*)") {
-    DisjunctiveJoinRewrite.install(spark)
     // lk=rk duplicates lnull=rnull for every non-null key
     val q = left.join(right,
         $"lk" === $"rk" || $"lv" === $"rv" || $"lnull" === $"rnull")
@@ -88,7 +98,6 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
 
   test("null keys: a null disjunct value routes the pair to the other " +
       "branch, never drops or doubles it") {
-    DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv")
     val expected = withoutRule {
       sortedRows(left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv"))
@@ -97,9 +106,7 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
   }
 
   test("branch pruning: a Project parent narrows every union branch to " +
-      "the referenced columns (the rule runs after ColumnPruning, so it " +
-      "must prune its own rewrite)") {
-    DisjunctiveJoinRewrite.install(spark)
+      "the referenced columns") {
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
       .select($"lk", $"rk")
     val u = q.queryExecution.optimizedPlan
@@ -114,8 +121,79 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
     assert(sortedRows(q) === expected)
   }
 
+  test("And-around-Or WITHOUT a top-level hash key (cross-side filter " +
+      "merged into the join condition): rewritten, the extra conjunct " +
+      "rides every branch as a residual, bag unchanged") {
+    val cond = ($"lk" === $"rk" || $"lv" === $"rv") && $"lv" > $"rv" - 100L
+    val q = left.join(right, cond)
+    assert(unions(q) === 1, "no Union in:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    assert(joins(q) === 2)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, cond)
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("And-around-Or filter shape end-to-end: ON (OR) plus a " +
+      "cross-side WHERE gives hash-join branches and the same answer") {
+    def shape() = left.join(right, $"lk" === $"rk" || $"lv" === $"rv")
+      .filter($"lv" =!= $"rv" + 1000L)
+      .select($"lk", $"rk")
+    val q = shape()
+    assert(unions(q) === 1)
+    assert(nlJoins(q) === 0)
+    val expected = withoutRule(sortedRows(shape()))
+    assert(sortedRows(q) === expected)
+  }
+
+  test("Filter-parent arms (rule applied directly): a Filter that " +
+      "survives above the join is pruned through when its parent is a " +
+      "Project, and left unpruned when the grandparent is unknown") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo,
+      GreaterThan, Literal, Or, Rand}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Join => LJoin, JoinHint, Project => LProject,
+      Union => LUnion}
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def att(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            n: String) = p.output.find(_.name == n).get
+    val (lk, lv, rk, rv) = (att(l, "lk"), att(l, "lv"),
+      att(r, "rk"), att(r, "rv"))
+    val or = Or(EqualTo(lk, rk), EqualTo(lv, rv))
+    // a nondeterministic filter is the shape pushdown can never merge
+    val ndFilter = GreaterThan(Literal(2.0), Rand(Literal(7L)))
+    val j = LJoin(l, r, Inner, Some(or), JoinHint.NONE)
+
+    // Project(lk, rk) over Filter over Join: branches prune to the
+    // project's refs ∪ the filter's refs (none here beyond lk, rk)
+    val plan = LProject(Seq(lk, rk), LFilter(ndFilter, j))
+    val rewritten = DisjunctiveJoinRewrite(plan)
+    val u = rewritten.collect { case un: LUnion => un }
+    assert(u.nonEmpty, "Filter-under-Project arm did not rewrite:\n" +
+      rewritten.treeString)
+    assert(u.head.children.forall(
+        _.output.map(_.name).toSet == Set("lk", "rk")),
+      "branches not pruned through the Filter parent:\n" +
+        rewritten.treeString)
+
+    // bare Filter with unknown grandparent: rewritten, NOT pruned (the
+    // Filter's output schema must stay its child's)
+    val bare = LFilter(ndFilter, j)
+    val bareRw = DisjunctiveJoinRewrite(bare)
+    val bu = bareRw.collect { case un: LUnion => un }
+    assert(bu.nonEmpty, "bare-Filter arm did not rewrite")
+    assert(bu.head.output.map(_.name) === j.output.map(_.name),
+      "bare-Filter arm changed the Filter's output schema")
+  }
+
   test("veto: outer joins keep their OR condition") {
-    DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
       "left_outer")
     assert(unions(q) === 0)
@@ -151,15 +229,13 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
 
   test("veto: a disjunct without a cross-side equi key (range predicate) " +
       "keeps the nested loop — it is semantically required") {
-    DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lk" === $"rk" || $"lv" > $"rv")
     assert(unions(q) === 0)
     assert(joins(q) === 1)
   }
 
-  test("veto: And-around-Or already has a hash key — untouched (the OR " +
-      "is the hash join's residual, a union would be a pessimization)") {
-    DisjunctiveJoinRewrite.install(spark)
+  test("veto: And-around-Or WITH a top-level hash key — untouched (the " +
+      "OR is the hash join's residual, a union would be a pessimization)") {
     val q = left.join(right,
       $"lk" === $"rk" && ($"lv" === $"rv" || $"lv" > $"rv"))
     assert(unions(q) === 0)
@@ -167,13 +243,11 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
   }
 
   test("veto: same-side equality is not a cross-side key") {
-    DisjunctiveJoinRewrite.install(spark)
     val q = left.join(right, $"lk" === $"rk" || $"lk" === $"lv")
     assert(unions(q) === 0)
   }
 
   test("cap: more than MaxDisjuncts disjuncts keep the original join") {
-    DisjunctiveJoinRewrite.install(spark)
     val cond = (0 to DisjunctiveJoinRewrite.MaxDisjuncts)
       .map(i => ($"lk" + lit(i.toLong)) === $"rk")
       .reduce(_ || _)
