@@ -110,7 +110,7 @@ object StreamBench {
     // ---- tier 2: dedup ingest pipeline --------------------------------
     {
       val root = Files.createTempDirectory("streambench-ingest").toString
-      val indexDir = s"$root/index"; val outDir = s"$root/survivors"
+      val storeDir = s"$root/store"
       val docs = Tables.documents(spark, sfDir)
         .orderBy(col("doc_id"))
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
@@ -118,7 +118,7 @@ object StreamBench {
       // the second half in nBatches micro-batches
       val (corpus, stream) = docs.splitAt(docs.length / 2)
       IngestPipeline.writeIndexSlice(
-        corpus.toSeq.toDF("doc_id", "text"), indexDir,
+        corpus.toSeq.toDF("doc_id", "text"), storeDir,
         IngestPipeline.CorpusBatchId)
       val protectedIdx = Dedup.buildMinhashIndex(
         corpus.toSeq.take(200).toDF("doc_id", "text"), "doc_id", "text")
@@ -127,8 +127,7 @@ object StreamBench {
       val input = MemoryStream[(Long, String)]
       val cp = Files.createTempDirectory("streambench-ingest-cp").toString
       val q = IngestPipeline.startIngest(
-        input.toDF().toDF("doc_id", "text"), indexDir, protectedIdx,
-        outDir, cp)
+        input.toDF().toDF("doc_id", "text"), storeDir, protectedIdx, cp)
       val times = try chunks.map { c =>
         val t0 = System.nanoTime()
         input.addData(c.toSeq)

@@ -129,7 +129,7 @@ object Skew {
    */
   def advisedAggregate(df: DataFrame, keyCol: String, hotFactor: Long,
                        aggs: Map[String, TwoPhase]): DataFrame = {
-    val advice = skewAdvisor(df, keyCol, hotFactor)
+    val advice = advisorPlan(df, keyCol, hotFactor)
       .select(col(keyCol).as("__adv_k"), col("salt_buckets"))
     val salted = df
       .join(broadcast(advice), df(keyCol) === col("__adv_k"), "left_outer")
@@ -168,7 +168,7 @@ object Skew {
   def advisedJoin(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String, hotFactor: Long,
                   joinType: String = "inner"): DataFrame = {
-    val advice = skewAdvisor(left, leftKey, hotFactor)
+    val advice = advisorPlan(left, leftKey, hotFactor)
       .select(col(leftKey).as("__adv_k"), col("salt_buckets"))
     val saltedLeft = left
       .join(broadcast(advice), left(leftKey) === col("__adv_k"),
@@ -191,8 +191,21 @@ object Skew {
       .drop("__salt_l", "__salt_r")
   }
 
+  /** The PINNED advisor surface for direct consumers (q186's gate,
+    * operator authors inspecting verdicts): materialized once, caller
+    * owns the `unpersist()`. The advised transforms above use the lazy
+    * [[advisorPlan]] instead — their verdicts fold into a broadcast at
+    * execution, so pinning here would leak one cached frame per
+    * advised query into the block manager (the round-11 q220 leak). */
   def skewAdvisor(df: DataFrame, keyCol: String,
-                  hotFactor: Long): DataFrame = {
+                  hotFactor: Long): DataFrame =
+    CacheScope.pin(advisorPlan(df, keyCol, hotFactor))
+
+  /** Lazy verdict plan. `freq` appears twice in it (totals + verdict);
+    * at execution the two references share one shuffle via exchange
+    * reuse, so the table-sized aggregation still runs once. */
+  private def advisorPlan(df: DataFrame, keyCol: String,
+                          hotFactor: Long): DataFrame = {
     require(hotFactor >= 1, s"hotFactor must be >= 1: $hotFactor")
     // Bucket recommendations are CAPPED at the session's shuffle
     // parallelism: a hot key spread over more buckets than there are
@@ -200,25 +213,24 @@ object Skew {
     // right-side replication in advisedJoin (measured round 11: an
     // uncapped verdict of 1876 buckets for a 50%-hot key at 10x events
     // made the advised join 1.4x SLOWER than unsalted). ceil(excess
-    // factor) remains the recommendation below the cap.
-    val maxBuckets = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toLong
+    // factor) remains the recommendation below the cap. A non-numeric
+    // setting (e.g. "auto" on AQE-coalescing runtimes) degrades to the
+    // cluster's default parallelism instead of failing plan-build.
+    val maxBuckets = scala.util.Try(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toLong)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism.toLong)
     val d = "decimal(38,0)"
     val freq = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("freq"))
-    // freq feeds both the totals and the verdict — stage it (NDV-sized)
-    // so the table-sized aggregation runs once, not once per branch
-    CacheScope.withStages(freq) {
-      val totals = freq.agg(sum(col("freq")).cast("long").as("n"),
-        count(lit(1)).as("ndv"))
-      CacheScope.pin(freq.crossJoin(broadcast(totals)) // 1-row totals
-        .withColumn("lhs", col("freq").cast(d) * col("ndv"))
-        .withColumn("rhs", col("n").cast(d) * hotFactor)
-        .filter(col("lhs") > col("rhs"))
-        .select(col(keyCol), col("freq"),
-          // ceil division of exact decimals: (lhs + rhs - 1) div rhs
-          least(expr("CAST((lhs + rhs - 1) div rhs AS BIGINT)"),
-            lit(maxBuckets)).as("salt_buckets")))
-    }
+    val totals = freq.agg(sum(col("freq")).cast("long").as("n"),
+      count(lit(1)).as("ndv"))
+    freq.crossJoin(broadcast(totals)) // 1-row totals
+      .withColumn("lhs", col("freq").cast(d) * col("ndv"))
+      .withColumn("rhs", col("n").cast(d) * hotFactor)
+      .filter(col("lhs") > col("rhs"))
+      .select(col(keyCol), col("freq"),
+        // ceil division of exact decimals: (lhs + rhs - 1) div rhs
+        least(expr("CAST((lhs + rhs - 1) div rhs AS BIGINT)"),
+          lit(maxBuckets)).as("salt_buckets"))
   }
 }

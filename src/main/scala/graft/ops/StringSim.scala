@@ -124,7 +124,9 @@ object StringSim {
    * O(rows + Σ distinct-block²), never O(Σ row-block²).
    */
   def editDistanceNamePairs(df: DataFrame, idCol: String, strCol: String,
-                            maxDist: Int): DataFrame = {
+                            maxDist: Int,
+                            advisorHotFactor: Option[Long] = Some(16L))
+      : DataFrame = {
     val names = df.filter(col(strCol).isNotNull)
       .groupBy(col(strCol).as("s"))
       .agg(min(col(idCol)).as("mid"), count(lit(1)).as("n"))
@@ -132,9 +134,21 @@ object StringSim {
       explode(wordDropKeys(col("s"))).as("__blk"))
     val a = keyed.select(col("__blk"), col("s").as("s_a"),
       col("mid").as("id_a"), col("n").as("n_a"))
-    val b = keyed.select(col("__blk"), col("s").as("s_b"),
+    val b = keyed.select(col("__blk").as("__blk_b"), col("s").as("s_b"),
       col("mid").as("id_b"), col("n").as("n_b"))
-    a.join(b, Seq("__blk"))
+    // The block-pair join is the OUTPUT-AMPLIFICATION shape AQE cannot
+    // see (every shuffle block feeding it is small; the Σblock² product
+    // explodes post-shuffle onto single reducers), so the skew advisor
+    // fronts it: blocks past `advisorHotFactor`× the mean frequency are
+    // salted over their own bucket count, everything else joins 1:1.
+    // Default 16× ≈ the measured advised-vs-AQE crossover (~2% of the
+    // pair mass on one key at the r11 probe's key cardinality); the
+    // advisor itself costs one NDV-sized aggregate of the key column.
+    val joined = advisorHotFactor match {
+      case Some(hf) => Skew.advisedJoin(a, b, "__blk", "__blk_b", hf)
+      case None     => a.join(b, col("__blk") === col("__blk_b"))
+    }
+    joined
       .filter(col("s_a") < col("s_b"))
       .select(col("s_a"), col("s_b"), col("id_a"), col("id_b"),
         col("n_a"), col("n_b"))

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+  StructField, StructType}
 
 import graft.ops.Dedup
 import graft.ops.Dedup.MinhashIndex
@@ -19,25 +21,39 @@ import graft.ops.Dedup.MinhashIndex
  *                                      PROTECTED index: frozen val/test +
  *                                      benchmark docs, disjoint from the
  *                                      train index)
- *     → append survivors AND their signatures to the store
- *                                     (the index-UPDATE step: batch b+1
- *                                      dedups against batch b's survivors)
- *     → keyed idempotent upsert of the survivors.
+ *     → ONE multi-tier store write: survivors (tier `doc`) AND their
+ *       signatures (tiers `bands`/`base` — the index-UPDATE step: batch
+ *       b+1 dedups against batch b's survivors) land in a single
+ *       partitioned commit.
  *
- * Replay contract (the PartialStore discipline, §2.9): every write is
- * partitioned by `ingest_batch` and lands via DYNAMIC partition
- * overwrite, so a replayed micro-batch rewrites exactly its own
- * partition; and the index read for batch b takes only partitions
- * `ingest_batch < b`, so a replay never sees the failed attempt's own
- * signatures. Batch content + batch id are deterministic under
- * Structured Streaming's replay, hence so is every drop decision —
+ * Store layout (single root, one write action per micro-batch — round 12
+ * collapsed the previous three separate dynamic-partition writes, which
+ * tripled the per-batch fixed cost at micro-batch scale):
+ *
+ *   store/__tier=doc/ingest_batch=N/    survivor docs (user schema)
+ *   store/__tier=bands/ingest_batch=N/  exploded LSH band rows
+ *   store/__tier=base/ingest_batch=N/   hashed shingle sets (verify payload)
+ *
+ * Every part file carries the UNIFIED schema (user doc columns plus the
+ * `__idx_*` envelope), nulls in the columns a tier doesn't use — parquet
+ * RLE makes the null columns ~free, and one schema means readers never
+ * need footer merging. Column names `__tier`, `ingest_batch` and the
+ * `__idx_*` envelope are RESERVED — a doc schema using them is rejected.
+ *
+ * Replay contract (the PartialStore discipline, §2.9): the write is
+ * partitioned by (`__tier`, `ingest_batch`) and lands via DYNAMIC
+ * partition overwrite, so a replayed micro-batch rewrites exactly its own
+ * three tier partitions; and the index read for batch b takes only
+ * partitions `ingest_batch < b`, so a replay never sees the failed
+ * attempt's own signatures. Batch content + batch id are deterministic
+ * under Structured Streaming's replay, hence so is every drop decision —
  * the double-run spec asserts byte-stable output.
  *
  * Scale shape: per batch the work is O(batch) signatures (map-side) +
  * band-key joins against a partition-pruned stored band table; nothing
  * ever recomputes the corpus. The stored index is the same artifact the
- * batch engine writes ([[graft.ops.Dedup.buildMinhashIndex]]) — batch
- * bootstrap and streaming ingest share one format.
+ * batch engine writes ([[writeIndexSlice]]) — batch bootstrap and
+ * streaming ingest share one format.
  */
 object IngestPipeline {
 
@@ -45,15 +61,32 @@ object IngestPipeline {
     * dedups against it. */
   val CorpusBatchId: Long = -1L
 
-  private def bandsDir(indexDir: String) = s"$indexDir/bands"
-  private def baseDir(indexDir: String) = s"$indexDir/base"
+  /** Store-internal column names; never valid in a user doc schema. */
+  private val TierCol = "__tier"
+  private val BatchCol = "ingest_batch"
+  private val IdxCols =
+    Seq("__idx_id", "__idx_band_idx", "__idx_band_hash", "__idx_ih",
+      "__idx_sz")
+  private def reserved = TierCol +: BatchCol +: IdxCols
 
-  private def writePartitioned(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
+  private def tierDir(storeDir: String, tier: String) =
+    s"$storeDir/$TierCol=$tier"
+
+  private def requireNoReserved(docs: DataFrame): Unit = {
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"doc schema uses reserved store column(s): ${clash.mkString(", ")}")
+  }
+
+  /** ONE dynamic-partition-overwrite commit of a unified multi-tier
+    * frame: a replayed batch rewrites exactly the (tier, batch)
+    * partitions it produces. */
+  private def writeTiers(unified: DataFrame, storeDir: String): Unit = {
+    val spark = unified.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode(SaveMode.Overwrite)
-      .partitionBy("ingest_batch").parquet(path)
+    try unified.write.mode(SaveMode.Overwrite)
+      .partitionBy(TierCol, BatchCol).parquet(storeDir)
     finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -62,34 +95,79 @@ object IngestPipeline {
     }
   }
 
-  /** Append `docs`' LSH artifacts to the stored index as partition
-    * `ingest_batch=batchId` (dynamic overwrite — replay-idempotent).
-    * The `base` stage (shingle sets + signatures, the expensive map-side
-    * pass) is staged for the slice write: `bands` derives from it, so
-    * without the stage the two writes would each recompute the
-    * signatures from the raw text. */
-  def writeIndexSlice(docs: DataFrame, indexDir: String, batchId: Long,
+  /** The index tiers of a batch index, in store envelope names. */
+  private def bandsTier(idx: MinhashIndex): DataFrame =
+    idx.bands.select(col("id").as("__idx_id"),
+      col("band_idx").as("__idx_band_idx"),
+      col("band_hash").as("__idx_band_hash"))
+      .withColumn(TierCol, lit("bands"))
+
+  private def baseTier(idx: MinhashIndex): DataFrame =
+    idx.base.select(col("id").as("__idx_id"), col("ih").as("__idx_ih"),
+      col("sz").as("__idx_sz"))
+      .withColumn(TierCol, lit("base"))
+
+  /** Append `docs`' LSH artifacts to the store as partitions
+    * `ingest_batch=batchId` of the `bands`/`base` tiers (dynamic
+    * overwrite — replay-idempotent), in ONE write. A zero-row `docs`
+    * slice (an empty doc tier placeholder keeps the store's unified
+    * schema) still commits readable files, so a later
+    * [[readIndexBefore]] never hits schema inference on an empty store.
+    * The `base` stage (shingle sets + signatures, the expensive
+    * map-side pass) is staged: `bands` derives from it, so without the
+    * stage the two tiers would each recompute the signatures from the
+    * raw text. */
+  def writeIndexSlice(docs: DataFrame, storeDir: String, batchId: Long,
                       idCol: String = "doc_id", textCol: String = "text",
                       n: Int = 2, k: Int = 64, bands: Int = 16): Unit = {
+    requireNoReserved(docs)
     val idx = Dedup.buildMinhashIndex(docs, idCol, textCol, n, k, bands)
     graft.ops.CacheScope.withStages(idx.base) {
-      writePartitioned(idx.bands.withColumn("ingest_batch", lit(batchId)),
-        bandsDir(indexDir))
-      writePartitioned(idx.base.withColumn("ingest_batch", lit(batchId)),
-        baseDir(indexDir))
+      // zero-row doc tier: pins the user columns into the store schema
+      val docSchema = docs.limit(0).withColumn(TierCol, lit("doc"))
+      writeTiers(docSchema
+        .unionByName(bandsTier(idx), allowMissingColumns = true)
+        .unionByName(baseTier(idx), allowMissingColumns = true)
+        .withColumn(BatchCol, lit(batchId)), storeDir)
     }
   }
 
-  /** The stored index restricted to partitions `ingest_batch < beforeId`
-    * — a partition-PRUNED read (the filter is on the partition column),
-    * which is what makes a replayed batch blind to its own failed
-    * attempt's writes. */
-  def readIndexBefore(spark: SparkSession, indexDir: String,
-                      beforeId: Long): MinhashIndex = {
-    def part(path: String) = spark.read.parquet(path)
-      .filter(col("ingest_batch") < beforeId).drop("ingest_batch")
-    MinhashIndex(part(bandsDir(indexDir)), part(baseDir(indexDir)))
+  /** Empty index with the pipeline's canonical envelope types (LONG doc
+    * ids) — the read fallback for a store no slice has committed to
+    * yet. */
+  private def emptyIndex(spark: SparkSession): MinhashIndex = {
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    MinhashIndex(
+      empty(StructType(Seq(StructField("id", LongType),
+        StructField("band_idx", IntegerType),
+        StructField("band_hash", IntegerType)))),
+      empty(StructType(Seq(StructField("id", LongType),
+        StructField("ih", ArrayType(IntegerType)),
+        StructField("sz", IntegerType)))))
   }
+
+  /** The stored index restricted to partitions `ingest_batch < beforeId`
+    * — a partition-PRUNED read (both filters are on partition columns),
+    * which is what makes a replayed batch blind to its own failed
+    * attempt's writes. A store with no committed slice yet reads as an
+    * empty index (LONG-id schema, the pipeline default). */
+  def readIndexBefore(spark: SparkSession, storeDir: String,
+                      beforeId: Long): MinhashIndex =
+    try {
+      val pruned = spark.read.parquet(storeDir)
+        .filter(col(BatchCol) < beforeId)
+      MinhashIndex(
+        pruned.filter(col(TierCol) === "bands")
+          .select(col("__idx_id").as("id"),
+            col("__idx_band_idx").as("band_idx"),
+            col("__idx_band_hash").as("band_hash")),
+        pruned.filter(col(TierCol) === "base")
+          .select(col("__idx_id").as("id"), col("__idx_ih").as("ih"),
+            col("__idx_sz").as("sz")))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyIndex(spark)
+    }
 
   /**
    * One micro-batch of the ingest flow; public because a REPLAY re-invokes
@@ -100,18 +178,18 @@ object IngestPipeline {
    *  - internal: the HIGHER id of any batch-internal near-dup pair;
    *  - cross-corpus: any doc with a near-dup in the stored train index;
    *  - contamination: any doc with a near-dup in the protected index.
-   * Survivors land in `outDir` AND their signatures extend the store —
-   * the index-UPDATE step that makes batch b+1 see batch b.
+   * Survivors AND their signatures land in ONE store commit — the
+   * index-UPDATE step that makes batch b+1 see batch b.
    */
   def processBatch(batch: DataFrame, batchId: Long,
-                   indexDir: String, protectedIdx: MinhashIndex,
-                   outDir: String,
+                   storeDir: String, protectedIdx: MinhashIndex,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 2, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): Unit = {
     if (batch.isEmpty) return
+    requireNoReserved(batch)
     val spark = batch.sparkSession
-    val corpusIdx = readIndexBefore(spark, indexDir, beforeId = batchId)
+    val corpusIdx = readIndexBefore(spark, storeDir, beforeId = batchId)
     // ONE batch index feeds all three pair tiers AND the survivor slice
     // write: the signatures (the expensive map-side artifact) are staged
     // once per micro-batch, never recomputed per consumer
@@ -124,18 +202,21 @@ object IngestPipeline {
         .unionByName(cross.select(col("new_id").as("__drop")))
         .unionByName(contam.select(col("new_id").as("__drop")))
         .distinct()
+      // survivors feed three branches of the ONE write below (doc tier +
+      // the two signature-slice joins) — persist so the anti join runs
+      // once, not once per branch
       val survivors = batch
         .join(drops, col(idCol) === col("__drop"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        writePartitioned(survivors.withColumn("ingest_batch", lit(batchId)),
-          outDir)
-        // survivor index slice from the SAME staged artifacts
         val survIds = survivors.select(col(idCol).as("id"))
-        writePartitioned(batchIdx.bands.join(survIds, "id")
-          .withColumn("ingest_batch", lit(batchId)), bandsDir(indexDir))
-        writePartitioned(batchIdx.base.join(survIds, "id")
-          .withColumn("ingest_batch", lit(batchId)), baseDir(indexDir))
+        val survIdx = MinhashIndex(batchIdx.bands.join(survIds, "id"),
+          batchIdx.base.join(survIds, "id"))
+        val unified = survivors.withColumn(TierCol, lit("doc"))
+          .unionByName(bandsTier(survIdx), allowMissingColumns = true)
+          .unionByName(baseTier(survIdx), allowMissingColumns = true)
+          .withColumn(BatchCol, lit(batchId))
+        writeTiers(unified, storeDir)
       } finally survivors.unpersist(blocking = false)
     }
   }
@@ -155,9 +236,11 @@ object IngestPipeline {
 
   /**
    * Roll up the SEALED slice of the index store: consolidate every
-   * partition `ingest_batch < sealedBefore` (the corpus bootstrap at −1
-   * included) into ONE size-targeted partition labeled
-   * `ingest_batch = sealedBefore − 1`.
+   * partition `ingest_batch < sealedBefore` of the `bands` and `base`
+   * tiers (the corpus bootstrap at −1 included) into ONE size-targeted
+   * partition labeled `ingest_batch = sealedBefore − 1`. The `doc` tier
+   * is never rolled up — its batch ids are part of the survivors
+   * contract (readSurvivors exposes them).
    *
    * Why: the replay contract partitions by `ingest_batch`, so thousands
    * of micro-batches accrete thousands of partition directories of small
@@ -173,7 +256,7 @@ object IngestPipeline {
    *
    * Crash safety (local FS here; the same two-phase layout works on any
    * store with atomic file moves): the consolidated slice is first
-   * written to a dot-prefixed staging dir INSIDE the store (readers
+   * written to a dot-prefixed staging dir INSIDE the tier (readers
    * ignore dot-paths) with parquet's own `_SUCCESS` as the commit mark;
    * only then are the sealed partition dirs deleted and the staged files
    * moved into the final partition dir. A crash before the deletes
@@ -181,10 +264,10 @@ object IngestPipeline {
    * slice complete on disk, and the next roll-up (or this one, re-run)
    * finishes the move first — `completeStagedMove` runs at entry.
    */
-  def rollupIndexStore(spark: SparkSession, indexDir: String,
+  def rollupIndexStore(spark: SparkSession, storeDir: String,
                        sealedBefore: Long,
                        targetBytes: Long = 128L * 1024 * 1024): Unit =
-    Seq(bandsDir(indexDir), baseDir(indexDir))
+    Seq(tierDir(storeDir, "bands"), tierDir(storeDir, "base"))
       .foreach(d => rollupDir(spark, d, sealedBefore, targetBytes))
 
   private def stagingDir(dir: String) = s"$dir/.rollup_staging"
@@ -198,8 +281,8 @@ object IngestPipeline {
       val s = java.nio.file.Files.list(root)
       try s.iterator().asScalaSeq.filter { p =>
         val nm = p.getFileName.toString
-        nm.startsWith("ingest_batch=") &&
-          scala.util.Try(nm.stripPrefix("ingest_batch=").toLong)
+        nm.startsWith(s"$BatchCol=") &&
+          scala.util.Try(nm.stripPrefix(s"$BatchCol=").toLong)
             .toOption.exists(_ < sealedBefore)
       } finally s.close()
     }
@@ -227,7 +310,7 @@ object IngestPipeline {
   private def completeStagedMove(dir: String, label: Long): Unit = {
     val staging = java.nio.file.Paths.get(stagingDir(dir))
     if (java.nio.file.Files.exists(staging.resolve("_SUCCESS"))) {
-      val target = java.nio.file.Paths.get(dir, s"ingest_batch=$label")
+      val target = java.nio.file.Paths.get(dir, s"$BatchCol=$label")
       java.nio.file.Files.createDirectories(target)
       val s = java.nio.file.Files.list(staging)
       try s.iterator().asScalaSeq
@@ -257,8 +340,8 @@ object IngestPipeline {
     // phase 1: stage the consolidated slice (readers ignore the dot-dir);
     // parquet's _SUCCESS is the commit mark completeStagedMove keys on
     spark.read.parquet(dir)
-      .filter(col("ingest_batch") < sealedBefore)
-      .drop("ingest_batch")
+      .filter(col(BatchCol) < sealedBefore)
+      .drop(BatchCol)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(stagingDir(dir))
     // phase 2: swap — destructive only after the staged slice is committed
@@ -270,8 +353,8 @@ object IngestPipeline {
     * the frozen artifact of the held-out splits — loaded once, never
     * updated by ingest (its composition is the thing decontamination
     * protects). */
-  def startIngest(docs: DataFrame, indexDir: String,
-                  protectedIdx: MinhashIndex, outDir: String,
+  def startIngest(docs: DataFrame, storeDir: String,
+                  protectedIdx: MinhashIndex,
                   checkpoint: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   n: Int = 2, k: Int = 64, bands: Int = 16,
@@ -280,12 +363,16 @@ object IngestPipeline {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexDir, protectedIdx, outDir,
+        processBatch(batch, batchId, storeDir, protectedIdx,
           idCol, textCol, n, k, bands, threshold)
       }
       .start()
 
-  /** All survivors accumulated in `outDir`, with their batch ids. */
-  def readSurvivors(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+  /** All survivors accumulated in the store's `doc` tier, with their
+    * batch ids (user doc columns + `ingest_batch`). */
+  def readSurvivors(spark: SparkSession, storeDir: String): DataFrame = {
+    val doc = spark.read.parquet(storeDir)
+      .filter(col(TierCol) === "doc")
+    doc.drop(TierCol).drop(IdxCols: _*)
+  }
 }

@@ -24,22 +24,20 @@ class IngestPipelineSpec extends SparkSpec {
 
   test("stream: internal + cross-corpus + decontamination drops, index update, replay converges") {
     val tmp = Files.createTempDirectory("graft-ingest").toString
-    val indexDir = s"$tmp/index"
-    val outDir = s"$tmp/out"
+    val storeDir = s"$tmp/store"
     val checkpoint = s"$tmp/chk"
 
     // corpus (train index): doc 100; protected (frozen val/test): doc 200
     IngestPipeline.writeIndexSlice(
       Seq((100L, text("ca"))).toDF("doc_id", "text"),
-      indexDir, IngestPipeline.CorpusBatchId)
+      storeDir, IngestPipeline.CorpusBatchId)
     val protIdx = Dedup.buildMinhashIndex(
       Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
-    val q = IngestPipeline.startIngest(docs, indexDir, protIdx, outDir,
-      checkpoint)
+    val q = IngestPipeline.startIngest(docs, storeDir, protIdx, checkpoint)
     try {
       // batch 0: 1 dups corpus, 2 dups protected, (3,4) internal pair,
       // 5 unique → survivors {3, 5}
@@ -53,7 +51,7 @@ class IngestPipelineSpec extends SparkSpec {
     } finally q.stop()
 
     def survivors(): Seq[(Long, Long)] =
-      IngestPipeline.readSurvivors(spark, outDir)
+      IngestPipeline.readSurvivors(spark, storeDir)
         .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val expected = Seq((0L, 3L), (0L, 5L), (1L, 7L))
@@ -65,14 +63,14 @@ class IngestPipelineSpec extends SparkSpec {
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     IngestPipeline.processBatch(
       Seq((6L, text("xa")), (7L, text("va"))).toDF("doc_id", "text"),
-      1L, indexDir, protIdx, outDir)
+      1L, storeDir, protIdx)
     assert(survivors() === expected, "replayed batch must converge")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     assert(leaked.isEmpty, s"processBatch leaked cache entries: $leaked")
 
     // the stored index now covers corpus + both batches' survivors only
     val indexed = IngestPipeline
-      .readIndexBefore(spark, indexDir, Long.MaxValue)
+      .readIndexBefore(spark, storeDir, Long.MaxValue)
       .bands.select("id").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(indexed === Set(100L, 3L, 5L, 7L),
@@ -85,10 +83,10 @@ class IngestPipelineSpec extends SparkSpec {
     // logical index content, and a smaller file count on the rolled store
     def runFlow(rollupAt: Option[Long]): (Seq[(Long, Long)], Set[Long], Int, String) = {
       val tmp = Files.createTempDirectory("graft-rollup").toString
-      val indexDir = s"$tmp/index"; val outDir = s"$tmp/out"
+      val storeDir = s"$tmp/store"
       IngestPipeline.writeIndexSlice(
         Seq((100L, text("ca"))).toDF("doc_id", "text"),
-        indexDir, IngestPipeline.CorpusBatchId)
+        storeDir, IngestPipeline.CorpusBatchId)
       val protIdx = Dedup.buildMinhashIndex(
         Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
       def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
@@ -96,21 +94,22 @@ class IngestPipelineSpec extends SparkSpec {
       // (visible only through the index — the roll-up must preserve it),
       // 6 unique
       IngestPipeline.processBatch(batch((1L, text("aa")), (2L, text("ba"))),
-        0L, indexDir, protIdx, outDir)
+        0L, storeDir, protIdx)
       IngestPipeline.processBatch(batch((3L, text("ca")), (4L, text("da"))),
-        1L, indexDir, protIdx, outDir)
-      rollupAt.foreach(sb => IngestPipeline.rollupIndexStore(spark, indexDir,
+        1L, storeDir, protIdx)
+      rollupAt.foreach(sb => IngestPipeline.rollupIndexStore(spark, storeDir,
         sealedBefore = sb, targetBytes = 64L * 1024 * 1024))
       val b2 = batch((5L, text("aa")), (6L, text("ea")))
-      IngestPipeline.processBatch(b2, 2L, indexDir, protIdx, outDir)
+      IngestPipeline.processBatch(b2, 2L, storeDir, protIdx)
       // replay batch 2 ACROSS the roll-up boundary: must converge
-      IngestPipeline.processBatch(b2, 2L, indexDir, protIdx, outDir)
-      val surv = IngestPipeline.readSurvivors(spark, outDir)
+      IngestPipeline.processBatch(b2, 2L, storeDir, protIdx)
+      val surv = IngestPipeline.readSurvivors(spark, storeDir)
         .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      val ids = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+      val ids = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
         .bands.select("id").distinct().collect().map(_.getLong(0)).toSet
-      (surv, ids, IngestPipeline.storeFileCount(s"$indexDir/bands"), indexDir)
+      (surv, ids,
+        IngestPipeline.storeFileCount(s"$storeDir/__tier=bands"), storeDir)
     }
     val (survPlain, idsPlain, filesPlain, _) = runFlow(None)
     val (survRolled, idsRolled, filesRolled, rolledDir) = runFlow(Some(2L))
@@ -122,7 +121,7 @@ class IngestPipelineSpec extends SparkSpec {
       s"roll-up must shrink the store: $filesRolled vs $filesPlain files")
     // sealed dirs really consolidated: only the label (1) and the open
     // batch (2) partitions remain
-    val dirs = new java.io.File(s"$rolledDir/bands").listFiles()
+    val dirs = new java.io.File(s"$rolledDir/__tier=bands").listFiles()
       .map(_.getName).filter(_.startsWith("ingest_batch=")).sorted.toSeq
     assert(dirs === Seq("ingest_batch=1", "ingest_batch=2"))
     // idempotence: a second roll-up at the same seal point is a no-op
@@ -137,24 +136,24 @@ class IngestPipelineSpec extends SparkSpec {
   test("roll-up crash window: a committed staged slice is recovered on the next roll-up") {
     import java.nio.file.{Files => F, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft-rollup-crash").toString
-    val indexDir = s"$tmp/index"; val outDir = s"$tmp/out"
+    val storeDir = s"$tmp/store"
     IngestPipeline.writeIndexSlice(
       Seq((100L, text("ca"))).toDF("doc_id", "text"),
-      indexDir, IngestPipeline.CorpusBatchId)
+      storeDir, IngestPipeline.CorpusBatchId)
     val protIdx = Dedup.buildMinhashIndex(
       Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
     IngestPipeline.processBatch(
-      Seq((1L, text("aa"))).toDF("doc_id", "text"), 0L, indexDir, protIdx, outDir)
+      Seq((1L, text("aa"))).toDF("doc_id", "text"), 0L, storeDir, protIdx)
     IngestPipeline.processBatch(
-      Seq((2L, text("ba"))).toDF("doc_id", "text"), 1L, indexDir, protIdx, outDir)
-    val before = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+      Seq((2L, text("ba"))).toDF("doc_id", "text"), 1L, storeDir, protIdx)
+    val before = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
       .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
 
     // simulate the worst crash window of rollupIndexStore: phase 1 staged
     // and committed (_SUCCESS), sealed partition dirs ALREADY DELETED,
     // phase-2 move never ran — the store read alone would lose rows
     for (sub <- Seq("bands", "base")) {
-      val dir = s"$indexDir/$sub"
+      val dir = s"$storeDir/__tier=$sub"
       val staging = Paths.get(dir, ".rollup_staging")
       F.createDirectories(staging)
       // stage = the exact consolidated slice phase 1 writes
@@ -172,36 +171,35 @@ class IngestPipelineSpec extends SparkSpec {
         })
     }
     // next roll-up entry must complete the move BEFORE anything else
-    IngestPipeline.rollupIndexStore(spark, indexDir, sealedBefore = 2L)
-    val after = IngestPipeline.readIndexBefore(spark, indexDir, Long.MaxValue)
+    IngestPipeline.rollupIndexStore(spark, storeDir, sealedBefore = 2L)
+    val after = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
       .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
     assert(after === before, "recovery must restore the full sealed slice")
-    assert(!F.exists(Paths.get(s"$indexDir/bands/.rollup_staging")),
+    assert(!F.exists(Paths.get(s"$storeDir/__tier=bands/.rollup_staging")),
       "staging must be cleared after recovery")
   }
 
   test("a replayed batch is blind to its own failed attempt's index slice") {
     val tmp = Files.createTempDirectory("graft-ingest-r").toString
-    val indexDir = s"$tmp/index"
-    val outDir = s"$tmp/out"
+    val storeDir = s"$tmp/store"
     IngestPipeline.writeIndexSlice(
       Seq((100L, text("ca"))).toDF("doc_id", "text"),
-      indexDir, IngestPipeline.CorpusBatchId)
+      storeDir, IngestPipeline.CorpusBatchId)
     val protIdx = Dedup.buildMinhashIndex(
       Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
     val batch = Seq((10L, text("za")), (11L, text("wa"))).toDF("doc_id", "text")
     // first attempt writes batch 0's slice...
-    IngestPipeline.processBatch(batch, 0L, indexDir, protIdx, outDir)
+    IngestPipeline.processBatch(batch, 0L, storeDir, protIdx)
     // ...replay must read index < 0 only (corpus), so 10/11 are compared
     // against the corpus, NOT against their own failed-attempt signatures
     // (which would self-suppress nothing here but WOULD change candidate
     // sets on near-identical siblings); the partition-pruned read is the
     // guarantee
-    val idx = IngestPipeline.readIndexBefore(spark, indexDir, beforeId = 0L)
+    val idx = IngestPipeline.readIndexBefore(spark, storeDir, beforeId = 0L)
     assert(idx.bands.select("id").distinct()
       .collect().map(_.getLong(0)).toSet === Set(100L))
-    IngestPipeline.processBatch(batch, 0L, indexDir, protIdx, outDir)
-    val out = IngestPipeline.readSurvivors(spark, outDir)
+    IngestPipeline.processBatch(batch, 0L, storeDir, protIdx)
+    val out = IngestPipeline.readSurvivors(spark, storeDir)
       .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(out === Seq((0L, 10L), (0L, 11L)))

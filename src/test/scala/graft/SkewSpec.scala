@@ -129,7 +129,12 @@ class SkewSpec extends SparkSpec {
         .as("skew_uid"))
     val verdicts = Skew.skewAdvisor(left, "skew_uid", hotFactor = 4L)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(verdicts === Map(0L -> 2L)) // 533·15 / (4·1000) → ⌈2.0⌉ = 2
+    // the recommendation caps at the session's shuffle parallelism, so
+    // state the expectation the same way instead of assuming the test
+    // session's partitions (4) exceed the uncapped verdict
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    assert(verdicts ===
+      Map(0L -> math.min(2L, cap))) // 533·15 / (4·1000) → ⌈2.0⌉ = 2
     val out = graft.queries.FrontierQueries
       .q220AdvisedJoinSkew(spark, dir).collect()
     val profile = ev.groupBy($"user_id")

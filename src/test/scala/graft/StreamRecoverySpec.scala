@@ -96,14 +96,13 @@ class StreamRecoverySpec extends SparkSpec {
       "replayed batch rewrites only its own partitions; survivors converge") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-rec-ingest").toString
-    val indexDir = s"$tmp/index"
-    val outDir = s"$tmp/out"
+    val storeDir = s"$tmp/store"
     val checkpoint = s"$tmp/chk"
     def text(fam: String) = (1 to 40).map(i => s"$fam$i").mkString(" ")
 
     IngestPipeline.writeIndexSlice(
       Seq((100L, text("ca"))).toDF("doc_id", "text"),
-      indexDir, IngestPipeline.CorpusBatchId)
+      storeDir, IngestPipeline.CorpusBatchId)
     val protIdx = Dedup.buildMinhashIndex(
       Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
 
@@ -111,7 +110,7 @@ class StreamRecoverySpec extends SparkSpec {
     val docs = mem.toDF().toDF("doc_id", "text")
     val crashed = new AtomicBoolean(false)
     def ingest(batch: DataFrame, id: Long): Unit =
-      IngestPipeline.processBatch(batch, id, indexDir, protIdx, outDir)
+      IngestPipeline.processBatch(batch, id, storeDir, protIdx)
 
     val q1 = startCrashing(docs, checkpoint, crashAt = 1L, crashed)(ingest)
     try {
@@ -135,7 +134,7 @@ class StreamRecoverySpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
 
-    val survivors = IngestPipeline.readSurvivors(spark, outDir)
+    val survivors = IngestPipeline.readSurvivors(spark, storeDir)
       .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(survivors === Seq((0L, 3L), (0L, 5L), (1L, 7L), (2L, 9L)))
