@@ -88,6 +88,14 @@ object RecordLinkage {
    * regime the advisor's round-11 probe measured 3.1× on; default 16× ≈
    * the measured crossover (~2% of the pair mass on one key).
    *
+   * WHEN TO USE (measured round 12): on FINE, flat blocking keys — the
+   * q202 design — the advisor flags nothing and its extra pass costs
+   * 1.6–3.0× the whole plain [[linkPasses]] (sf0.1 customers: 3.13 s vs
+   * 1.03 s; 10×: 4.13 s vs 2.65 s), so the gated queries ship the plain
+   * form. Reach for this variant when a pass's block distribution can
+   * be hot: coarse fallback keys, adversarial/boilerplate values,
+   * corpora whose distribution is unknown at author time.
+   *
    * Semantics note: a struct key compares null FIELDS as equal (Spark's
    * ordering-based struct equality), so a pass whose raw conjunction
    * would drop null-keyed rows instead blocks them together — a

@@ -125,7 +125,7 @@ object StringSim {
    */
   def editDistanceNamePairs(df: DataFrame, idCol: String, strCol: String,
                             maxDist: Int,
-                            advisorHotFactor: Option[Long] = Some(16L))
+                            advisorHotFactor: Option[Long] = None)
       : DataFrame = {
     val names = df.filter(col(strCol).isNotNull)
       .groupBy(col(strCol).as("s"))
@@ -138,12 +138,17 @@ object StringSim {
       col("mid").as("id_b"), col("n").as("n_b"))
     // The block-pair join is the OUTPUT-AMPLIFICATION shape AQE cannot
     // see (every shuffle block feeding it is small; the Σblock² product
-    // explodes post-shuffle onto single reducers), so the skew advisor
-    // fronts it: blocks past `advisorHotFactor`× the mean frequency are
-    // salted over their own bucket count, everything else joins 1:1.
-    // Default 16× ≈ the measured advised-vs-AQE crossover (~2% of the
-    // pair mass on one key at the r11 probe's key cardinality); the
-    // advisor itself costs one NDV-sized aggregate of the key column.
+    // explodes post-shuffle onto single reducers). `advisorHotFactor`
+    // fronts it with [[Skew.advisedJoin]]: blocks past that multiple of
+    // the mean frequency are salted over their own bucket count.
+    // DEFAULT OFF — measured round 12 on the gated workloads (flat
+    // word-drop block distributions, q108): the advisor's extra pass
+    // over the exploded key frame costs 2.0–2.6× the whole plain join
+    // (sf0.1: 1.71 s vs 0.66 s; 10×: 1.67 s vs 0.82 s) and flags
+    // nothing, because FINE blocking keys are the skew fix already.
+    // Reach for Some(hf ≈ 16 — the measured ~2% pair-mass crossover)
+    // only when the block distribution can be hot: adversarial
+    // boilerplate keys, coarse fallback passes, unknown corpora.
     val joined = advisorHotFactor match {
       case Some(hf) => Skew.advisedJoin(a, b, "__blk", "__blk_b", hf)
       case None     => a.join(b, col("__blk") === col("__blk_b"))

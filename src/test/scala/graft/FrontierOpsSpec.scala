@@ -141,6 +141,36 @@ class FrontierOpsSpec extends SparkSpec {
     assert(out === Seq((1L, 10L, 10L), (2L, 20L, 10L)))
   }
 
+  test("advised multi-pass linkage == plain linkPasses on a HOT block " +
+      "(the distribution the advisor exists for), struct keys") {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.FieldRule
+    // one block key carries 60% of the rows (hot), the rest are flat —
+    // the advisor flags exactly the hot block and salts it; the output
+    // must be the plain join's bag regardless
+    val a = (1 to 200).map(i =>
+      (i.toLong, if (i <= 120) "hot" else s"k$i", s"f${i % 7}"))
+      .toDF("id_a", "ka", "fa")
+    val b = (1 to 200).map(i =>
+      (i.toLong + 1000L, if (i <= 120) "hot" else s"k${i + 3}", s"f${i % 5}"))
+      .toDF("id_b", "kb", "fb")
+    val rules = Seq(FieldRule("f", $"fa" === $"fb", 10, 5))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"score", $"verdict").collect()
+        .map(_.toString).sorted.toSeq
+    val plain = norm(RecordLinkage.linkPasses(a, b,
+      passes = Seq($"ka" === $"kb", $"fa" === $"fb"),
+      idCols = Seq("id_a", "id_b"), rules = rules,
+      tMatch = 10, tPossible = 0))
+    val advised = norm(RecordLinkage.linkPassesAdvised(a, b,
+      passKeys = Seq(struct($"ka") -> struct($"kb"),
+        struct($"fa") -> struct($"fb")),
+      idCols = Seq("id_a", "id_b"), rules = rules,
+      tMatch = 10, tPossible = 0, hotFactor = 2L))
+    assert(advised === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("skyline: matches the brute-force dominance definition") {
     val pts = synth(2000).select(
       pmod($"k", lit(50)).cast("long").as("x"),
