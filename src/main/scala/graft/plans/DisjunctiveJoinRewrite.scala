@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet,
   Coalesce, EqualTo, Expression, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -54,14 +54,48 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * Each pair is still owned by exactly one branch (the d's route it) and
  * is emitted iff it passes all Cs there — bag-exact as before.
  *
+ * LEFT SEMI (round 13): `EXISTS (… OR …)` / `IN` with an OR'd key —
+ * the reference's F7 NOT-IN cousin — plans as a nested-loop semi join.
+ * The inner-join compensation does NOT transfer: its guards make PAIRS
+ * disjoint, but one left row can match different right rows in
+ * different branches, so a union of guarded semi joins would emit that
+ * left row once per branch (semi semantics emit it once). The routing
+ * has to happen at the LEFT-ROW level — branch i owns the left rows
+ * whose FIRST matching disjunct is di:
+ *
+ *   Join(L, R, LeftSemi, Cs AND (d1 OR … OR dk))
+ *     ⇒ Union_i Semi(Anti(…Anti(L, d1∧Cs)…, d(i-1)∧Cs), R, di∧Cs)
+ *
+ * Each branch i is a chain of i−1 anti joins (strips the rows earlier
+ * branches own) ending in one semi join; ∃r:Cs∧(∨di) ⟺ ∨i ∃r:(Cs∧di),
+ * so the branches partition exactly the matching left rows and the
+ * union is BAG-exact (anti/semi preserve left multiplicities, and both
+ * copies of a duplicated left row route to the same branch). Every
+ * link carries di's cross-side equality as its hash key. Plan size is
+ * k(k+1)/2 joins — bounded by `MaxDisjuncts`; the chains shrink left
+ * to right (branch i scans only the rows branches 1..i−1 rejected).
+ *
+ * LEFT ANTI is the clean one: ¬∃r:(Cs∧(∨di)) ⟺ ∧i ¬∃r:(Cs∧di), a
+ * straight chain of k hash anti joins, no union, no guards:
+ *
+ *   Join(L, R, LeftAnti, Cs AND (d1 OR … OR dk))
+ *     ⇒ Anti(…Anti(Anti(L, d1∧Cs), d2∧Cs)…, dk∧Cs)
+ *
  * Fires ONLY when ALL of:
- *  - the join is INNER with a deterministic condition whose top-level
- *    conjuncts contain NO cross-side equality (else the join already
- *    has a hash key) and EXACTLY ONE disjunction-of-predicates conjunct
- *    (2 ≤ k ≤ `MaxDisjuncts`) — outer joins change null-padding
- *    semantics per branch and are vetoed;
+ *  - the join is INNER, LEFT SEMI or LEFT ANTI with a deterministic
+ *    condition whose top-level conjuncts contain NO cross-side equality
+ *    (else the join already has a hash key) and EXACTLY ONE
+ *    disjunction-of-predicates conjunct (2 ≤ k ≤ `MaxDisjuncts`) —
+ *    outer joins change null-padding semantics per branch and are
+ *    vetoed;
  *  - every disjunct is DETERMINISTIC (a nondeterministic predicate
  *    evaluated once per pair cannot be re-evaluated once per branch);
+ *  - BOTH child subplans are deterministic: the rewrite duplicates the
+ *    left/right subtrees across branches (and the right subtree across
+ *    chain links), so a nondeterministic expression below the join
+ *    (rand(), uuid(), monotonically_increasing_id()) would make branch
+ *    inputs diverge and the compensation drop or double pairs — vetoed
+ *    (round-13 advice item);
  *  - every disjunct contains at least one conjunct `EqualTo(a, b)` with
  *    `a` referencing only one side and `b` only the other — a disjunct
  *    without a cross-side hash key (e.g. `x > y`) leaves its branch a
@@ -110,31 +144,69 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
   private def notTrue(e: Expression): Expression =
     Not(Coalesce(Seq(e, Literal.FalseLiteral)))
 
-  /** The compensated union when `j` is eligible, else None. */
+  /** The duplicated-subplan veto (advice item, round 13): branches
+    * re-evaluate both subtrees, so any nondeterministic expression below
+    * the join would make branch inputs diverge. */
+  private def childrenDeterministic(left: LogicalPlan,
+                                    right: LogicalPlan): Boolean =
+    left.find(_.expressions.exists(!_.deterministic)).isEmpty &&
+      right.find(_.expressions.exists(!_.deterministic)).isEmpty
+
+  /** The eligible (disjuncts, extra conjuncts) split of a join
+    * condition, or None when the shape must keep its original plan. */
+  private def eligibleParts(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Seq[Expression], Seq[Expression])] = {
+    val cs = conjuncts(cond)
+    // a top-level cross-side equality means the join already plans as
+    // a hash join (the OR, if any, is its residual) — never rewrite
+    if (cs.exists(isCrossEqui(_, left, right))) None
+    else {
+      // the branching disjunction: exactly one conjunct that is an
+      // Or of 2..MaxDisjuncts disjuncts, each carrying its own
+      // cross-side hash key; everything else rides every branch
+      val orIdx = cs.indexWhere { c =>
+        val ds = disjuncts(c)
+        ds.length >= 2 && ds.length <= MaxDisjuncts &&
+          ds.forall(d => hasCrossEquiKey(d, left, right))
+      }
+      if (orIdx < 0) None
+      else Some((disjuncts(cs(orIdx)), cs.patch(orIdx, Nil, 1)))
+    }
+  }
+
+  /** The compensated union when the INNER join `j` is eligible. */
   private def rewrite(j: Join): Option[Union] = j match {
-    case Join(left, right, Inner, Some(cond), hint) if cond.deterministic =>
-      val cs = conjuncts(cond)
-      // a top-level cross-side equality means the join already plans as
-      // a hash join (the OR, if any, is its residual) — never rewrite
-      if (cs.exists(isCrossEqui(_, left, right))) None
-      else {
-        // the branching disjunction: exactly one conjunct that is an
-        // Or of 2..MaxDisjuncts disjuncts, each carrying its own
-        // cross-side hash key; everything else rides every branch
-        val orIdx = cs.indexWhere { c =>
-          val ds = disjuncts(c)
-          ds.length >= 2 && ds.length <= MaxDisjuncts &&
-            ds.forall(d => hasCrossEquiKey(d, left, right))
-        }
-        if (orIdx < 0) None
-        else {
-          val ds = disjuncts(cs(orIdx))
-          val extras = cs.patch(orIdx, Nil, 1)
-          Some(Union(ds.zipWithIndex.map { case (d, i) =>
-            val guards = ds.take(i).map(notTrue)
-            Join(left, right, Inner,
-              Some((d +: (guards ++ extras)).reduce(And)), hint): LogicalPlan
-          }))
+    case Join(left, right, Inner, Some(cond), hint)
+        if cond.deterministic && childrenDeterministic(left, right) =>
+      eligibleParts(cond, left, right).map { case (ds, extras) =>
+        Union(ds.zipWithIndex.map { case (d, i) =>
+          val guards = ds.take(i).map(notTrue)
+          Join(left, right, Inner,
+            Some((d +: (guards ++ extras)).reduce(And)), hint): LogicalPlan
+        })
+      }
+    case _ => None
+  }
+
+  /** First-matching-disjunct semi-join union / anti-join chain for an
+    * eligible LeftSemi/LeftAnti join (see the class doc). Output
+    * attributes are the LEFT side's for every branch — no width change
+    * vs the original semi/anti join, so no pruning arm is needed. */
+  private def rewriteSemiAnti(j: Join): Option[LogicalPlan] = j match {
+    case Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond), hint)
+        if cond.deterministic && childrenDeterministic(left, right) =>
+      eligibleParts(cond, left, right).map { case (ds, extras) =>
+        def withExtras(d: Expression) = (d +: extras).reduce(And)
+        def antiChain(base: LogicalPlan, strip: Seq[Expression]) =
+          strip.foldLeft(base)((acc, d) =>
+            Join(acc, right, LeftAnti, Some(withExtras(d)), hint))
+        jt match {
+          case LeftSemi =>
+            Union(ds.zipWithIndex.map { case (d, i) =>
+              Join(antiChain(left, ds.take(i)), right, LeftSemi,
+                Some(withExtras(d)), hint): LogicalPlan
+            }): LogicalPlan
+          case _ => antiChain(left, ds)
         }
       }
     case _ => None
@@ -189,6 +261,10 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
       // resolved against — rewrite unpruned (width bounded by the
       // join's own output)
       rewrite(j).map(u => f.copy(child = u)).getOrElse(f)
+    case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+      // semi/anti output IS the left schema in every branch/link —
+      // nothing to prune, any parent shape is fine
+      rewriteSemiAnti(j).getOrElse(j)
     case j: Join =>
       // unknown parent — rewrite without pruning (still bag-exact;
       // the extra width is bounded by the join's own output)

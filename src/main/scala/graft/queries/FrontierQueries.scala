@@ -859,6 +859,72 @@ object FrontierQueries {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q224 — EXISTS with OR'd keys (the LEFT-SEMI arm of
+    * [[graft.plans.DisjunctiveJoinRewrite]], round 13): suppliers with
+    * a customer sharing either the key or the exact cents balance —
+    * `EXISTS (… k OR cents …)`. A semi join on a pure disjunction plans
+    * as a BroadcastNestedLoopJoin (the inner-join union compensation
+    * does not transfer: one left row can match different right rows in
+    * different branches); the rule's first-matching-disjunct routing
+    * turns it into Semi(d1) ∪ (Anti(d1) → Semi(d2)) — three hash joins,
+    * each left row owned by its first matching disjunct. Oracle states
+    * the raw EXISTS. */
+  def q224ExistsDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      col("s_name"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    // only every-3rd customer participates — non-trivial selectivity on
+    // BOTH disjuncts (suppkey∉3ℤ suppliers must hit the cents key)
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q224Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM customer c
+      |  WHERE c.c_custkey % 3 = 0
+      |    AND (s.s_suppkey = c.c_custkey
+      |      OR CAST(round(s.s_acctbal * 100) AS BIGINT)
+      |        = CAST(round(c.c_acctbal * 100) AS BIGINT)))
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q225 — NOT EXISTS with OR'd keys (the LEFT-ANTI arm, the
+    * reference's F7 NOT-IN cousin — trends.go:321-327's deleted-
+    * publisher anti join generalized to a disjunctive key): suppliers
+    * with NO customer sharing key or cents. ¬∃r:(d1∨d2) ⟺ ¬∃d1 ∧ ¬∃d2,
+    * so the rule chains two hash anti joins — no union, no guards,
+    * no nested loop. */
+  def q225NotExistsDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      col("s_name"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents"), "left_anti")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q225Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c
+      |  WHERE c.c_custkey % 3 = 0
+      |    AND (s.s_suppkey = c.c_custkey
+      |      OR CAST(round(s.s_acctbal * 100) AS BIGINT)
+      |        = CAST(round(c.c_acctbal * 100) AS BIGINT)))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** q220 — advisor-driven SALTED JOIN on a genuinely skewed key
     * ([[graft.ops.Skew.advisedJoin]]): the join topology where salting
     * actually changes wall time (Skew's own scale note — GROUP-BY skew

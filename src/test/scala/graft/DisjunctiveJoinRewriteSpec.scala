@@ -193,6 +193,130 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
       "bare-Filter arm changed the Filter's output schema")
   }
 
+  test("LeftSemi OR-join (EXISTS with OR'd keys): rewritten to a union " +
+      "of first-matching-disjunct semi/anti chains — hash joins, no " +
+      "nested loop, answers (bag, duplicate left rows preserved once " +
+      "each) unchanged") {
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "left_semi")
+    assert(unions(q) === 1, "no Union in:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    // k=2: branch 1 = Semi(d1); branch 2 = Anti(d1) → Semi(d2)
+    assert(joins(q) === 3)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_semi")
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
+    }
+    assert(sortedRows(q) === expected)
+    // the duplicated left row (lk=1) appears exactly twice — semi join
+    // preserves left multiplicity, each copy routed to ONE branch
+    assert(q.filter($"lk" === 1L).count() === 2L)
+  }
+
+  test("LeftSemi with a pair matching BOTH disjuncts: the left row is " +
+      "emitted once (first-matching-disjunct routing), never doubled") {
+    // (3,30)×(3,30): lk=rk AND lv=rv both true; right has the row twice
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "left_semi")
+    assert(q.filter($"lk" === 3L).count() === 1L)
+    val expected = withoutRule {
+      sortedRows(left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_semi"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("LeftSemi And-around-Or (EXISTS with an OR'd key under a " +
+      "cross-side residual): extras ride every chain link") {
+    val cond = ($"lk" === $"rk" || $"lv" === $"rv") && $"lv" > $"rv" - 100L
+    val q = left.join(right, cond, "left_semi")
+    assert(unions(q) === 1)
+    assert(nlJoins(q) === 0)
+    val expected = withoutRule {
+      sortedRows(left.join(right, cond, "left_semi"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("LeftAnti OR-join (NOT EXISTS with OR'd keys): rewritten to a " +
+      "straight chain of hash anti joins — no Union, no nested loop, " +
+      "answers unchanged") {
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "left_anti")
+    assert(unions(q) === 0, "anti chain should not union:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    assert(joins(q) === 2)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_anti")
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("LeftAnti null keys: a null disjunct value is not-a-match in " +
+      "both the chain and the original (bag unchanged)") {
+    val q = left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv",
+      "left_anti")
+    val expected = withoutRule {
+      sortedRows(left.join(right,
+        $"lnull" === $"rnull" || $"lv" === $"rv", "left_anti"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("3-disjunct LeftSemi: k(k+1)/2 chain joins, bag exact") {
+    val cond = $"lk" === $"rk" || $"lv" === $"rv" || $"lnull" === $"rnull"
+    val q = left.join(right, cond, "left_semi")
+    assert(unions(q) === 1)
+    assert(joins(q) === 6)
+    assert(nlJoins(q) === 0)
+    val expected = withoutRule {
+      sortedRows(left.join(right, cond, "left_semi"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("veto: a nondeterministic expression BELOW the join (duplicated " +
+      "subplans would diverge per branch) blocks the rewrite for inner, " +
+      "semi and anti") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Or,
+      Rand}
+    import org.apache.spark.sql.catalyst.plans.{Inner => PInner,
+      LeftAnti => PAnti, LeftSemi => PSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      JoinHint, Project => LProject}
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def att(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            n: String) = p.output.find(_.name == n).get
+    val (lk, lv) = (att(l, "lk"), att(l, "lv"))
+    val (rk, rv) = (att(r, "rk"), att(r, "rv"))
+    // right subplan computes a rand() column — nondeterministic child
+    val ndRight = LProject(r.output :+ Alias(Rand(
+      org.apache.spark.sql.catalyst.expressions.Literal(7L)), "nd")(),
+      r)
+    val or = Or(EqualTo(lk, rk), EqualTo(lv, rv))
+    for (jt <- Seq(PInner, PSemi, PAnti)) {
+      val j = LJoin(l, ndRight, jt, Some(or), JoinHint.NONE)
+      assert(DisjunctiveJoinRewrite(j) eq j,
+        s"$jt join over a nondeterministic subplan was rewritten")
+    }
+    // deterministic control: all three join types rewrite
+    for (jt <- Seq(PInner, PSemi, PAnti)) {
+      val j = LJoin(l, r, jt, Some(or), JoinHint.NONE)
+      assert(!(DisjunctiveJoinRewrite(j) eq j),
+        s"deterministic $jt control did not rewrite")
+    }
+  }
+
   test("veto: outer joins keep their OR condition") {
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
       "left_outer")
