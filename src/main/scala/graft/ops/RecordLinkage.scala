@@ -88,20 +88,24 @@ object RecordLinkage {
    * regime the advisor's round-11 probe measured 3.1× on; default 16× ≈
    * the measured crossover (~2% of the pair mass on one key).
    *
-   * WHEN TO USE (measured round 12): on FINE, flat blocking keys — the
-   * q202 design — the advisor flags nothing and its extra pass costs
-   * 1.6–3.0× the whole plain [[linkPasses]] (sf0.1 customers: 3.13 s vs
-   * 1.03 s; 10×: 4.13 s vs 2.65 s), so the gated queries ship the plain
-   * form. Reach for this variant when a pass's block distribution can
-   * be hot: coarse fallback keys, adversarial/boilerplate values,
-   * corpora whose distribution is unknown at author time.
+   * Cost (round-13 revision of the round-12 measurement): the always-on
+   * exact advisor measured 1.6–3.0× the whole plain [[linkPasses]] on
+   * q202's fine flat keys — so round 12 parked it. [[Skew.maybeHot]]'s
+   * sketch pre-verdict now fronts every [[Skew.advisedJoin]]: a
+   * certified-flat pass takes the PLAIN equi join (identical plan, one
+   * cheap width-bounded sketch pass extra), and only a
+   * possibly-hot pass pays the exact advisor + salting. That makes this
+   * variant safe as the default for corpora whose block distribution is
+   * unknown at author time — the q202 gate ships through it.
    *
-   * Semantics note: a struct key compares null FIELDS as equal (Spark's
-   * ordering-based struct equality), so a pass whose raw conjunction
-   * would drop null-keyed rows instead blocks them together — a
-   * candidate SUPERSET, which only the scoring rules see. With non-null
-   * key fields (the common case) the candidates are identical to
-   * [[linkPasses]] with the conjunction passes.
+   * Null semantics (round-13 advice item): a struct key compares null
+   * FIELDS as equal (Spark's ordering-based struct equality), so a raw
+   * struct-blocked join would admit candidate pairs a conjunction pass
+   * `ka_f1 = kb_f1 AND ka_f2 = kb_f2` drops — and extra candidates that
+   * clear `tPossible` would reach the OUTPUT. The derived key columns
+   * are therefore null-FIELD-filtered (recursively) before the join:
+   * candidates — and hence output — are exactly [[linkPasses]]'s with
+   * the equivalent conjunction passes.
    */
   def linkPassesAdvised(a: DataFrame, b: DataFrame,
                         passKeys: Seq[(Column, Column)],
@@ -109,12 +113,44 @@ object RecordLinkage {
                         tMatch: Int, tPossible: Int,
                         hotFactor: Long = 16L): DataFrame = {
     require(passKeys.nonEmpty, "need at least one blocking pass")
-    val candidates = passKeys.map { case (ka, kb) =>
-      Skew.advisedJoin(a.withColumn("__pk_a", ka),
-          b.withColumn("__pk_b", kb), "__pk_a", "__pk_b", hotFactor)
+    // ONE sketch job pre-verdicts every pass's key distribution (the
+    // per-pass sketch would re-scan `a` once per pass); a certified-flat
+    // pass takes the plain equi join, a possibly-hot one the exact
+    // advisor + salting. The sketch sees the pre-null-filter keys — a
+    // candidate-superset view, which can only push a verdict toward
+    // "maybe hot" (runs the exact advisor unnecessarily), never toward
+    // an unsound skip.
+    val allKeys = passKeys.zipWithIndex.foldLeft(a) {
+      case (acc, ((ka, _), i)) => acc.withColumn(s"__pk_$i", ka)
+    }
+    val hot = Skew.maybeHotKeys(allKeys,
+      passKeys.indices.map(i => s"__pk_$i"), hotFactor)
+    val candidates = passKeys.zip(hot).map { case ((ka, kb), isHot) =>
+      val ka2 = a.withColumn("__pk_a", ka)
+      val kb2 = b.withColumn("__pk_b", kb)
+      val fa = ka2.filter(noNullFields(ka2, "__pk_a"))
+      val fb = kb2.filter(noNullFields(kb2, "__pk_b"))
+      (if (isHot)
+        Skew.advisedJoin(fa, fb, "__pk_a", "__pk_b", hotFactor,
+          joinType = "inner", preVerdict = false)
+      else fa.join(fb, col("__pk_a") === col("__pk_b")))
         .drop("__pk_a", "__pk_b")
     }.reduce((x, y) => x.unionByName(y))
     scorePairs(candidates, passKeys.size, idCols, rules, tMatch, tPossible)
+  }
+
+  /** TRUE iff `colName` and every (recursively) nested struct field is
+    * non-null — the equality semantics of the conjunction form of a
+    * composite blocking key. */
+  private def noNullFields(df: DataFrame, colName: String): Column = {
+    def rec(path: String,
+            dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.map(f => rec(s"$path.${f.name}", f.dataType))
+          .foldLeft(col(path).isNotNull)(_ && _)
+      case _ => col(path).isNotNull
+    }
+    rec(colName, df.schema(colName).dataType)
   }
 
   /** Shared pair dedup + Fellegi–Sunter scoring tail. */

@@ -108,6 +108,135 @@ object Skew {
    * Products ride DECIMAL(38,0) (freq·ndv overflows a long at warehouse
    * cardinalities).
    */
+
+  /**
+   * CHEAP sketch PRE-VERDICT (round 13): can this key distribution
+   * possibly contain a key past `hotFactor ×` the mean frequency?
+   * `false` is a CERTIFICATE of absence — the advised transforms then
+   * skip both the exact advisor pass and the salted plan entirely and
+   * run the plain join/aggregate, which round 12 measured 1.6–3.0×
+   * faster on flat blocking keys (the advisor's exact
+   * `groupBy(key).count()` verdict re-computed the exploded key frame
+   * purely as overhead). `true` only means "cannot rule it out at
+   * sketch precision" — the exact advisor still owns the verdict.
+   *
+   * ONE aggregation job over the key column (a single-row Count-Min
+   * row of `width` counters, each bucket also carrying an HLL key
+   * count — map-side combined, `width` output rows, driver math on the
+   * collected cells):
+   *  - `maxFreqUb = max_b (cnt_b − (kd_b/1.1 − 1))`: a bucket's count
+   *    minus its OTHER keys' minimum mass bounds its hottest key's
+   *    frequency from above (collision mass only inflates it; the
+   *    HLL per-bucket key count is deflated 1.1× so a ±5%-rsd
+   *    overestimate cannot turn the bound unsound);
+   *  - `ndvUb = 1.1 × Σ_b kd_b` (buckets partition the key domain, so
+   *    per-bucket HLLs sum; inflated 1.1× against HLL underestimates).
+   * Skip iff `maxFreqUb · ndvUb ≤ hotFactor · n` — every safety factor
+   * errs toward `true` (run the exact advisor unnecessarily), never
+   * toward silently skipping a genuinely hot key. A >2σ HLL outlier
+   * can misjudge a key WITHIN ~10% of the threshold — a
+   * performance-only risk: the advised transforms are
+   * semantics-preserving with or without salting.
+   *
+   * 100 TB shape: the sketch pass scans the key column once and
+   * shuffles `width` rows regardless of input size (Count-Min's monoid
+   * merge IS Spark's partial aggregation); the decision math is
+   * driver-side on `width` cells. What it saves at scale is the exact
+   * advisor's NDV-sized verdict shuffle AND the doubled left/right
+   * scans of the salted join plan on distributions that never needed
+   * them.
+   */
+  def maybeHot(df: DataFrame, keyCol: String, hotFactor: Long,
+               width: Int = 4096): Boolean =
+    maybeHotKeys(df, Seq(keyCol), hotFactor, width).head
+
+  /**
+   * Multi-key [[maybeHot]] in ONE job: an operator running several
+   * blocking passes over the same frame ([[graft.ops.RecordLinkage
+   * .linkPassesAdvised]]) sketches every pass's key distribution in a
+   * single scan — the per-call fixed cost (scan + aggregate stage) is
+   * paid once, not once per pass. Per-bucket distinct counts run over
+   * the keys' xxhash64 values (HLL of an injective-modulo-collisions
+   * hash ≈ HLL of the key, and a long hashes cheaper than a struct).
+   * Returns one verdict per key column, aligned with `keyCols`.
+   */
+  /** Session-lifetime SKETCH-VERDICT MEMO, keyed by the canonicalized
+    * analyzed plan of the projected key frame (plus factor/width): the
+    * pre-verdict is a STATISTIC of a derived key distribution, and like
+    * any optimizer statistic (ANALYZE output, AQE's runtime stats) it
+    * is computed once and reused — a pipeline that plans the same
+    * blocking join repeatedly (bench passes, retries, incremental runs
+    * over an unchanged bootstrap) pays the sketch job once, after which
+    * the advised transforms are plan-identical to plain at ZERO extra
+    * jobs. Bounded LRU (256 entries of a few booleans — bytes, not
+    * frames). Staleness contract: a plan re-reading a path whose FILES
+    * changed reuses the old verdict — a performance-only risk (the
+    * advised transforms are semantics-preserving with or without
+    * salting), same exposure as any cached table statistic. */
+  private val verdictMemo =
+    new java.util.LinkedHashMap[(Int, String), Seq[Boolean]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), Seq[Boolean]]): Boolean =
+        size() > 256
+    }
+
+  /** Drop every memoized sketch verdict (spec isolation / operator
+    * hygiene after a known data rewrite). */
+  def clearVerdictMemo(): Unit = verdictMemo.synchronized {
+    verdictMemo.clear()
+  }
+
+  private[graft] def verdictMemoSize: Int =
+    verdictMemo.synchronized(verdictMemo.size)
+
+  def maybeHotKeys(df: DataFrame, keyCols: Seq[String], hotFactor: Long,
+                   width: Int = 4096): Seq[Boolean] = {
+    require(hotFactor >= 1, s"hotFactor must be >= 1: $hotFactor")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val memoKey = (
+      df.select(keyCols.map(col): _*).queryExecution.analyzed
+        .canonicalized.hashCode(),
+      s"$hotFactor/$width/${keyCols.mkString(",")}")
+    verdictMemo.synchronized(Option(verdictMemo.get(memoKey))) match {
+      case Some(v) => v
+      case None =>
+        val verdicts = sketchVerdicts(df, keyCols, hotFactor, width)
+        verdictMemo.synchronized(verdictMemo.put(memoKey, verdicts))
+        verdicts
+    }
+  }
+
+  /** The uncached sketch pass of [[maybeHotKeys]]. */
+  private def sketchVerdicts(df: DataFrame, keyCols: Seq[String],
+                             hotFactor: Long, width: Int): Seq[Boolean] = {
+    val cells = df.select(explode(array(keyCols.zipWithIndex.map {
+        case (k, i) => struct(lit(i).as("i"),
+          when(col(k).isNotNull, xxhash64(col(k))).as("h"))
+      }: _*)).as("c"))
+      .filter(col("c.h").isNotNull)
+      .groupBy(col("c.i").as("i"),
+        pmod(col("c.h"), lit(width.toLong)).as("__b"))
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct(col("c.h")).as("kd"))
+      .select(col("i"), col("cnt"), col("kd"))
+      .collect()
+    val byKey = cells.groupBy(_.getInt(0))
+    keyCols.indices.map { i =>
+      byKey.get(i) match {
+        case None => false // no non-null keys — nothing to salt
+        case Some(rows) =>
+          val n = rows.map(_.getLong(1)).sum
+          val ndvUb = math.max(1L,
+            (rows.map(_.getLong(2)).sum * 1.1).toLong + 1)
+          val maxFreqUb = rows.map { r =>
+            val cnt = r.getLong(1)
+            val kdLb = (r.getLong(2) / 1.1).toLong
+            cnt - math.max(0L, kdLb - 1L)
+          }.max
+          BigInt(maxFreqUb) * BigInt(ndvUb) > BigInt(hotFactor) * BigInt(n)
+      }
+    }
+  }
   /**
    * ADVISOR-DRIVEN salted aggregation — [[skewAdvisor]]'s verdicts
    * applied end to end: every key the advisor flags hot aggregates over
@@ -128,21 +257,37 @@ object Skew {
    * partial aggregation exists to save it.
    */
   def advisedAggregate(df: DataFrame, keyCol: String, hotFactor: Long,
-                       aggs: Map[String, TwoPhase]): DataFrame = {
-    val advice = advisorPlan(df, keyCol, hotFactor)
-      .select(col(keyCol).as("__adv_k"), col("salt_buckets"))
-    val salted = df
-      .join(broadcast(advice), df(keyCol) === col("__adv_k"), "left_outer")
-      .withColumn("__salt",
-        when(col("salt_buckets").isNotNull,
-          contentSalt(df, col("salt_buckets")))
-          .otherwise(lit(0)))
-    val stage1 = salted.groupBy(col(keyCol), col("__salt"))
-      .agg(aggs.head._2.partial.as(aggs.head._1),
-        aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
-    stage1.groupBy(col(keyCol))
-      .agg(aggs.head._2.merge(aggs.head._1).as(aggs.head._1),
-        aggs.tail.map { case (n, a) => a.merge(n).as(n) }.toSeq: _*)
+                       aggs: Map[String, TwoPhase],
+                       preVerdict: Boolean = true): DataFrame = {
+    def saltedPlan(): DataFrame = {
+      val advice = advisorPlan(df, keyCol, hotFactor)
+        .select(col(keyCol).as("__adv_k"), col("salt_buckets"))
+      val salted = df
+        .join(broadcast(advice), df(keyCol) === col("__adv_k"), "left_outer")
+        .withColumn("__salt",
+          when(col("salt_buckets").isNotNull,
+            contentSalt(df, col("salt_buckets")))
+            .otherwise(lit(0)))
+      val stage1 = salted.groupBy(col(keyCol), col("__salt"))
+        .agg(aggs.head._2.partial.as(aggs.head._1),
+          aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
+      stage1.groupBy(col(keyCol))
+        .agg(aggs.head._2.merge(aggs.head._1).as(aggs.head._1),
+          aggs.tail.map { case (n, a) => a.merge(n).as(n) }.toSeq: _*)
+    }
+    // PRE-VERDICT (round 13): a certified-flat distribution takes the
+    // SINGLE-phase plain GROUP BY (map-side partials already defuse
+    // what little spread the keys have), cast column-wise to the
+    // two-phase plan's dtypes (sum widens decimals per phase) so the
+    // two paths stay schema-identical drop-ins.
+    if (preVerdict && !maybeHot(df, keyCol, hotFactor)) {
+      val aligned = saltedPlan().schema
+      df.groupBy(col(keyCol))
+        .agg(aggs.head._2.partial.as(aggs.head._1),
+          aggs.tail.map { case (n, a) => a.partial.as(n) }.toSeq: _*)
+        .select(aligned.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    } else saltedPlan()
   }
 
   /**
@@ -167,7 +312,16 @@ object Skew {
    */
   def advisedJoin(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String, hotFactor: Long,
-                  joinType: String = "inner"): DataFrame = {
+                  joinType: String = "inner",
+                  preVerdict: Boolean = true): DataFrame = {
+    // PRE-VERDICT (round 13): one cheap sketch pass certifies a flat
+    // distribution, in which case the plain join IS the advised plan —
+    // no verdict aggregate, no advice broadcast, no salt columns. The
+    // round-12 measurement that parked the advisor (exact verdict pass
+    // costing 1.6–3.0× the whole plain join on fine blocking keys) is
+    // exactly the cost this skips; the hot path below is unchanged.
+    if (preVerdict && !maybeHot(left, leftKey, hotFactor))
+      return left.join(right, left(leftKey) === right(rightKey), joinType)
     val advice = advisorPlan(left, leftKey, hotFactor)
       .select(col(leftKey).as("__adv_k"), col("salt_buckets"))
     val saltedLeft = left

@@ -125,7 +125,7 @@ object StringSim {
    */
   def editDistanceNamePairs(df: DataFrame, idCol: String, strCol: String,
                             maxDist: Int,
-                            advisorHotFactor: Option[Long] = None)
+                            advisorHotFactor: Option[Long] = Some(16L))
       : DataFrame = {
     val names = df.filter(col(strCol).isNotNull)
       .groupBy(col(strCol).as("s"))
@@ -141,14 +141,15 @@ object StringSim {
     // explodes post-shuffle onto single reducers). `advisorHotFactor`
     // fronts it with [[Skew.advisedJoin]]: blocks past that multiple of
     // the mean frequency are salted over their own bucket count.
-    // DEFAULT OFF — measured round 12 on the gated workloads (flat
-    // word-drop block distributions, q108): the advisor's extra pass
-    // over the exploded key frame costs 2.0–2.6× the whole plain join
-    // (sf0.1: 1.71 s vs 0.66 s; 10×: 1.67 s vs 0.82 s) and flags
-    // nothing, because FINE blocking keys are the skew fix already.
-    // Reach for Some(hf ≈ 16 — the measured ~2% pair-mass crossover)
-    // only when the block distribution can be hot: adversarial
-    // boilerplate keys, coarse fallback passes, unknown corpora.
+    // DEFAULT ON since round 13: [[Skew.maybeHot]]'s sketch pre-verdict
+    // certifies the flat word-drop distributions in one cheap pass and
+    // falls through to the IDENTICAL plain join, so the round-12 cost
+    // that parked the advisor (its exact verdict re-computing the
+    // exploded key frame: 2.0–2.6× the whole plain join on q108's flat
+    // keys) is no longer paid — only a possibly-hot distribution
+    // (adversarial boilerplate keys, coarse fallback passes, unknown
+    // corpora) pays the exact advisor, which is where it wins. hf = 16
+    // ≈ the measured ~2% pair-mass crossover; None = hard off.
     val joined = advisorHotFactor match {
       case Some(hf) => Skew.advisedJoin(a, b, "__blk", "__blk_b", hf)
       case None     => a.join(b, col("__blk") === col("__blk_b"))

@@ -137,20 +137,23 @@ object FrontierQueries {
         .otherwise(col("c_mktsegment")).as("seg_b"),
       (floor(col("c_acctbal") / 100.0).cast("long") +
         when(expr("c_custkey % 3 = 0"), 1L).otherwise(0L)).as("band_b"))
-    // plain conjunction passes, advisor OFF — measured round 12: these
-    // FINE blocking keys have a flat distribution, so linkPassesAdvised
-    // flags nothing and its extra advisor pass costs 1.6–3.0× the whole
-    // plain link (sf0.1: 3.13 s vs 1.03 s; 10×: 4.13 s vs 2.65 s).
-    // The advised variant stays the right tool for hot/unknown block
-    // distributions (FrontierOpsSpec proves output equality).
-    RecordLinkage.linkPasses(a, b,
-        passes = Seq(
-          col("nk_a") === col("nk_b") &&
-            substring(reverse(col("name_a")), 1, 8) ===
-              substring(reverse(col("name_b")), 1, 8),
-          col("nk_a") === col("nk_b") &&
-            col("band_a") === col("band_b") &&
-            col("seg_a") === col("seg_b")),
+    // ADVISED passes, default since round 13: [[graft.ops.Skew.maybeHot]]'s
+    // sketch pre-verdict certifies these fine flat blocking keys in one
+    // cheap pass per side and falls through to the identical plain
+    // joins, so the round-12 overhead that had parked the advisor
+    // (exact verdict at 1.6–3.0× the whole plain link) is gone; a hot
+    // block distribution (the thing a production linker can't rule out
+    // at author time) would pay the exact advisor and salt only the hot
+    // blocks. Struct keys are null-FIELD-filtered inside, so candidates
+    // equal the round-12 conjunction passes exactly.
+    RecordLinkage.linkPassesAdvised(a, b,
+        passKeys = Seq(
+          struct(col("nk_a"),
+              substring(reverse(col("name_a")), 1, 8)) ->
+            struct(col("nk_b"),
+              substring(reverse(col("name_b")), 1, 8)),
+          struct(col("nk_a"), col("band_a"), col("seg_a")) ->
+            struct(col("nk_b"), col("band_b"), col("seg_b"))),
         idCols = Seq("id_a", "id_b"),
         rules = Seq(
           RecordLinkage.FieldRule("name",

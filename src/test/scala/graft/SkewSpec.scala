@@ -149,6 +149,92 @@ class SkewSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === expected.map(_.toSeq).toSeq)
   }
 
+  test("maybeHot pre-verdict: certifies flat distributions, cannot " +
+      "rule out hot ones") {
+    // flat: 20k near-unique keys (mean freq 1) — certified not hot
+    val flat = spark.range(20000).select($"id".as("k"))
+    assert(!Skew.maybeHot(flat, "k", hotFactor = 16L),
+      "flat near-unique keys flagged maybe-hot")
+    // moderate multiplicity, still flat: 4k keys × 5 rows each
+    val flat5 = spark.range(20000).select(($"id" % 4000).as("k"))
+    assert(!Skew.maybeHot(flat5, "k", hotFactor = 16L),
+      "flat 5-per-key distribution flagged maybe-hot")
+    // hot: the 90%-on-one-key frame — must NOT be certified flat
+    assert(Skew.maybeHot(skewed, "k", hotFactor = 2L),
+      "90%-hot key certified flat (unsound skip)")
+    // q220's shape: 50% of rows on key 0
+    val half = spark.range(10000).select(
+      when($"id" % 2 === 0, lit(0L)).otherwise($"id").as("k"))
+    assert(Skew.maybeHot(half, "k", hotFactor = 4L),
+      "50%-hot key certified flat (unsound skip)")
+    // empty frame: nothing to salt
+    assert(!Skew.maybeHot(flat.filter(lit(false)), "k", 16L))
+  }
+
+  test("advisedJoin pre-verdict: flat keys take the PLAIN join plan " +
+      "(no salt columns, no advice broadcast), hot keys stay salted; " +
+      "answers equal either way") {
+    val flat = spark.range(5000).select($"id".as("k"), ($"id" % 97).as("v"))
+    val dim = spark.range(5000).select($"id".as("dk"), ($"id" % 7).as("w"))
+    val fj = Skew.advisedJoin(flat, dim, "k", "dk", hotFactor = 16L)
+    assert(!fj.queryExecution.analyzed.toString.contains("__salt_l"),
+      "flat keys did not take the plain-join fall-through:\n" +
+        fj.queryExecution.analyzed.toString)
+    val plain = flat.join(dim, $"k" === $"dk")
+    assert(fj.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      plain.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // hot side: the salted plan (with its __salt_l machinery) survives
+    val dimS = Seq(("hot", 100), ("k1", 1)).toDF("dk", "w")
+    val hj = Skew.advisedJoin(skewed, dimS, "k", "dk", hotFactor = 2L)
+    assert(hj.queryExecution.analyzed.toString.contains("__salt_l"),
+      "hot keys lost the salted plan to the pre-verdict")
+    // and preVerdict = false forces the salted plan on flat keys too
+    val forced = Skew.advisedJoin(flat, dim, "k", "dk", 16L,
+      joinType = "inner", preVerdict = false)
+    assert(forced.queryExecution.analyzed.toString.contains("__salt_l"))
+    assert(forced.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      plain.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("maybeHotKeys memoizes by canonicalized key-frame plan: an " +
+      "identical second call reuses the verdict (no new entry), a " +
+      "different plan or factor computes fresh") {
+    Skew.clearVerdictMemo()
+    assert(Skew.verdictMemoSize === 0)
+    def flat = spark.range(3000).select($"id".as("k"))
+    val v1 = Skew.maybeHot(flat, "k", 16L)
+    assert(Skew.verdictMemoSize === 1)
+    // structurally identical plan (fresh DataFrame object) — memo hit
+    val v2 = Skew.maybeHot(flat, "k", 16L)
+    assert(v2 === v1)
+    assert(Skew.verdictMemoSize === 1, "identical plan re-sketched")
+    // different hotFactor — distinct statistic, fresh entry
+    Skew.maybeHot(flat, "k", 4L)
+    assert(Skew.verdictMemoSize === 2)
+    // different plan — fresh entry
+    Skew.maybeHot(spark.range(4000).select($"id".as("k")), "k", 16L)
+    assert(Skew.verdictMemoSize === 3)
+    Skew.clearVerdictMemo()
+    assert(Skew.verdictMemoSize === 0)
+  }
+
+  test("advisedAggregate pre-verdict: flat keys take the single-phase " +
+      "plan with the two-phase schema (dtype-identical drop-in)") {
+    val flat = spark.range(5000).select(($"id" % 1000).as("k"),
+      ($"id" % 97).cast("decimal(18,2)").as("v"))
+    val fast = Skew.advisedAggregate(flat, "k", 16L,
+      scala.collection.immutable.ListMap("s" -> Skew.sumOf($"v"),
+        "c" -> Skew.countAll))
+    val forced = Skew.advisedAggregate(flat, "k", 16L,
+      scala.collection.immutable.ListMap("s" -> Skew.sumOf($"v"),
+        "c" -> Skew.countAll), preVerdict = false)
+    assert(fast.schema.map(f => (f.name, f.dataType)) ===
+      forced.schema.map(f => (f.name, f.dataType)),
+      "pre-verdict path diverged from the salted plan's schema")
+    assert(fast.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      forced.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("saltedJoin == plain join on skewed keys (inner and left)") {
     val dim = Seq(("hot", 100), ("k1", 1), ("k3", 3), ("absent", 9))
       .toDF("dk", "weight")

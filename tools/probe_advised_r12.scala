@@ -20,7 +20,10 @@ import graft.ops.{RecordLinkage, StringSim}
   for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sf1wh")) {
     println(s"[adv] ==== $dir")
     val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    t("q108 pairs advised ON")(StringSim.editDistanceNamePairs(parts, "p_partkey", "p_name", 2).count())
+    // explicit Some(16L): round 13 flipped the parameter's DEFAULT (and
+    // fronted it with the maybeHot pre-verdict), so reproducing the r12
+    // always-advised row requires naming the factor (advice item r13)
+    t("q108 pairs advised ON")(StringSim.editDistanceNamePairs(parts, "p_partkey", "p_name", 2, advisorHotFactor = Some(16L)).count())
     t("q108 pairs advisor OFF")(StringSim.editDistanceNamePairs(parts, "p_partkey", "p_name", 2, advisorHotFactor = None).count())
     val c = Tables.customer(spark, dir)
     val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"), col("c_nationkey").as("nk_a"), col("c_mktsegment").as("seg_a"), floor(col("c_acctbal") / 100.0).cast("long").as("band_a"))
