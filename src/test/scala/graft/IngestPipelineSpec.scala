@@ -119,11 +119,11 @@ class IngestPipelineSpec extends SparkSpec {
     assert(idsRolled === idsPlain && idsRolled === Set(100L, 1L, 2L, 4L, 6L))
     assert(filesRolled < filesPlain,
       s"roll-up must shrink the store: $filesRolled vs $filesPlain files")
-    // sealed dirs really consolidated: only the label (1) and the open
-    // batch (2) partitions remain
+    // sealed dirs really consolidated: only the fresh negative label
+    // (−2, below the corpus bootstrap −1) and the open batch (2) remain
     val dirs = new java.io.File(s"$rolledDir/__tier=bands").listFiles()
       .map(_.getName).filter(_.startsWith("ingest_batch=")).sorted.toSeq
-    assert(dirs === Seq("ingest_batch=1", "ingest_batch=2"))
+    assert(dirs === Seq("ingest_batch=-2", "ingest_batch=2"))
     // idempotence: a second roll-up at the same seal point is a no-op
     val before = IngestPipeline.readIndexBefore(spark, rolledDir, Long.MaxValue)
       .bands.collect().map(_.toString).sorted.toSeq
@@ -133,8 +133,10 @@ class IngestPipelineSpec extends SparkSpec {
     assert(after === before)
   }
 
-  test("roll-up crash window: a committed staged slice is recovered on the next roll-up") {
-    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+  test("roll-up crash windows (reader-safe ordering): every reachable " +
+      "intermediate state shows readers duplicates or the original — " +
+      "never absences — and the next roll-up self-heals to exactly-once") {
+    import java.nio.file.{Files => F, Paths}
     val tmp = Files.createTempDirectory("graft-rollup-crash").toString
     val storeDir = s"$tmp/store"
     IngestPipeline.writeIndexSlice(
@@ -146,37 +148,172 @@ class IngestPipelineSpec extends SparkSpec {
       Seq((1L, text("aa"))).toDF("doc_id", "text"), 0L, storeDir, protIdx)
     IngestPipeline.processBatch(
       Seq((2L, text("ba"))).toDF("doc_id", "text"), 1L, storeDir, protIdx)
-    val before = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
-      .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
+    def bandRows(): Seq[String] =
+      IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
+        .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
+    val before = bandRows()
 
-    // simulate the worst crash window of rollupIndexStore: phase 1 staged
-    // and committed (_SUCCESS), sealed partition dirs ALREADY DELETED,
-    // phase-2 move never ran — the store read alone would lose rows
+    // window A — crash BEFORE the _LABEL commit mark: staging holds
+    // parquet + _SUCCESS but no _LABEL; sealed dirs are untouched (the
+    // new ordering never deletes before installing). Readers see the
+    // original rows; the next roll-up discards the unmarked staging.
     for (sub <- Seq("bands", "base")) {
       val dir = s"$storeDir/__tier=$sub"
       val staging = Paths.get(dir, ".rollup_staging")
-      F.createDirectories(staging)
-      // stage = the exact consolidated slice phase 1 writes
       spark.read.parquet(dir).filter($"ingest_batch" < 2).drop("ingest_batch")
         .repartition(1).write.mode("overwrite").parquet(staging.toString)
       assert(F.exists(staging.resolve("_SUCCESS")))
-      new java.io.File(dir).listFiles()
-        .filter(f => f.getName.startsWith("ingest_batch=") &&
-          f.getName.stripPrefix("ingest_batch=").toLong < 2)
-        .foreach(f => {
-          val s = F.walk(f.toPath)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => F.deleteIfExists(p))
-          finally s.close()
-        })
     }
-    // next roll-up entry must complete the move BEFORE anything else
+    assert(bandRows() === before, "window A changed what readers see")
     IngestPipeline.rollupIndexStore(spark, storeDir, sealedBefore = 2L)
-    val after = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
-      .bands.orderBy($"id", $"band_idx").collect().map(_.toString).toSeq
-    assert(after === before, "recovery must restore the full sealed slice")
-    assert(!F.exists(Paths.get(s"$storeDir/__tier=bands/.rollup_staging")),
-      "staging must be cleared after recovery")
+    assert(bandRows() === before,
+      "roll-up after window A lost or duplicated rows")
+    assert(!F.exists(Paths.get(s"$storeDir/__tier=bands/.rollup_staging")))
+
+    // window B — crash AFTER install, BEFORE the sealed-dir deletes:
+    // recreate by copying the installed label's files back as a fake
+    // still-present sealed dir. Readers see DUPLICATES (never absences);
+    // candidate/drop consumers are duplicate-insensitive; the next
+    // roll-up's distinct() restores exactly-once rows.
+    val labelDir = new java.io.File(s"$storeDir/__tier=bands").listFiles()
+      .map(_.getName).filter(_.startsWith("ingest_batch=-")).sorted.head
+    for (sub <- Seq("bands", "base")) {
+      val src = Paths.get(s"$storeDir/__tier=$sub/$labelDir")
+      val fake = Paths.get(s"$storeDir/__tier=$sub/ingest_batch=0")
+      F.createDirectories(fake)
+      val s = F.list(src)
+      try s.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(f => F.copy(f, fake.resolve("dup-" + f.getFileName)))
+      finally s.close()
+    }
+    val dupRows = bandRows()
+    assert(dupRows.distinct === before,
+      "window B must show duplicates of the true rows, nothing else")
+    assert(dupRows.size > before.size, "window B should actually duplicate")
+    // drop decisions are unchanged in the duplicate window: a batch
+    // near-dupping survivor 1 is still dropped exactly once
+    IngestPipeline.processBatch(
+      Seq((9L, text("aa")), (10L, text("fa"))).toDF("doc_id", "text"),
+      2L, storeDir, protIdx)
+    val surv = IngestPipeline.readSurvivors(spark, storeDir)
+      .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(surv === Seq((0L, 1L), (1L, 2L), (2L, 10L)),
+      "duplicate window changed drop decisions")
+    // self-heal: the next roll-up consolidates back to exactly-once
+    IngestPipeline.rollupIndexStore(spark, storeDir, sealedBefore = 3L)
+    val healed = IngestPipeline.readIndexBefore(spark, storeDir, Long.MaxValue)
+      .bands.select("id", "band_idx", "band_hash")
+      .collect().map(_.toString).toSeq
+    assert(healed.distinct.sorted === healed.sorted,
+      "self-heal left duplicate index rows")
+  }
+
+  test("mid-swap reader (the r12 race window): a reader BETWEEN install " +
+      "and the sealed-dir deletes sees a complete index — duplicates " +
+      "allowed, absences forbidden — and unchanged drop candidates") {
+    val tmp = Files.createTempDirectory("graft-rollup-midswap").toString
+    val storeDir = s"$tmp/store"
+    IngestPipeline.writeIndexSlice(
+      Seq((100L, text("ca"))).toDF("doc_id", "text"),
+      storeDir, IngestPipeline.CorpusBatchId)
+    val protIdx = Dedup.buildMinhashIndex(
+      Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    IngestPipeline.processBatch(
+      Seq((1L, text("aa"))).toDF("doc_id", "text"), 0L, storeDir, protIdx)
+    IngestPipeline.processBatch(
+      Seq((2L, text("ba"))).toDF("doc_id", "text"), 1L, storeDir, protIdx)
+    val idsBefore = IngestPipeline.readIndexBefore(spark, storeDir, 2L)
+      .bands.select("id").distinct().collect().map(_.getLong(0)).toSet
+    var probed = 0
+    IngestPipeline.rollupIndexStore(spark, storeDir, sealedBefore = 2L,
+      targetBytes = 64L * 1024 * 1024, midSwap = () => {
+        probed += 1
+        val mid = IngestPipeline.readIndexBefore(spark, storeDir, 2L)
+        val ids = mid.bands.select("id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(ids === idsBefore,
+          s"mid-swap reader lost index ids: $ids vs $idsBefore")
+        // the cross-corpus candidate set of a would-be batch is intact
+        val batchIdx = Dedup.buildMinhashIndex(
+          Seq((9L, text("aa"))).toDF("doc_id", "text"), "doc_id", "text",
+          n = 2)
+        val hits = Dedup.lshPairsAgainst(batchIdx, mid, 0.5)
+          .select("corpus_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(hits === Set(1L),
+          "mid-swap reader's near-dup candidates changed")
+      })
+    assert(probed === 2, "midSwap probe must run once per rolled tier")
+  }
+
+  test("startIngest rollupEvery: store partition-dir count stays bounded " +
+      "across 3x the cadence, survivors byte-stable vs a no-rollup twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def runStream(rollupEvery: Option[Int]): (Seq[(Long, Long)], Int, Int) = {
+      val tmp = Files.createTempDirectory("graft-cadence").toString
+      val storeDir = s"$tmp/store"
+      IngestPipeline.writeIndexSlice(
+        Seq((100L, text("ca"))).toDF("doc_id", "text"),
+        storeDir, IngestPipeline.CorpusBatchId)
+      val protIdx = Dedup.buildMinhashIndex(
+        Seq((200L, text("pa"))).toDF("doc_id", "text"), "doc_id", "text",
+        n = 2)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val q = IngestPipeline.startIngest(docs, storeDir, protIdx,
+        s"$tmp/chk", rollupEvery = rollupEvery)
+      try {
+        // 6 batches (= 3x the cadence of 2): batch i brings one unique
+        // doc and one near-dup of batch i−1's survivor — every drop
+        // decision depends on the (possibly rolled-up) index
+        for (i <- 0 until 6) {
+          val fam = ('a' + i).toChar.toString + "z"
+          val prevFam = ('a' + i - 1).toChar.toString + "z"
+          val rows = Seq((10L + i, text(fam))) ++
+            (if (i > 0) Seq((20L + i, text(prevFam))) else Nil)
+          mem.addData(rows: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val surv = IngestPipeline.readSurvivors(spark, storeDir)
+        .selectExpr("CAST(ingest_batch AS BIGINT)", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val bandDirs = new java.io.File(s"$storeDir/__tier=bands").listFiles()
+        .count(_.getName.startsWith("ingest_batch="))
+      (surv, bandDirs,
+        IngestPipeline.storeFileCount(s"$storeDir/__tier=bands"))
+    }
+    val (survPlain, dirsPlain, filesPlain) = runStream(None)
+    val (survRolled, dirsRolled, filesRolled) = runStream(Some(2))
+    assert(survRolled === survPlain,
+      "automatic roll-up changed drop decisions")
+    assert(survPlain.map(_._2).toSet === (10L until 16L).toSet,
+      "every near-dup of a prior survivor must have been dropped")
+    assert(dirsPlain === 7, s"no-rollup store should accrete 7 dirs")
+    // cadence 2 over batches 0..5: roll-ups at b2 (seals <2) and b4
+    // (seals <4) → after b5 the bands tier holds label + batches 4,5 +
+    // the open accretion since the last roll-up — strictly bounded
+    assert(dirsRolled <= 4,
+      s"rolled store accreted $dirsRolled partition dirs (expected <= 4)")
+    assert(filesRolled < filesPlain)
+  }
+
+  test("readIndexBefore fails CLOSED: only a genuinely empty store reads " +
+      "as the empty index; a foreign/corrupt store rethrows instead of " +
+      "silently disabling dedup and decontamination drops") {
+    val tmp = Files.createTempDirectory("graft-readidx").toString
+    // missing path → the intended first-batch empty index
+    val idx = IngestPipeline.readIndexBefore(spark, s"$tmp/nope", 5L)
+    assert(idx.bands.count() === 0 && idx.base.count() === 0)
+    // committed parquet that is NOT a store (no ingest_batch/__idx_*
+    // envelope): the round-12 catch-all returned the empty index here —
+    // fail-open for a decontamination pipeline — now it rethrows
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$tmp/foreign")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      IngestPipeline.readIndexBefore(spark, s"$tmp/foreign", 5L)
+    }
   }
 
   test("a replayed batch is blind to its own failed attempt's index slice") {
