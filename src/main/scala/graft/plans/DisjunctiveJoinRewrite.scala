@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet,
-  Coalesce, EqualTo, Expression, Literal, Not, Or}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeSet,
+  Coalesce, EqualTo, Expression, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter,
+  LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -81,13 +82,33 @@ import org.apache.spark.sql.catalyst.rules.Rule
  *   Join(L, R, LeftAnti, Cs AND (d1 OR … OR dk))
  *     ⇒ Anti(…Anti(Anti(L, d1∧Cs), d2∧Cs)…, dk∧Cs)
  *
+ * LEFT OUTER (round 13, second pass) composes the two: the matched
+ * pairs of a left-outer join ARE the inner join's bag (the inner
+ * compensation applies verbatim), and the null-padded remainder is
+ * exactly the LeftAnti chain's survivors — rows with no match on ANY
+ * disjunct — projected onto left ++ null-typed right columns:
+ *
+ *   Join(L, R, LeftOuter, Cs AND (d1 OR … OR dk))
+ *     ⇒ Union(inner branches …,
+ *             Project(L.* ++ nulls_R, Anti(…Anti(L, d1∧Cs)…, dk∧Cs)))
+ *
+ * Every left row is either matched (owned by the inner branches,
+ * multiplicity = its match count, bag-exact per the inner proof) or
+ * unmatched (survives the whole anti chain once per input copy), never
+ * both — the union is bag-exact. The null pads alias the RIGHT side's
+ * exprIds, so the union stays position-aligned and parent references
+ * resolve unchanged; `Union.output` merges child nullability, so the
+ * right columns come out nullable exactly as the original left-outer
+ * output did. RIGHT OUTER and FULL OUTER stay vetoed (right-outer is
+ * this shape mirrored — not a user shape in the corpus — and full
+ * outer would need both remainders plus two chains).
+ *
  * Fires ONLY when ALL of:
- *  - the join is INNER, LEFT SEMI or LEFT ANTI with a deterministic
- *    condition whose top-level conjuncts contain NO cross-side equality
- *    (else the join already has a hash key) and EXACTLY ONE
- *    disjunction-of-predicates conjunct (2 ≤ k ≤ `MaxDisjuncts`) —
- *    outer joins change null-padding semantics per branch and are
- *    vetoed;
+ *  - the join is INNER, LEFT SEMI, LEFT ANTI or LEFT OUTER with a
+ *    deterministic condition whose top-level conjuncts contain NO
+ *    cross-side equality (else the join already has a hash key) and
+ *    EXACTLY ONE disjunction-of-predicates conjunct
+ *    (2 ≤ k ≤ `MaxDisjuncts`) — right/full outer joins are vetoed;
  *  - every disjunct is DETERMINISTIC (a nondeterministic predicate
  *    evaluated once per pair cannot be re-evaluated once per branch);
  *  - BOTH child subplans are deterministic: the rewrite duplicates the
@@ -188,6 +209,37 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Inner-branch union + null-padded anti-chain remainder for an
+    * eligible LEFT OUTER join (see the class doc). The pad branch
+    * aliases the right side's exprIds so the Union stays
+    * position-aligned with the inner branches and parent references
+    * resolve against child 0 unchanged. */
+  private def rewriteOuter(j: Join): Option[Union] = j match {
+    case Join(left, right, LeftOuter, Some(cond), hint)
+        if cond.deterministic && childrenDeterministic(left, right) =>
+      eligibleParts(cond, left, right).map { case (ds, extras) =>
+        def withExtras(d: Expression) = (d +: extras).reduce(And)
+        val matched: Seq[LogicalPlan] = ds.zipWithIndex.map { case (d, i) =>
+          val guards = ds.take(i).map(notTrue)
+          Join(left, right, Inner,
+            Some((d +: (guards ++ extras)).reduce(And)), hint)
+        }
+        val unmatched = ds.foldLeft(left: LogicalPlan)((acc, d) =>
+          Join(acc, right, LeftAnti, Some(withExtras(d)), hint))
+        val padded = Project(
+          left.output ++ right.output.map(a =>
+            Alias(Literal(null, a.dataType), a.name)(
+              exprId = a.exprId): NamedExpression),
+          unmatched)
+        Union(matched :+ (padded: LogicalPlan))
+      }
+    case _ => None
+  }
+
+  /** The union-producing arms share the parent-driven pruning below. */
+  private def rewriteUnion(j: Join): Option[Union] =
+    rewrite(j).orElse(rewriteOuter(j))
+
   /** First-matching-disjunct semi-join union / anti-join chain for an
     * eligible LeftSemi/LeftAnti join (see the class doc). Output
     * attributes are the LEFT side's for every branch — no width change
@@ -242,25 +294,25 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
     // is safe exactly because the grandparent arm re-establishes the
     // attributes it consumes.
     case p @ Project(_, f @ Filter(_, j: Join)) =>
-      rewrite(j).map(u => p.copy(child =
+      rewriteUnion(j).map(u => p.copy(child =
           f.copy(child = pruned(u, p.references ++ f.references))))
         .getOrElse(p)
     case a @ Aggregate(_, _, f @ Filter(_, j: Join), _) =>
-      rewrite(j).map(u => a.copy(child =
+      rewriteUnion(j).map(u => a.copy(child =
           f.copy(child = pruned(u, a.references ++ f.references))))
         .getOrElse(a)
     case p @ Project(_, j: Join) =>
-      rewrite(j).map(u => p.copy(child = pruned(u, p.references)))
+      rewriteUnion(j).map(u => p.copy(child = pruned(u, p.references)))
         .getOrElse(p)
     case a @ Aggregate(_, _, j: Join, _) =>
-      rewrite(j).map(u => a.copy(child = pruned(u, a.references)))
+      rewriteUnion(j).map(u => a.copy(child = pruned(u, a.references)))
         .getOrElse(a)
     case f @ Filter(_, j: Join) =>
       // bare Filter with unknown grandparent: the Filter's output is its
       // child's, so pruning would change the schema the grandparent
       // resolved against — rewrite unpruned (width bounded by the
       // join's own output)
-      rewrite(j).map(u => f.copy(child = u)).getOrElse(f)
+      rewriteUnion(j).map(u => f.copy(child = u)).getOrElse(f)
     case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
       // semi/anti output IS the left schema in every branch/link —
       // nothing to prune, any parent shape is fine
@@ -268,7 +320,7 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
     case j: Join =>
       // unknown parent — rewrite without pruning (still bag-exact;
       // the extra width is bounded by the join's own output)
-      rewrite(j).getOrElse(j)
+      rewriteUnion(j).getOrElse(j)
   }
 
   /** Idempotently install into a BARE session's experimental

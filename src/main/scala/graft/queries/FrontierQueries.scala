@@ -928,6 +928,44 @@ object FrontierQueries {
       |        = CAST(round(c.c_acctbal * 100) AS BIGINT)))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q226 — LEFT OUTER join with OR'd keys (the LEFT-OUTER arm of
+    * [[graft.plans.DisjunctiveJoinRewrite]], round 13 second pass):
+    * every supplier with its disjunct-matched customers OR a null pad —
+    * the enrichment shape `LEFT JOIN dim ON (k1 OR k2)` a user writes
+    * when a row must survive even if no key matches. Pre-rewrite this
+    * plans as a BroadcastNestedLoopJoin; the rule emits the inner
+    * compensated union for matched pairs plus a null-padded anti-chain
+    * for the unmatched remainder — all hash joins. count(c_custkey)
+    * (not count(*)) makes the null pads visible as n_matches = 0.
+    * Oracle states the raw LEFT JOIN. */
+  def q226LeftOuterDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents"), "left_outer")
+      .groupBy(col("s_suppkey"))
+      .agg(count(col("c_custkey")).as("n_matches"),
+        min(col("c_custkey")).as("min_cust"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q226Sql: String =
+    """SELECT s_suppkey, count(c_custkey) AS n_matches,
+      |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM supplier s LEFT JOIN
+      |  (SELECT c_custkey, c_acctbal FROM customer
+      |   WHERE c_custkey % 3 = 0) c
+      |  ON s.s_suppkey = c.c_custkey
+      |  OR CAST(round(s.s_acctbal * 100) AS BIGINT)
+      |    = CAST(round(c.c_acctbal * 100) AS BIGINT)
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
   /** q220 — advisor-driven SALTED JOIN on a genuinely skewed key
     * ([[graft.ops.Skew.advisedJoin]]): the join topology where salting
     * actually changes wall time (Skew's own scale note — GROUP-BY skew

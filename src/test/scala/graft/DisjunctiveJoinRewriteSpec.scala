@@ -317,11 +317,77 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
     }
   }
 
-  test("veto: outer joins keep their OR condition") {
+  test("LeftOuter OR-join: rewritten to inner branches + a null-padded " +
+      "anti-chain remainder — hash joins only, bag (matched " +
+      "multiplicities AND null-padded unmatched rows) unchanged") {
     val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
       "left_outer")
-    assert(unions(q) === 0)
-    assert(joins(q) === 1)
+    assert(unions(q) === 1, "no Union in:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    // k=2: two guarded inner branches + a 2-link anti chain
+    assert(joins(q) === 4)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_outer")
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
+    }
+    assert(sortedRows(q) === expected)
+    // an unmatched left row (no key or value match) survives null-padded
+    assert(q.filter($"rk".isNull).count() ===
+      withoutRule(left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_outer").filter($"rk".isNull).count()))
+  }
+
+  test("LeftOuter And-around-Or: the extra cross-side conjunct rides " +
+      "the inner branches AND every anti-chain link (a row matching the " +
+      "keys but failing the residual is null-padded, not dropped)") {
+    val cond = ($"lk" === $"rk" || $"lv" === $"rv") && $"lv" > $"rv" - 100L
+    val q = left.join(right, cond, "left_outer")
+    assert(unions(q) === 1)
+    assert(nlJoins(q) === 0)
+    val expected = withoutRule {
+      sortedRows(left.join(right, cond, "left_outer"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("LeftOuter null keys + duplicate left rows: each input copy " +
+      "routes once (matched) or pads once (unmatched), bag exact") {
+    val q = left.join(right, $"lnull" === $"rnull" || $"lv" === $"rv",
+      "left_outer")
+    val expected = withoutRule {
+      sortedRows(left.join(right,
+        $"lnull" === $"rnull" || $"lv" === $"rv", "left_outer"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("LeftOuter branch pruning: a Project parent narrows inner AND " +
+      "padded branches to the referenced columns") {
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_outer")
+      .select($"lk", $"rk")
+    val u = q.queryExecution.optimizedPlan
+      .collect { case un: Union => un }.head
+    assert(u.children.forall(_.output.map(_.name) == Seq("lk", "rk")),
+      "branches not pruned to (lk, rk):\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    val expected = withoutRule {
+      sortedRows(left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "left_outer").select($"lk", $"rk"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("veto: right and full outer joins keep their OR condition") {
+    for (jt <- Seq("right_outer", "full_outer")) {
+      val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv", jt)
+      assert(unions(q) === 0, s"$jt was rewritten")
+      assert(joins(q) === 1)
+    }
   }
 
   test("veto: a non-deterministic disjunct is untouched (defense in " +
