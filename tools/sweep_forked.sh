@@ -8,6 +8,11 @@
 # SPARK_GRAFT_BENCH_WARMUP=0 skips the sf0.001 pre-pass); per-query
 # artifacts merge into one Bench-shaped json via merge_bench_parts.py.
 #
+# Warmup stays ON inside each fork (it respects SPARK_GRAFT_ONLY, so it
+# costs one sf0.001 pass of just that query): a cold fork otherwise pays
+# JIT/codegen warmup inside measured pass 1 and partially pass 2, which
+# inflates small sf0.1 rows and flatters the 10x ratio.
+#
 # Usage: tools/sweep_forked.sh SF_DIR OUT_JSON query1 [query2 ...]
 set -u
 SF_DIR=$1
@@ -31,7 +36,7 @@ PARTS=()
 for q in "$@"; do
   t0=$(date +%s)
   if SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_SF_DIR="$SF_DIR" \
-     SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_OUT="$TMPD/$q.json" \
+     SPARK_GRAFT_BENCH_OUT="$TMPD/$q.json" \
      java $ADD_OPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
        graft.Bench > /dev/null 2> "$TMPD/$q.err"; then
     PARTS+=("$TMPD/$q.json")
