@@ -26,6 +26,15 @@ import org.apache.spark.sql.SparkSession
  *    that scales. Every pass does full work — the cache is cleared between
  *    passes, so each pass repeats every shuffle and scan (only OS page
  *    cache and JIT state carry over).
+ *  - `SPARK_GRAFT_BENCH_STEADY=N` (round 13, for ONE-QUERY forked runs —
+ *    sweep_forked.sh): before the measured passes, run up to N extra
+ *    UNMEASURED passes at the TARGET SF, stopping early once two
+ *    consecutive passes agree within 10% — a fresh JVM's first target-SF
+ *    passes still pay JIT/class-load that one sf0.001 warmup pass does
+ *    not reach (measured: median +0.4 s, ~3 s on shuffle-heavy plans),
+ *    which inflates small rows and compresses fork/fork scaling ratios.
+ *    Default 0 (full-bench runs amortize JIT across 200+ queries and
+ *    need no per-query steady-state loop).
  *  - spark.catalog.clearCache() after every pass: measurement isolation —
  *    no query reads blocks another query cached (operator-pinned results
  *    included).
@@ -136,8 +145,28 @@ object Bench {
       System.err.println(s"[bench] PQ INDEX BUILD FAILED (q188 will pay the build inline): $e")
     }
 
+    val steady = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "0").toInt)
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     ordered.foreach { case (name, fn) =>
+      if (steady > 0) {
+        var prev = Double.NaN
+        var i = 0
+        var converged = false
+        while (i < steady && !converged) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] steady pass failed $name: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          converged = !prev.isNaN && math.abs(dt - prev) / prev < 0.10
+          prev = dt
+          i += 1
+        }
+        System.err.println(f"[bench] $name steady after $i pass(es), last $prev%.2f s")
+      }
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

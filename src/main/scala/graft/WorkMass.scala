@@ -108,6 +108,45 @@ object WorkMass {
         Map("bigram_mass_scored" -> masses.getOrElse(true, 0L),
           "bigram_mass_model" -> masses.getOrElse(false, 0L))
       },
+      // q27's unavoidable cost is band-bucket collisions (∝ n²/2^bandBits
+      // per band, made ~1ns each by the bucket kernel, never a joined
+      // row): Σ_{band,value} C(n,2) over the same 8×8-bit banding of the
+      // same n-gram simhash — the PROBE-LESS lower bound (probeBits=1
+      // multiplies it ~(1+bandBits)×, uniformly across SFs)
+      "q27_simhash" -> { (spark, dir) =>
+        val bands = 8; val bandBits = 64 / bands
+        val bandMask = (1L << bandBits) - 1
+        val fp = graft.ops.Dedup.hashedShingleSets(
+            Tables.documents(spark, dir), "doc_id", "text", 2)
+          .select(graft.ops.Dedup.simhashFromHashes(
+            transform(col("ih"), h => xxhash64(h))).as("fp"))
+        val mass = fp.select(explode(array((0 until bands).map { bi =>
+            struct(lit(bi).as("b"),
+              shiftright(col("fp"), bi * bandBits).bitwiseAND(bandMask)
+                .as("v"))
+          }: _*)).as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)))
+          .collect().head.getLong(0) / 2
+        Map("band_collision_mass" -> mass)
+      },
+      // q97's wall tracks its verified-pair OUTPUT (the r12 finding:
+      // output grows exactly 10×) — count it, plus the doc count
+      "q97_setsim_join" -> { (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            graft.ops.Dedup.shingleHashes(col("text"), 3).as("shingles"))
+        val pairs = graft.ops.SetSimJoin.prefixJaccardJoin(
+          docs, "doc_id", "shingles", thetaNum = 6, thetaDen = 10).count()
+        Map("verified_pairs" -> pairs)
+      },
+      // q201 is a small-base merge-on-read scan: base rows in, surviving
+      // rows out (the ratio row sits on a sub-second base)
+      "q201_equality_deletes" -> { (spark, dir) =>
+        val d = Tables.documents(spark, dir)
+        Map("base_rows" -> d.count(),
+          "surviving_rows" -> d.filter(!(col("n_chars") % 7 === 0)).count())
+      },
       // q223's declared semantics are output-quadratic in the sampled
       // containment clusters — the output cardinality IS the work mass
       "q223_containment_sample" -> { (spark, dir) =>

@@ -1,9 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeSet,
-  Coalesce, EqualTo, Expression, Literal, NamedExpression, Not, Or}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter,
-  LeftSemi}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeSet, Coalesce, EqualTo, Expression, Literal, NamedExpression,
+  Not, Or}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti,
+  LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -99,16 +100,34 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * exprIds, so the union stays position-aligned and parent references
  * resolve unchanged; `Union.output` merges child nullability, so the
  * right columns come out nullable exactly as the original left-outer
- * output did. RIGHT OUTER and FULL OUTER stay vetoed (right-outer is
- * this shape mirrored — not a user shape in the corpus — and full
- * outer would need both remainders plus two chains).
+ * output did.
+ *
+ * FULL OUTER adds the mirrored remainder: the left-unmatched branch as
+ * above, plus the RIGHT-unmatched rows — Spark has no right-anti join
+ * type, so the chain runs with the sides swapped,
+ * Anti(…Anti(R, d1∧Cs)…, dk∧Cs) with R as the LEFT child of each
+ * link (the conditions reference both sides' attributes, so they need
+ * no rewriting), projected onto nulls_L ++ R.* to keep the union
+ * position-aligned:
+ *
+ *   Join(L, R, FullOuter, Cs AND (d1 OR … OR dk))
+ *     ⇒ Union(inner branches …,
+ *             Project(L.* ++ nulls_R, Anti-chain(L vs R)),
+ *             Project(nulls_L ++ R.*, Anti-chain(R vs L)))
+ *
+ * The three groups partition the full-outer bag exactly: matched pairs
+ * (inner proof), left rows with no match (left chain), right rows with
+ * no match (right chain) — no row is in two groups. RIGHT OUTER stays
+ * untouched — it is this machinery mirrored and not a shape the corpus
+ * produces (DataFrame users write the preserved side on the left);
+ * a right-outer join keeps its original plan.
  *
  * Fires ONLY when ALL of:
- *  - the join is INNER, LEFT SEMI, LEFT ANTI or LEFT OUTER with a
- *    deterministic condition whose top-level conjuncts contain NO
- *    cross-side equality (else the join already has a hash key) and
- *    EXACTLY ONE disjunction-of-predicates conjunct
- *    (2 ≤ k ≤ `MaxDisjuncts`) — right/full outer joins are vetoed;
+ *  - the join is INNER, LEFT SEMI, LEFT ANTI, LEFT OUTER or FULL
+ *    OUTER with a deterministic condition whose top-level conjuncts
+ *    contain NO cross-side equality (else the join already has a hash
+ *    key) and EXACTLY ONE disjunction-of-predicates conjunct
+ *    (2 ≤ k ≤ `MaxDisjuncts`) — right outer joins are untouched;
  *  - every disjunct is DETERMINISTIC (a nondeterministic predicate
  *    evaluated once per pair cannot be re-evaluated once per branch);
  *  - BOTH child subplans are deterministic: the rewrite duplicates the
@@ -215,23 +234,35 @@ object DisjunctiveJoinRewrite extends Rule[LogicalPlan] {
     * position-aligned with the inner branches and parent references
     * resolve against child 0 unchanged. */
   private def rewriteOuter(j: Join): Option[Union] = j match {
-    case Join(left, right, LeftOuter, Some(cond), hint)
+    case Join(left, right, jt @ (LeftOuter | FullOuter), Some(cond), hint)
         if cond.deterministic && childrenDeterministic(left, right) =>
       eligibleParts(cond, left, right).map { case (ds, extras) =>
         def withExtras(d: Expression) = (d +: extras).reduce(And)
+        def nulls(attrs: Seq[Attribute]): Seq[NamedExpression] =
+          attrs.map(a => Alias(Literal(null, a.dataType), a.name)(
+            exprId = a.exprId))
         val matched: Seq[LogicalPlan] = ds.zipWithIndex.map { case (d, i) =>
           val guards = ds.take(i).map(notTrue)
           Join(left, right, Inner,
             Some((d +: (guards ++ extras)).reduce(And)), hint)
         }
-        val unmatched = ds.foldLeft(left: LogicalPlan)((acc, d) =>
-          Join(acc, right, LeftAnti, Some(withExtras(d)), hint))
-        val padded = Project(
-          left.output ++ right.output.map(a =>
-            Alias(Literal(null, a.dataType), a.name)(
-              exprId = a.exprId): NamedExpression),
-          unmatched)
-        Union(matched :+ (padded: LogicalPlan))
+        val leftRemainder = Project(
+          left.output ++ nulls(right.output),
+          ds.foldLeft(left: LogicalPlan)((acc, d) =>
+            Join(acc, right, LeftAnti, Some(withExtras(d)), hint)))
+        val branches = jt match {
+          case FullOuter =>
+            // the mirrored remainder: anti-chain with the sides swapped
+            // (no right-anti join type exists); conditions reference
+            // both sides' attributes and need no rewriting
+            val rightRemainder = Project(
+              nulls(left.output) ++ right.output,
+              ds.foldLeft(right: LogicalPlan)((acc, d) =>
+                Join(acc, left, LeftAnti, Some(withExtras(d)), hint)))
+            matched ++ Seq(leftRemainder, rightRemainder)
+          case _ => matched :+ (leftRemainder: LogicalPlan)
+        }
+        Union(branches)
       }
     case _ => None
   }

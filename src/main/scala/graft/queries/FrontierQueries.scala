@@ -966,6 +966,46 @@ object FrontierQueries {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q227 — FULL OUTER join with OR'd keys (the FULL-OUTER arm of
+    * [[graft.plans.DisjunctiveJoinRewrite]]): the reconciliation shape
+    * `FULL JOIN other ON (k1 OR k2)` — every supplier AND every
+    * candidate customer survives, matched or not. The rule emits the
+    * inner compensated union plus BOTH null-padded anti-chain
+    * remainders (left, and the mirrored right chain — Spark has no
+    * right-anti type, so the chain runs sides-swapped). Grouping on
+    * `coalesce(s_suppkey, -1)` makes both remainders visible: group −1
+    * collects the right-only customers, n_matched = 0 marks the
+    * left-only suppliers. Oracle states the raw FULL JOIN. */
+  def q227FullOuterDisjunct(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    s.join(c, col("s_suppkey") === col("c_custkey") ||
+        col("s_cents") === col("c_cents"), "full_outer")
+      .groupBy(coalesce(col("s_suppkey"), lit(-1L)).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_custkey")).as("n_matched"),
+        min(col("c_custkey")).as("min_cust"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy(col("grp"))
+  }
+
+  val q227Sql: String =
+    """SELECT COALESCE(s_suppkey, -1) AS grp, count(*) AS n_rows,
+      |  count(c_custkey) AS n_matched,
+      |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM supplier s FULL JOIN
+      |  (SELECT c_custkey, c_acctbal FROM customer
+      |   WHERE c_custkey % 3 = 0) c
+      |  ON s.s_suppkey = c.c_custkey
+      |  OR CAST(round(s.s_acctbal * 100) AS BIGINT)
+      |    = CAST(round(c.c_acctbal * 100) AS BIGINT)
+      |GROUP BY 1
+      |ORDER BY grp""".stripMargin
+
   /** q220 — advisor-driven SALTED JOIN on a genuinely skewed key
     * ([[graft.ops.Skew.advisedJoin]]): the join topology where salting
     * actually changes wall time (Skew's own scale note — GROUP-BY skew

@@ -382,12 +382,54 @@ class DisjunctiveJoinRewriteSpec extends SparkSpec {
     assert(sortedRows(q) === expected)
   }
 
-  test("veto: right and full outer joins keep their OR condition") {
-    for (jt <- Seq("right_outer", "full_outer")) {
-      val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv", jt)
-      assert(unions(q) === 0, s"$jt was rewritten")
-      assert(joins(q) === 1)
+  test("FullOuter OR-join: inner branches + BOTH null-padded remainders " +
+      "(left anti-chain, mirrored right anti-chain) — hash joins only, " +
+      "bag unchanged including both remainder groups") {
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "full_outer")
+    assert(unions(q) === 1, "no Union in:\n" +
+      q.queryExecution.optimizedPlan.treeString)
+    // k=2: two inner branches + two 2-link anti chains
+    assert(joins(q) === 6)
+    assert(nlJoins(q) === 0, "nested loop survived:\n" +
+      q.queryExecution.executedPlan.toString)
+    val expected = withoutRule {
+      val ctl = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "full_outer")
+      assert(nlJoins(ctl) === 1, "control plan was not a nested loop")
+      sortedRows(ctl)
     }
+    assert(sortedRows(q) === expected)
+    // both remainder groups present: left-unmatched rows pad rk, the
+    // right-only key (rk=9 matches no lk and value 99 pairs lv=99 — so
+    // construct via the null-key rows instead) pads lk
+    assert(q.filter($"rk".isNull).count() ===
+      withoutRule(left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "full_outer").filter($"rk".isNull).count()))
+    assert(q.filter($"lk".isNull).count() ===
+      withoutRule(left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+        "full_outer").filter($"lk".isNull).count()))
+  }
+
+  test("FullOuter And-around-Or + null keys: extras ride inner branches " +
+      "and both chains; null disjunct values pad, never match") {
+    val cond = ($"lnull" === $"rnull" || $"lv" === $"rv") &&
+      $"lv" > $"rv" - 100L
+    val q = left.join(right, cond, "full_outer")
+    assert(unions(q) === 1)
+    assert(nlJoins(q) === 0)
+    val expected = withoutRule {
+      sortedRows(left.join(right, cond, "full_outer"))
+    }
+    assert(sortedRows(q) === expected)
+  }
+
+  test("right outer joins keep their original plan (mirror shape, not " +
+      "a corpus shape — the preserved side is written on the left)") {
+    val q = left.join(right, $"lk" === $"rk" || $"lv" === $"rv",
+      "right_outer")
+    assert(unions(q) === 0, "right_outer was rewritten")
+    assert(joins(q) === 1)
   }
 
   test("veto: a non-deterministic disjunct is untouched (defense in " +
