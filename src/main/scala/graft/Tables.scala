@@ -20,6 +20,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * carries only surviving rows). On a real cluster a 100 TB table has
  * thousands of splits and the guard never fires — this is purely the
  * "small file, big machine" escape hatch.
+ *
+ * Per-session metadata memo (round 13, guide §1/§6): a bare
+ * `spark.read.parquet` re-infers the schema from footers on EVERY call
+ * (~80 ms), and the spread guard's `df.rdd.getNumPartitions` fully plans
+ * the scan (~65 ms more) — pure driver-side latency paid per query build,
+ * per pass. Schema and spread verdict are functions of the FILES, not the
+ * query, so [[load]] memoizes both per (session, path, file snapshot) and
+ * hands the schema to the reader explicitly (plan-build drops to ~11 ms,
+ * measured). The snapshot component (sizes + mtimes) keys the memo by
+ * content identity — a regenerated table re-infers, exactly like
+ * [[graft.queries.PairStore.snapshotFingerprint]]. This is metadata
+ * caching only (what a catalog table gives you for free at 100 TB);
+ * every query still computes from the parquet bytes.
+ *
+ * Tiny-dim escape (guide §2.4 "remove shuffles outright"): a broadcast-
+ * class dimension (region/nation/supplier — single-digit KB) gains
+ * nothing from a 32-way round-robin exchange; spreading it costs ~100 ms
+ * per materialization (measured) for work one core does in microseconds.
+ * Tables at or below `SPARK_GRAFT_SPREAD_MIN_BYTES` on disk (default
+ * 64 KiB) skip the spread. Parameterised, not local-tuned: at production
+ * scale the spread guard never fires at all, so the threshold only
+ * matters on the "small file, big machine" shape it exists for.
  */
 object Tables {
   val names: Seq[String] = Seq(
@@ -33,8 +55,74 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
+  /** Tables at or below this on-disk size skip the spread repartition —
+    * broadcast-class dims where a 32-way exchange is pure overhead. */
+  private def spreadMinBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN_BYTES", "65536").toLong
+
+  private final case class TableMeta(
+      schema: org.apache.spark.sql.types.StructType,
+      underParallel: Boolean, bytes: Long)
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TableMeta]()
+
+  /** Cheap content-identity stamp of a parquet path: immediate children's
+    * (name, size, mtime) for a directory, (size, mtime) for a file. */
+  private def snapshot(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else if (java.nio.file.Files.isRegularFile(p))
+      s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val b = Seq.newBuilder[String]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          b += s"${c.getFileName}:${java.nio.file.Files.size(c)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(c).toMillis}"
+        }
+        b.result().sorted.mkString(",")
+      } finally s.close()
+    }
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = spark.sparkContext.applicationId + "|" + path + "|" +
+      snapshot(path)
+    val meta = metaCache.computeIfAbsent(key, _ => {
+      val df = spark.read.parquet(path)
+      TableMeta(df.schema,
+        df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+        pathBytes(path))
+    })
+    val df = spark.read.schema(meta.schema).parquet(path)
+    if (meta.underParallel && meta.bytes > spreadMinBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  private def pathBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        var sum = 0L
+        val it = s.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (java.nio.file.Files.isRegularFile(c))
+            sum += java.nio.file.Files.size(c)
+        }
+        sum
+      } finally s.close()
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
