@@ -36,21 +36,34 @@ object Bfs {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
-    // each level MATERIALIZES before the next is planned (manual stage
-    // list — the loop's frontiers aren't known up front for
-    // CacheScope.withStages): frontier h is referenced by both round
-    // h+1's expansion and the settled union, so without a per-level
-    // pin the reference DAG re-evaluates prior levels multiplicatively
-    // (bounded by 2^maxHops, but a true level-synchronous BFS computes
-    // every level exactly once)
+    // each LEVEL persists before the next is planned (manual stage list —
+    // the loop's frontiers aren't known up front for
+    // CacheScope.withStages): level h is referenced by round h+1's
+    // expansion, every later round's anti-join and the final union, so
+    // without a per-level pin the reference DAG re-evaluates prior levels
+    // multiplicatively. Only the LEAVES (edges, each level) persist; the
+    // settled union is never cached — re-assembling it per reference is a
+    // read of cached leaf blocks, strictly cheaper than writing one more
+    // cache copy of the whole settled set every round (the r13 shape paid
+    // a settled persist + count job per round).
     val staged = scala.collection.mutable.Buffer[DataFrame](edges)
     edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      edges.count()
-      var dist = seeds.select(col("id")).distinct()
+      val level0 = seeds.select(col("id")).distinct()
         .withColumn("dist", lit(0L))
-      var frontier = dist.select(col("id"))
-      for (h <- 1 to maxHops) {
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staged += level0
+      var dist: DataFrame = level0
+      var frontier = level0.select(col("id"))
+      // one count job per round — it materializes the new level's cache
+      // (edges materialize inside round 1's job) AND is the fixpoint
+      // test: BFS settles every reachable node by the time a frontier
+      // comes back empty, so later rounds are provably empty joins —
+      // stop instead of scheduling them (maxHops is the CAP, the data's
+      // actual radius decides the round count).
+      var frontierN = level0.count()
+      var h = 1
+      while (h <= maxHops && frontierN > 0) {
         val next = edges
           .join(frontier.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"))
@@ -58,15 +71,12 @@ object Bfs {
           .join(dist.select(col("id")), Seq("id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         staged += next
-        // settled set stages too: round h+1's anti-join and the final
-        // union both read it (same multiplicative-reference argument)
-        val settled = dist
-          .unionByName(next.withColumn("dist", lit(h.toLong)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        settled.count()
-        staged += settled
-        frontier = next
-        dist = settled
+        frontierN = next.count()
+        if (frontierN > 0) {
+          dist = dist.unionByName(next.withColumn("dist", lit(h.toLong)))
+          frontier = next
+        }
+        h += 1
       }
       CacheScope.pin(dist.select(col("id"), col("dist")))
     } finally staged.foreach(_.unpersist(blocking = false))

@@ -35,8 +35,8 @@ object Curation {
              nearDupThreshold: Double = 0.5,
              transitive: Boolean = false,
              lshBands: Int = 16): DataFrame =
-    curateWithStats(docs, idCol, textCol, minQuality, nearDupThreshold,
-      transitive, lshBands)._1
+    curateImpl(docs, idCol, textCol, minQuality, nearDupThreshold,
+      transitive, lshBands, wantStats = false)._1
 
   /**
    * [[curate]] plus per-stage observability: the second frame is one row
@@ -50,6 +50,22 @@ object Curation {
                       nearDupThreshold: Double = 0.5,
                       transitive: Boolean = false,
                       lshBands: Int = 16): (DataFrame, DataFrame) = {
+    val (result, stats) = curateImpl(docs, idCol, textCol, minQuality,
+      nearDupThreshold, transitive, lshBands, wantStats = true)
+    (result, stats.get)
+  }
+
+  /** The shared pipeline. `wantStats = false` (the [[curate]] path) skips
+    * the four stage-count jobs entirely — the counts exist for the
+    * observability caller (q40), and a caller that only wants the
+    * survivors should not pay a corpus-sized n_input scan plus three
+    * cached-stage counts for a frame it throws away. */
+  private def curateImpl(docs: DataFrame, idCol: String, textCol: String,
+                         minQuality: Double,
+                         nearDupThreshold: Double,
+                         transitive: Boolean,
+                         lshBands: Int,
+                         wantStats: Boolean): (DataFrame, Option[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val id = col(idCol)
@@ -95,11 +111,13 @@ object Curation {
         // deliberately repartitioned ("spread") frame, and a row count is
         // invariant under partitioning — stripping the Repartition makes
         // this a column-pruned scan-only pass instead of scan + shuffle
-        val nInput =
-          org.apache.spark.sql.graft.PlanOps.withoutRepartition(docs).count()
-        val stats = Seq((nInput, gated.count(), deduped.count(),
-            result.count()))
-          .toDF("n_input", "n_gated", "n_exact_deduped", "n_survivors")
+        val stats = if (!wantStats) None else {
+          val nInput =
+            org.apache.spark.sql.graft.PlanOps.withoutRepartition(docs).count()
+          Some(Seq((nInput, gated.count(), deduped.count(),
+              result.count()))
+            .toDF("n_input", "n_gated", "n_exact_deduped", "n_survivors"))
+        }
         cc.foreach(_.unpersist(blocking = false))
         (result, stats)
       } finally pairs.unpersist(blocking = false)

@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
  * is emitted as the decimal's string rendering — exact at any corpus
  * size a 38-digit decimal can count.
  *
- * 100 TB shape: one hash aggregate over (value) with map-side combine
- * (domain-bounded key), then a cumulative window over DISTINCT values —
- * bounded by the value domain (e.g. max document length), not the corpus,
- * so the single-partition window is safe by the same bounded-input
- * argument as the top-N rank windows.
+ * 100 TB shape: one hash aggregate over (value) with map-side combine,
+ * then the cumulative sums over the DISTINCT-value order run through
+ * [[TwoPhaseScan.cumSums]] — a continuous value column has ~|rows|
+ * distinct values, so the CDF pass is range-partitioned (local running
+ * sums + broadcast bucket offsets), never a single-partition window.
  */
 object Drift {
 
@@ -87,15 +87,18 @@ object Drift {
     val counts = d.groupBy(col(valueCol))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("c1"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("f1", sum(col("c1")).over(w))
-      .withColumn("f2", sum(col("c2")).over(w))
-    val totals = counts.agg(sum(col("c1")).cast("long").as("n1"),
-      sum(col("c2")).cast("long").as("n2"))
+    // cumulative CDFs over the distinct-value order via the range-
+    // partitioned two-phase running sum (TwoPhaseScan.cumSums): the value
+    // domain of a continuous column is ~|rows| distinct at corpus scale,
+    // so a single-partition `ORDER BY value` window here was the one
+    // serial chokepoint in the plan — the two-phase scan keeps the exact
+    // integer semantics (running sums are associative) at full
+    // parallelism, and carries the grand totals (n1, n2) in the same
+    // pass instead of a second aggregate branch.
+    val cum = TwoPhaseScan.cumSums(counts, Seq(col(valueCol)),
+      Seq(("c1", "f1", "n1"), ("c2", "f2", "n2")))
     val dec = "decimal(38,0)"
-    cum.crossJoin(broadcast(totals))
+    cum
       .select(col("n1"), col("n2"),
         abs(col("f1").cast(dec) * col("n2") -
           col("f2").cast(dec) * col("n1")).as("gap"))

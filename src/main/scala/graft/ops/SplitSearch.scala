@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
  * Shape: the table-sized work is ONE hash aggregate over the feature's
  * value domain (map-side partial combine collapses rows to ≤ NDV(feature)
  * partials per task); the prefix sums that turn per-value counts into
- * per-threshold partition counts run on that already-collapsed table, so
- * the window is candidate-set-sized, not data-sized — the same two-phase
- * discipline as the equi-depth histogram (q173).
+ * per-threshold partition counts run on that already-collapsed table —
+ * and since NDV of a continuous feature is ~|rows|, they run through the
+ * range-partitioned [[TwoPhaseScan.cumSums]], never a single-partition
+ * window (the multi-feature variant below partitions per feature
+ * instead, which is parallel as soon as there are many features).
  *
  * Ranking without floats: minimizing weighted Gini
  *   n_l·(1 − Σᵢ(cₗᵢ/n_l)²) + n_r·(1 − Σᵢ(cᵣᵢ/n_r)²)
@@ -48,20 +50,15 @@ object SplitSearch {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n_v"), sum(col("pos")).as("pos_v"))
 
-    // Running sums AND totals from the SAME sorted candidate table: the
-    // totals are the running sums' last value (an unbounded-frame max on
-    // the identical window partitioning), so no second aggregate exists —
-    // a separate totals branch would re-scan the table (Spark self-joins
-    // recompute shared subplans), doubling the one table-sized pass.
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = perValue
-      .withColumn("n_l", sum(col("n_v")).over(w))
-      .withColumn("pos_l", sum(col("pos_v")).over(w))
-      .withColumn("n", max(col("n_l")).over(wAll))
-      .withColumn("pos", max(col("pos_l")).over(wAll))
+    // Prefix sums + totals over the candidate order via the range-
+    // partitioned two-phase running sum (TwoPhaseScan.cumSums): a
+    // continuous feature has ~|rows| distinct values at corpus scale, so
+    // the previous single-partition `ORDER BY v` window was the plan's one
+    // serial chokepoint. cumSums keeps the exact integer semantics at full
+    // parallelism and carries the grand totals (n, pos) in the same pass —
+    // still no separate totals re-scan of the table.
+    val cum = TwoPhaseScan.cumSums(perValue, Seq(col("v")),
+      Seq(("n_v", "n_l", "n"), ("pos_v", "pos_l", "pos")))
 
     val d = "decimal(38,0)"
     cum

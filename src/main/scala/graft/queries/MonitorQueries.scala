@@ -572,8 +572,10 @@ object MonitorQueries {
     * ever appearance) and the exact running distinct-user total — the
     * audience/corpus growth report. A running COUNT(DISTINCT) is
     * unbounded state done naively; reduced to first-appearance day it is
-    * one user-keyed hash agg + a cumulative window over ≤ days rows
-    * (bounded by the calendar, the q143 argument). */
+    * one user-keyed hash agg + a cumulative window over ≤ days rows —
+    * bounded by the CALENDAR (a decade is ~3.7k rows), so the
+    * single-partition window is metadata-sized by construction, unlike
+    * the distinct-VALUE domains that moved to TwoPhaseScan.cumSums. */
   def q157DistinctGrowth(spark: SparkSession, dir: String): DataFrame = {
     val firstDay = Tables.events(spark, dir)
       .groupBy(col("user_id"))

@@ -249,21 +249,28 @@ object RetrievalQueries {
       val drops = mem.join(canon, "component")
         .filter(col("doc_id") =!= col("canonical_id"))
         .select(col("doc_id"))
+      // ONE tokenization pass: the totals and the dropped-subset sums used
+      // to be two aggregate branches over `toks`, each re-scanning and
+      // re-tokenizing every document (self-joins recompute shared
+      // subplans) — the regexp tokenizer IS this query's cost. A broadcast
+      // left join flags dropped docs (drops is doc_id-unique: one row per
+      // node of the dup graph) and one hash aggregate carries all four
+      // sums, so the corpus is scanned and tokenized exactly once.
       val toks = docs.select(col("source"), col("doc_id"),
         TextAnalysis.tokenCountBpe(col("text")).cast("long").as("toks"))
-      val totals = toks.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("toks")).cast("long").as("total_tokens"))
-      val droppedAgg = toks.join(broadcast(drops), "doc_id")
+      toks
+        .join(broadcast(drops.withColumn("__dropped", lit(true))),
+          Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_dropped"),
-          sum(col("toks")).cast("long").as("dropped_tokens"))
-      totals.join(droppedAgg, Seq("source"), "left_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("total_tokens"),
+          sum(when(col("__dropped"), 1L).otherwise(0L)).cast("long")
+            .as("n_dropped"),
+          sum(when(col("__dropped"), col("toks")).otherwise(0L))
+            .cast("long").as("dropped_tokens"))
         .select(col("source"), col("n_docs"), col("total_tokens"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          coalesce(col("dropped_tokens"), lit(0L)).as("dropped_tokens"),
-          (col("total_tokens") - coalesce(col("dropped_tokens"), lit(0L)))
-            .as("net_tokens"))
+          col("n_dropped"), col("dropped_tokens"),
+          (col("total_tokens") - col("dropped_tokens")).as("net_tokens"))
         .orderBy(col("source"))
     }
   }

@@ -50,6 +50,41 @@ class TwoPhaseScanSpec extends SparkSpec {
     packedE.unpersist(blocking = false)
   }
 
+  test("cumSums: equals the single-partition reference window, incl. totals") {
+    // deterministic pseudo-random per-key sums over a sparse key domain —
+    // multiple range buckets, uneven bucket fill, some empty partitions
+    val df = (1L to 500L).map { i =>
+      val k = (i * 2654435761L) % 4096L
+      (k, k % 17L, (k % 5L) + 1L)
+    }.toDF("k", "a", "b").groupBy(col("k"))
+      .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+    val got = graft.ops.TwoPhaseScan.cumSums(df, Seq(col("k")),
+        Seq(("a", "ca", "ta"), ("b", "cb", "tb")))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(Long.MinValue, 0)
+    val ref = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .orderBy(col("k")).collect()
+    val (ta, tb) = (ref.map(_.getLong(1)).sum, ref.map(_.getLong(2)).sum)
+    assert(got.toSeq === ref.toSeq.map(r =>
+      (r.getLong(0), r.getLong(3), ta, r.getLong(4), tb)))
+  }
+
+  test("cumSums: empty input stays empty; single row carries its own total") {
+    val df = Seq((1L, 2L)).toDF("k", "a")
+    val one = graft.ops.TwoPhaseScan.cumSums(df, Seq(col("k")),
+      Seq(("a", "ca", "ta"))).collect()
+    assert(one.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((1L, 2L, 2L)))
+    val empty = graft.ops.TwoPhaseScan.cumSums(df.filter(col("k") < 0),
+      Seq(col("k")), Seq(("a", "ca", "ta")))
+    assert(empty.count() === 0L)
+  }
+
   test("withGlobalIndex: dense 0-based on an empty and a 1-row frame") {
     val one = Seq((42L, "x")).toDF("k", "v")
     val gotOne = GlobalIndex.withGlobalIndex(one, "idx", col("k"))
